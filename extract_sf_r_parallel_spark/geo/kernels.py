@@ -1,0 +1,409 @@
+"""Pure-NumPy geometry kernels.
+
+These are the vectorized replacements for the reference's sf calls
+(st_area, st_distance, st_intersection, st_buffer, st_is_valid,
+st_transform — /root/reference/1_scripts/C_…R:96-117, 317, 33). No
+shapely/GEOS: everything is closed-form math over flat float64 arrays
+so it runs inside Arrow-batched pandas UDFs with zero per-row Python.
+
+Polygon representation: a ring is an (n, 2) float64 array of vertices;
+closed rings (first == last vertex) are accepted and the duplicate
+vertex is ignored. Multi-edge batch layout: "pair arrays" — for a batch
+of (point, polygon) candidate pairs we flatten every polygon edge into
+parallel arrays tagged with the pair index, compute per-edge terms
+vectorized, and reduce with ``np.add.at`` / ``np.minimum.at``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "ring_area",
+    "point_in_ring",
+    "point_segment_distance",
+    "circle_polygon_area",
+    "pairs_circle_polygon_area",
+    "pairs_point_polygon_distance",
+    "ring_is_valid",
+    "tmerc_forward",
+    "tmerc_inverse",
+    "rasterize",
+    "vectorize_mask",
+]
+
+
+# ---------------------------------------------------------------------------
+# basic ring helpers
+# ---------------------------------------------------------------------------
+
+def _open_ring(ring: np.ndarray) -> np.ndarray:
+    """Drop the closing duplicate vertex if present."""
+    ring = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(ring) >= 2 and np.all(ring[0] == ring[-1]):
+        ring = ring[:-1]
+    return ring
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive). Replaces st_area
+    (C_…R:98) for whole polygons."""
+    r = _open_ring(ring)
+    if len(r) < 3:
+        return 0.0
+    x, y = r[:, 0], r[:, 1]
+    return float(0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def point_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd point-in-polygon test for many points against
+    one ring. Points exactly on an edge may land either side (callers
+    that care use distance==0 instead)."""
+    r = _open_ring(ring)
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape, dtype=bool)
+    n = len(r)
+    x1, y1 = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for i in range(n):  # loop over edges (few), vectorized over points (many)
+        cond = (y1[i] > py) != (y2[i] > py)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[i] + (py - y1[i]) * (x2[i] - x1[i]) / (y2[i] - y1[i])
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def point_segment_distance(
+    px: np.ndarray, py: np.ndarray,
+    ax: np.ndarray, ay: np.ndarray, bx: np.ndarray, by: np.ndarray,
+) -> np.ndarray:
+    """Elementwise distance from points (px,py) to segments (a,b)."""
+    dx, dy = bx - ax, by - ay
+    seg2 = dx * dx + dy * dy
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((px - ax) * dx + (py - ay) * dy) / seg2
+    t = np.where(seg2 > 0, np.clip(t, 0.0, 1.0), 0.0)
+    cx, cy = ax + t * dx, ay + t * dy
+    return np.hypot(px - cx, py - cy)
+
+
+# ---------------------------------------------------------------------------
+# circle ∩ polygon exact area (Green's theorem per edge)
+# ---------------------------------------------------------------------------
+
+def _edge_circle_contrib(
+    p1x: np.ndarray, p1y: np.ndarray, p2x: np.ndarray, p2y: np.ndarray, r: np.ndarray
+) -> np.ndarray:
+    """Per-edge contribution to area(circle(0,r) ∩ polygon).
+
+    For each directed edge p1→p2 (coordinates already translated so the
+    circle is centred at the origin) the contribution is the signed area
+    swept from the origin: sub-segments inside the circle contribute the
+    triangle term cross(a,b)/2, sub-segments outside contribute the
+    circular-sector term r²·Δθ/2. Summed over a closed CCW ring this
+    yields exactly area(circle ∩ polygon) — the engine's replacement for
+    st_intersection(...) %>% st_area() (C_…R:97-99).
+
+    Fully vectorized: each edge expands into exactly 3 sub-segments
+    split at the (clipped) segment–circle intersection parameters.
+    """
+    dx, dy = p2x - p1x, p2y - p1y
+    a = dx * dx + dy * dy
+    b = 2.0 * (p1x * dx + p1y * dy)
+    c = p1x * p1x + p1y * p1y - r * r
+    disc = b * b - 4.0 * a * c
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(a > 0, (-b - sq) / (2.0 * a), 0.0)
+        t2 = np.where(a > 0, (-b + sq) / (2.0 * a), 0.0)
+    ok = disc > 0
+    t1 = np.where(ok, np.clip(t1, 0.0, 1.0), 0.0)
+    t2 = np.where(ok, np.clip(t2, 0.0, 1.0), 0.0)
+
+    total = np.zeros_like(p1x)
+    bounds = (np.zeros_like(t1), t1, t2, np.ones_like(t1))
+    for k in range(3):
+        ta, tb = bounds[k], bounds[k + 1]
+        ax_, ay_ = p1x + ta * dx, p1y + ta * dy
+        bx_, by_ = p1x + tb * dx, p1y + tb * dy
+        mx, my = 0.5 * (ax_ + bx_), 0.5 * (ay_ + by_)
+        inside = mx * mx + my * my <= r * r
+        tri = 0.5 * (ax_ * by_ - bx_ * ay_)
+        ang = np.arctan2(ax_ * by_ - bx_ * ay_, ax_ * bx_ + ay_ * by_)
+        sec = 0.5 * r * r * ang
+        total += np.where(tb > ta, np.where(inside, tri, sec), 0.0)
+    return total
+
+
+def circle_polygon_area(cx: float, cy: float, r: float, ring: np.ndarray) -> float:
+    """Exact area of circle((cx,cy), r) ∩ polygon(ring). Single-pair
+    convenience wrapper over the vectorized edge kernel."""
+    ring = _open_ring(ring)
+    if len(ring) < 3 or r <= 0:
+        return 0.0
+    p1 = ring - np.array([cx, cy])
+    p2 = np.roll(p1, -1, axis=0)
+    rr = np.full(len(p1), float(r))
+    area = float(np.sum(_edge_circle_contrib(p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1], rr)))
+    # CW rings yield negative area; normalize to magnitude of intersection
+    return abs(area)
+
+
+def pairs_circle_polygon_area(
+    cx: np.ndarray, cy: np.ndarray, r: np.ndarray,
+    rings: list[np.ndarray],
+) -> np.ndarray:
+    """Vectorized circle∩polygon area for a batch of (circle, ring)
+    pairs. All edges of all pairs are flattened into one kernel call."""
+    n = len(rings)
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    opened = [_open_ring(rg) for rg in rings]
+    counts = np.array([len(o) if len(o) >= 3 else 0 for o in opened])
+    if counts.sum() == 0:
+        return out
+    pair_idx = np.repeat(np.arange(n), counts)
+    pts = np.concatenate([o for o in opened if len(o) >= 3], axis=0)
+    # per-pair roll for p2 over the packed pts array
+    nxt = np.arange(len(pts)) + 1
+    used = counts[counts > 0]
+    pstops = np.cumsum(used)
+    pstarts = pstops - used
+    nxt[pstops - 1] = pstarts
+    p1 = pts
+    p2 = pts[nxt]
+    ccx = np.repeat(np.asarray(cx, dtype=np.float64), counts)
+    ccy = np.repeat(np.asarray(cy, dtype=np.float64), counts)
+    crr = np.repeat(np.asarray(r, dtype=np.float64), counts)
+    contrib = _edge_circle_contrib(
+        p1[:, 0] - ccx, p1[:, 1] - ccy, p2[:, 0] - ccx, p2[:, 1] - ccy, crr
+    )
+    np.add.at(out, pair_idx, contrib)
+    return np.abs(out)
+
+
+def pairs_point_polygon_distance(
+    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Vectorized st_distance(point, polygon) (C_…R:117): 0 when the
+    point is inside the ring, else min distance to any edge."""
+    n = len(rings)
+    out = np.full(n, np.inf, dtype=np.float64)
+    if n == 0:
+        return out
+    opened = [_open_ring(rg) for rg in rings]
+    counts = np.array([len(o) for o in opened])
+    good = counts >= 2
+    if not good.any():
+        return np.where(counts > 0, 0.0, np.inf)
+    pair_idx = np.repeat(np.arange(n), counts)
+    pts = np.concatenate(opened, axis=0)
+    used = counts
+    pstops = np.cumsum(used)
+    pstarts = pstops - used
+    nxt = np.arange(len(pts)) + 1
+    nxt[pstops - 1] = pstarts
+    p1, p2 = pts, pts[nxt]
+    ppx = np.repeat(np.asarray(px, dtype=np.float64), counts)
+    ppy = np.repeat(np.asarray(py, dtype=np.float64), counts)
+    d = point_segment_distance(ppx, ppy, p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1])
+    np.minimum.at(out, pair_idx, d)
+    # inside → 0: even-odd crossing count, vectorized over the same pair
+    # arrays (no per-row Python)
+    cond = (p1[:, 1] > ppy) != (p2[:, 1] > ppy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = p1[:, 0] + (ppy - p1[:, 1]) * (p2[:, 0] - p1[:, 0]) / (p2[:, 1] - p1[:, 1])
+    crossing = cond & (ppx < xint)
+    ncross = np.zeros(n, dtype=np.int64)
+    np.add.at(ncross, pair_idx, crossing.astype(np.int64))
+    inside = (ncross % 2 == 1) & (counts >= 3)
+    out[inside] = 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# validity (st_is_valid, C_…R:317)
+# ---------------------------------------------------------------------------
+
+def _segments_properly_intersect(
+    ax, ay, bx, by, cx, cy, dx, dy
+) -> np.ndarray:
+    """Vectorized proper-intersection test for segment pairs."""
+    def orient(ox, oy, px_, py_, qx, qy):
+        return (px_ - ox) * (qy - oy) - (py_ - oy) * (qx - ox)
+
+    o1 = orient(ax, ay, bx, by, cx, cy)
+    o2 = orient(ax, ay, bx, by, dx, dy)
+    o3 = orient(cx, cy, dx, dy, ax, ay)
+    o4 = orient(cx, cy, dx, dy, bx, by)
+    return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
+def ring_is_valid(ring: np.ndarray) -> bool:
+    """Closed, ≥4 raw vertices, finite coords, non-zero area, and no
+    self-intersection between non-adjacent edges."""
+    raw = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(raw) < 4 or not np.isfinite(raw).all():
+        return False
+    if not np.all(raw[0] == raw[-1]):
+        return False
+    r = raw[:-1]
+    if len(r) < 3 or abs(ring_area(raw)) <= 0.0:
+        return False
+    n = len(r)
+    p2 = np.roll(r, -1, axis=0)
+    i, j = np.triu_indices(n, k=2)
+    keep = ~((i == 0) & (j == n - 1))  # first/last edges are adjacent
+    i, j = i[keep], j[keep]
+    hit = _segments_properly_intersect(
+        r[i, 0], r[i, 1], p2[i, 0], p2[i, 1],
+        r[j, 0], r[j, 1], p2[j, 0], p2[j, 1],
+    )
+    return not bool(hit.any())
+
+
+# ---------------------------------------------------------------------------
+# transverse Mercator (st_transform, C_…R:33) — pure series math
+# ---------------------------------------------------------------------------
+
+_GRS80_A = 6378137.0
+_GRS80_F = 1.0 / 298.257222101
+
+
+def tmerc_forward(
+    lon_deg: np.ndarray, lat_deg: np.ndarray,
+    lon0: float = -115.0, k0: float = 0.9992,
+    x0: float = 500000.0, y0: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Forward transverse Mercator on GRS80 (the reference's 10TM CRS,
+    C_…R:33: "+proj=tmerc +lat_0=0 +lon_0=-115 +k=0.9992 +x_0=500000").
+    Standard Redfearn-style series, accurate to <1 mm over the extent."""
+    a, f = _GRS80_A, _GRS80_F
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    dlon = np.radians(np.asarray(lon_deg, dtype=np.float64) - lon0)
+    sin_l, cos_l = np.sin(lat), np.cos(lat)
+    N = a / np.sqrt(1 - e2 * sin_l**2)
+    T = (sin_l / cos_l) ** 2
+    C = ep2 * cos_l**2
+    A = dlon * cos_l
+    # meridian arc
+    M = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * lat
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * lat)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * lat)
+        - (35 * e2**3 / 3072) * np.sin(6 * lat)
+    )
+    x = x0 + k0 * N * (
+        A + (1 - T + C) * A**3 / 6
+        + (5 - 18 * T + T**2 + 72 * C - 58 * ep2) * A**5 / 120
+    )
+    y = y0 + k0 * (
+        M + N * (sin_l / cos_l) * (
+            A**2 / 2 + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+            + (61 - 58 * T + T**2 + 600 * C - 330 * ep2) * A**6 / 720
+        )
+    )
+    return x, y
+
+
+def tmerc_inverse(
+    x: np.ndarray, y: np.ndarray,
+    lon0: float = -115.0, k0: float = 0.9992,
+    x0: float = 500000.0, y0: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse transverse Mercator on GRS80 (round-trip partner of
+    :func:`tmerc_forward`)."""
+    a, f = _GRS80_A, _GRS80_F
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+    M = (np.asarray(y, dtype=np.float64) - y0) / k0
+    mu = M / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    lat1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1 = np.sin(lat1), np.cos(lat1)
+    C1 = ep2 * cos1**2
+    T1 = (sin1 / cos1) ** 2
+    N1 = a / np.sqrt(1 - e2 * sin1**2)
+    R1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+    D = (np.asarray(x, dtype=np.float64) - x0) / (N1 * k0)
+    lat = lat1 - (N1 * sin1 / cos1 / R1) * (
+        D**2 / 2 - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * ep2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * ep2 - 3 * C1**2) * D**6 / 720
+    )
+    lon = np.radians(lon0) + (
+        D - (1 + 2 * T1 + C1) * D**3 / 6
+        + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * ep2 + 24 * T1**2) * D**5 / 120
+    ) / cos1
+    return np.degrees(lon), np.degrees(lat)
+
+
+# ---------------------------------------------------------------------------
+# raster ↔ vector (north-star round-trip; reference G9, C_…R:209-216)
+# ---------------------------------------------------------------------------
+
+def rasterize(
+    ring: np.ndarray, x0: float, y0: float, cell: float, nx: int, ny: int
+) -> np.ndarray:
+    """Rasterize a polygon ring onto an (ny, nx) boolean grid whose cell
+    (i, j) covers [x0+j·cell, x0+(j+1)·cell) × [y0+i·cell, y0+(i+1)·cell).
+    A cell is filled iff its centre is inside the ring."""
+    jj, ii = np.meshgrid(np.arange(nx), np.arange(ny))
+    cx = x0 + (jj.ravel() + 0.5) * cell
+    cy = y0 + (ii.ravel() + 0.5) * cell
+    return point_in_ring(cx, cy, ring).reshape(ny, nx)
+
+
+def vectorize_mask(
+    mask: np.ndarray, x0: float, y0: float, cell: float
+) -> list[np.ndarray]:
+    """Trace a binary mask back to closed rectilinear rings by chaining
+    the unit boundary edges between filled and empty cells. Exact
+    inverse of :func:`rasterize` for rasterized shapes (outer rings
+    CCW). Returns a list of closed (n,2) rings in world coordinates."""
+    ny, nx = mask.shape
+    # directed boundary edges, keyed by start vertex (grid coords)
+    edges: dict[tuple[int, int], tuple[int, int]] = {}
+    f = np.zeros((ny + 2, nx + 2), dtype=bool)
+    f[1:-1, 1:-1] = mask
+    for i in range(ny + 1):
+        for j in range(nx):
+            below, above = f[i, j + 1], f[i + 1, j + 1]
+            if below != above:
+                if above:  # filled above → edge runs left-to-right (CCW outer)
+                    edges[(j, i)] = (j + 1, i)
+                else:
+                    edges[(j + 1, i)] = (j, i)
+    for j in range(nx + 1):
+        for i in range(ny):
+            left, right = f[i + 1, j], f[i + 1, j + 1]
+            if left != right:
+                if right:  # filled right → edge runs top-to-bottom
+                    edges[(j, i + 1)] = (j, i)
+                else:
+                    edges[(j, i)] = (j, i + 1)
+    rings: list[np.ndarray] = []
+    while edges:
+        start, nxt = next(iter(edges.items()))
+        ring = [start]
+        cur = start
+        while True:
+            nx_v = edges.pop(cur)
+            ring.append(nx_v)
+            cur = nx_v
+            if cur == start:
+                break
+        arr = np.array(ring, dtype=np.float64)
+        arr[:, 0] = x0 + arr[:, 0] * cell
+        arr[:, 1] = y0 + arr[:, 1] * cell
+        rings.append(arr)
+    return rings
