@@ -1,0 +1,208 @@
+"""Deterministic fixture generators (FIXTURES.md) — seeded, no wall
+clock, no network. Produce pandas DataFrames (Arrow-friendly) that
+tests lift into Spark or write as Parquet.
+
+The subject table follows BASELINE.json ``input_hint``:
+(image_id:string, bytes:binary, w:int32, h:int32, fmt:string,
+caption:string, phash:int64). Polygon layers mirror the reference's
+footprint shapefiles (ConventionalSeismic.shp.xml schema → feature_id,
+layer, YEAR, geom) with controlled disjointness, YEAR=0 sentinels
+(C_…R:150,231) and ~2% invalid rings (C_…R:317-318).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from . import codec
+from .geotag import WINDOW, X_LO, Y_LO, geotag_xy, geotag_year, splitmix64
+
+__all__ = [
+    "images_pdf", "geotag_images_pdf", "footprint_layers_pdf",
+    "wetland_pdf", "overlap_layer_pdf", "LAYERS", "WETLAND_CLASSES",
+]
+
+LAYERS = ("seismic", "wells", "harvest")
+WETLAND_CLASSES = ("Bog", "Fen", "Marsh", "Open Water", "Swamp")
+
+
+def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """The image+caption subject table (FIXTURES.md §1)."""
+    sizes = (32, 64, 96)
+    rows = []
+    for i in range(n):
+        w = sizes[i % 3]
+        h = sizes[(i // 3) % 3]
+        rng = np.random.default_rng(seed * 1_000_003 + i)
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        fmt = "raw" if i % 17 == 0 else "png"
+        rows.append({
+            "image_id": f"img{i:08d}",
+            "bytes": codec.encode_image(img, fmt),
+            "w": np.int32(w),
+            "h": np.int32(h),
+            "fmt": fmt,
+            "caption": f"A caption for image {i:08d} in tone {i % 7} about subject {i % 13}.",
+            "phash": np.int64(codec.phash64(img)),
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    pdf["phash"] = pdf["phash"].astype("int64")
+    return pdf
+
+
+def geotag_images_pdf(images: pd.DataFrame) -> pd.DataFrame:
+    """Attach the engine geotag: x, y, YEAR, PKEY, SS (stands in for the
+    reference's point table attrs PKEY/SS/YEAR, C_…R:89-91)."""
+    out = images.copy()
+    x, y = geotag_xy(out["image_id"].tolist())
+    out["x"] = x
+    out["y"] = y
+    out["YEAR"] = geotag_year(out["phash"].to_numpy())
+    out["PKEY"] = out["image_id"]
+    out["SS"] = out["image_id"].str.slice(0, 6)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# polygon layers
+# ---------------------------------------------------------------------------
+
+_SLOT = 50.0          # metres; one feature per slot → pairwise disjoint
+_NSLOT = int(WINDOW / _SLOT)  # 400 per axis
+_HOT_FRAC = 0.05      # 5% of slots hold 80% of features (skew, FIXTURES §2)
+
+
+def _slot_origin(slot_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    sx = (slot_ids % _NSLOT) * _SLOT
+    sy = (slot_ids // _NSLOT) * _SLOT
+    return X_LO + sx, Y_LO + sy
+
+
+def _assign_slots(n: int, rng: np.random.Generator) -> np.ndarray:
+    total = _NSLOT * _NSLOT
+    hot = int(total * _HOT_FRAC)
+    n_hot = min(int(n * 0.8), hot)
+    hot_slots = rng.permutation(hot)[:n_hot]
+    cold_slots = hot + rng.permutation(total - hot)[: n - n_hot]
+    return np.concatenate([hot_slots, cold_slots])
+
+
+def _shape_ring(layer: str, ox: float, oy: float, u: np.ndarray) -> np.ndarray:
+    """A small shape inscribed in the 50 m slot (inset ≥ 5 m)."""
+    cx, cy = ox + 25.0, oy + 25.0
+    if layer == "seismic":      # thin rectangle ≈ buffered seismic line
+        hw, hh = 1.0 + 2.0 * u[0], 15.0 + 4.0 * u[1]
+        if u[2] > 0.5:
+            hw, hh = hh, hw
+        ring = [[cx - hw, cy - hh], [cx + hw, cy - hh], [cx + hw, cy + hh],
+                [cx - hw, cy + hh], [cx - hw, cy - hh]]
+    elif layer == "wells":      # small square pad
+        s = 4.0 + 8.0 * u[0]
+        ring = [[cx - s, cy - s], [cx + s, cy - s], [cx + s, cy + s],
+                [cx - s, cy + s], [cx - s, cy - s]]
+    else:                       # harvest: simple star polygon (5-8 vertices)
+        k = 5 + int(u[0] * 4)
+        # evenly spaced angles with bounded jitter → consecutive angular
+        # gaps < π → guaranteed simple (star-shaped) ring
+        ang = (np.arange(k) + 0.8 * u[1:1 + k]) * (2 * np.pi / k)
+        rad = 8.0 + 12.0 * u[1 + k:1 + 2 * k]
+        pts = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        ring = np.vstack([pts, pts[:1]]).tolist()
+    return np.asarray(ring, dtype=np.float64)
+
+
+def _invalidate(ring: np.ndarray, mode: int) -> np.ndarray:
+    if mode == 0:  # bowtie: swap two adjacent vertices → self-intersection
+        r = ring.copy()
+        r[[1, 2]] = r[[2, 1]]
+        return r
+    return ring[:-1]  # unclosed
+
+
+def footprint_layers_pdf(n_per_layer: int, seed: int = 42) -> pd.DataFrame:
+    """All footprint layers in ONE table keyed by the `layer` column —
+    the engine never physically splits layers (SURVEY.md P4 note)."""
+    frames = []
+    for li, layer in enumerate(LAYERS):
+        rng = np.random.default_rng(seed * 7919 + li)
+        slots = _assign_slots(n_per_layer, rng)
+        ox, oy = _slot_origin(slots)
+        u = rng.random((n_per_layer, 24))
+        years = np.where(
+            rng.random(n_per_layer) < 0.06, 0,
+            1960 + (rng.random(n_per_layer) * 59).astype(int),
+        ).astype(np.int32)
+        invalid = rng.random(n_per_layer) < 0.02
+        rows = []
+        for i in range(n_per_layer):
+            ring = _shape_ring(layer, ox[i], oy[i], u[i])
+            ok = True
+            if invalid[i]:
+                ring = _invalidate(ring, i % 2)
+                ok = False
+            rows.append({
+                "feature_id": np.int64(li * 10_000_000 + i),
+                "layer": layer,
+                "YEAR": years[i],
+                "geom": [ring.ravel().tolist()],
+                "is_valid_truth": ok,
+            })
+        frames.append(pd.DataFrame(rows))
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf["feature_id"] = pdf["feature_id"].astype("int64")
+    pdf["YEAR"] = pdf["YEAR"].astype("int32")
+    return pdf
+
+
+def wetland_pdf(n: int, seed: int = 43) -> pd.DataFrame:
+    """Wetland layer: same geometry model + CWCS_Class partition column
+    (AESRD_CWCSmergedwetlandinven2018layer.shp.xml; D_…R:107-114), no
+    temporal filter applies (D_…R:28-30)."""
+    rng = np.random.default_rng(seed)
+    slots = _assign_slots(n, rng)
+    ox, oy = _slot_origin(slots)
+    u = rng.random((n, 24))
+    classes = [WETLAND_CLASSES[int(c)] for c in rng.integers(0, 5, n)]
+    rows = []
+    for i in range(n):
+        ring = _shape_ring("harvest", ox[i], oy[i], u[i])
+        rows.append({
+            "feature_id": np.int64(90_000_000 + i),
+            "layer": "wetland",
+            "CWCS_Class": classes[i],
+            "YEAR": np.int32(0),
+            "geom": [ring.ravel().tolist()],
+            "is_valid_truth": True,
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["feature_id"] = pdf["feature_id"].astype("int64")
+    pdf["YEAR"] = pdf["YEAR"].astype("int32")
+    return pdf
+
+
+def overlap_layer_pdf() -> pd.DataFrame:
+    """50 rectangles in 25 known-overlap pairs: A=[0,30]×[0,20] and B
+    shifted +15 in x → union area 2·600 − 300 = 900 per pair. Exercises
+    the dissolve path (C_…R:99,154) with a closed-form answer."""
+    rows = []
+    for p in range(25):
+        ox = X_LO + 200.0 + (p % 5) * 2000.0
+        oy = Y_LO + 200.0 + (p // 5) * 2000.0
+        a = np.array([[ox, oy], [ox + 30, oy], [ox + 30, oy + 20],
+                      [ox, oy + 20], [ox, oy]])
+        b = a + np.array([15.0, 0.0])
+        for j, ring in enumerate((a, b)):
+            rows.append({
+                "feature_id": np.int64(80_000_000 + p * 2 + j),
+                "layer": "overlap",
+                "YEAR": np.int32(2000),
+                "geom": [ring.ravel().tolist()],
+                "is_valid_truth": True,
+            })
+    pdf = pd.DataFrame(rows)
+    pdf["feature_id"] = pdf["feature_id"].astype("int64")
+    pdf["YEAR"] = pdf["YEAR"].astype("int32")
+    return pdf
