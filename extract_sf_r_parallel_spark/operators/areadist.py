@@ -1,0 +1,175 @@
+"""The reference's core query, Spark-first: per-point footprint
+extraction — dissolved footprint area / proportion / area-weighted mean
+age within buffer radii, plus capped nearest-feature distance.
+
+Reimplements (semantics, not code):
+- ``areadist``      — /root/reference/1_scripts/C_…R:84-130
+- ``areadist.age``  — C_…R:135-197 (adds MEANAGE via YEAR recode)
+- ``areadist.wet``  — D_…R:20-66  (no temporal filter, grouped by class)
+
+as ONE parameterized pipeline:
+
+  points ⟕ range_join_pairs(maxdist) → groupBy(point, layer).agg(...)
+
+where the reference's 10,000-cell driver loop (C_…R:232-253) is the
+shuffle on the hex cell id and its per-point R loop (C_…R:138-194) is
+the grouped aggregation. LEFT semantics + coalesce reproduce the
+empty-candidate defaults (AREA=0, PROP=0, MEANAGE=null,
+NEAR_DIST=maxdist — C_…R:99,116-117,159).
+
+Semantic parity notes (SURVEY.md §2.2 P7, §2.5 A4):
+- PROP divisors use the literal π≈3.14 exactly as the reference does
+  (C_…R:122-123): PROP150 = AREA150 / (3.14·150²);
+- MEANAGE's numerator/denominator use the *per-clip* (non-dissolved)
+  areas (C_…R:156-159) while AREA is the *dissolved* union area
+  (C_…R:154). For pairwise-disjoint layers both equal Σ circle∩poly —
+  the fixture guarantee; `dissolve="raster"` switches AREA to a
+  deterministic supersampled union for overlapping layers;
+- YEAR=0 sentinel polygons are recoded to the layer's oldest real year
+  min(YEAR[YEAR>0]) before age math (C_…R:150, 231).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import kernels as K
+from .range_join import is_valid_udf, range_join_pairs
+
+__all__ = ["areadist", "areadist_wide", "PI_LITERAL"]
+
+PI_LITERAL = 3.14  # the reference's literal (C_…R:122-123), not math.pi
+
+
+def _union_area_raster(px: float, py: float, radius: float,
+                       rings: list[np.ndarray], grid: int = 512) -> float:
+    g = np.linspace(px - radius, px + radius, grid)
+    h = np.linspace(py - radius, py + radius, grid)
+    gx, gy = np.meshgrid(g, h)
+    inc = (gx - px) ** 2 + (gy - py) ** 2 <= radius * radius
+    anyin = np.zeros_like(inc)
+    for r in rings:
+        anyin |= K.point_in_ring(gx.ravel(), gy.ravel(), r).reshape(gx.shape)
+    cell = (g[1] - g[0]) * (h[1] - h[0])
+    return float((inc & anyin).sum() * cell)
+
+
+def areadist(
+    points: DataFrame,
+    polys: DataFrame,
+    *,
+    radii: tuple[float, ...] = (150.0, 565.0),
+    maxdist: float = 1000.0,
+    temporal: bool = True,
+    age: bool = True,
+    keys: tuple[str, ...] = ("PKEY", "SS", "YEAR"),
+    layer_col: str = "layer",
+    validity_filter: bool = True,
+    broadcast_polys: bool = False,
+    salt: int = 0,
+    dissolve: str = "sum",
+    pi_literal: float = PI_LITERAL,
+) -> DataFrame:
+    """One row per (point, layer): AREA<r>, PROP<r>, MEANAGE_<r> (if
+    `age`), NEAR_DIST. `temporal`/`age` flags select the reference's
+    areadist vs areadist.age vs areadist.wet variants."""
+    point_side = points.select(*keys, "x", "y")
+
+    pl = polys
+    if validity_filter:
+        pl = pl.filter(is_valid_udf()(F.col("geom")))
+    pl = pl.select(
+        F.col("feature_id"), F.col(layer_col).alias("layer"),
+        F.col("YEAR").alias("poly_year"), F.col("geom"),
+    )
+
+    theta = F.col("poly_year") < F.col("YEAR") if temporal else None
+    pairs = range_join_pairs(
+        point_side, pl, maxdist, radii,
+        theta=theta, broadcast_polys=broadcast_polys, salt=salt,
+    )
+
+    if age:
+        # layer-level scalar: oldest real construction year (C_…R:231)
+        oldest = (
+            pl.filter(F.col("poly_year") > 0)
+            .groupBy("layer").agg(F.min("poly_year").alias("oldestyear"))
+        )
+        pairs = pairs.join(F.broadcast(oldest), "layer", "left")
+        recoded = F.when(F.col("poly_year") == 0, F.col("oldestyear")) \
+                   .otherwise(F.col("poly_year"))  # C_…R:150
+        pairs = pairs.withColumn("page", F.col("YEAR") - recoded)
+
+    aggs = [F.least(F.min("dist"), F.lit(float(maxdist))).alias("NEAR_DIST")]
+    for r in radii:
+        a = f"a{int(r)}"
+        aggs.append(F.sum(a).alias(f"AREA{int(r)}"))
+        aggs.append(
+            (F.sum(a) / F.lit(pi_literal * r * r)).alias(f"PROP{int(r)}")
+        )
+        if age:
+            # Σ(age·clip_area)/Σ(clip_area) over candidates with a>0
+            # (C_…R:156-159); null when nothing intersects the buffer
+            num = F.sum(F.when(F.col(a) > 0, F.col("page") * F.col(a)))
+            den = F.sum(F.when(F.col(a) > 0, F.col(a)))
+            aggs.append((num / den).alias(f"MEANAGE_{int(r)}"))
+
+    got = pairs.groupBy(*keys, "layer").agg(*aggs)
+
+    if dissolve == "raster":
+        # overlapping layers: dissolved union area via deterministic
+        # supersampling (applyInPandas per point group — G5 fallback)
+        key_fields = [pairs.schema[k] for k in (*keys, "layer")]
+        fields = key_fields + [
+            T.StructField(f"UAREA{int(r)}", T.DoubleType()) for r in radii
+        ]
+        kcols = (*keys, "layer")
+
+        def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            rings = [np.asarray(g[0], np.float64).reshape(-1, 2) for g in pdf["geom"]]
+            row = {k: [pdf[k].iloc[0]] for k in kcols}
+            px, py = float(pdf["x"].iloc[0]), float(pdf["y"].iloc[0])
+            for r in radii:
+                row[f"UAREA{int(r)}"] = [_union_area_raster(px, py, r, rings)]
+            return pd.DataFrame(row)
+
+        uareas = pairs.groupBy(*kcols).applyInPandas(_fn, T.StructType(fields))
+        got = got.join(uareas, [*kcols], "left")
+        for r in radii:
+            got = (
+                got.withColumn(f"AREA{int(r)}", F.col(f"UAREA{int(r)}"))
+                .withColumn(f"PROP{int(r)}",
+                            F.col(f"UAREA{int(r)}") / F.lit(pi_literal * r * r))
+                .drop(f"UAREA{int(r)}")
+            )
+
+    # LEFT semantics: every point appears for every layer (J6;
+    # row-count invariant C_…R:707-709)
+    layers = pl.select("layer").distinct()
+    base = points.crossJoin(F.broadcast(layers))
+    out = base.join(got, [*keys, "layer"], "left")
+    fills = {"NEAR_DIST": F.lit(float(maxdist))}
+    for r in radii:
+        fills[f"AREA{int(r)}"] = F.lit(0.0)
+        fills[f"PROP{int(r)}"] = F.lit(0.0)
+    for c, default in fills.items():
+        out = out.withColumn(c, F.coalesce(F.col(c), default))
+    return out
+
+
+def areadist_wide(result: DataFrame, keys: tuple[str, ...] = ("PKEY", "SS", "YEAR"),
+                  passthrough: tuple[str, ...] = ()) -> DataFrame:
+    """The reference's 14-way suffix-rename + inner merge (C_…R:923-1208)
+    collapsed into one pivot: metric columns become <METRIC>_<layer>."""
+    metric_cols = [c for c in result.columns
+                   if c not in keys and c != "layer" and c not in passthrough]
+    agg = [F.first(c).alias(c) for c in metric_cols]
+    return (
+        result.groupBy(*keys, *passthrough)
+        .pivot("layer")
+        .agg(*agg)
+    )

@@ -1,0 +1,189 @@
+"""Cell-indexed spatial range join — the engine's flagship operator
+(SURVEY.md J2/J3; BASELINE.json metric "spatial-join rows/sec").
+
+Shape: every geometric predicate becomes an equi join on a computed hex
+cell id plus a vectorized refinement kernel:
+
+  points ──withColumn(cell)──┐
+                             ├── equi join on cell ── pandas-UDF
+  polys ──explode(cover)─────┘    refinement (dist, circle∩poly areas)
+
+The poly side is exploded over the hex cover of its bbox *dilated by
+the search radius*, so a point within `radius` of a polygon always
+shares a cell with one of the polygon's exploded rows (soundness proved
+by tests/test_index.py::test_cover_bbox_superset + the dilation
+argument). A (point, poly) pair appears at most once because a point
+has exactly one cell and a polygon's cover cells are distinct — no
+post-join dedup, no shuffle wasted on it.
+
+Scale notes (100 TB design):
+- the join is a plain equi join: Catalyst/AQE picks broadcast vs
+  sort-merge from size stats; `broadcast_polys=True` forces the hint
+  for small dims;
+- skew: dense cells (the fixture packs 80% of features into 5% of
+  cells) are handled by AQE skew-join splitting; `salt` adds explicit
+  salting — polys replicated `salt` ways, points routed by a hash —
+  for the sort-merge path at extreme skew (north rule requirement);
+- refinement is one Arrow-batched pandas UDF computing distance and
+  all circle∩polygon areas in a single pass over flattened edge arrays
+  (zero per-row Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..geo import index as I
+from ..geo import kernels as K
+
+__all__ = [
+    "cell_udf", "poly_cover_udf", "is_valid_udf", "pair_metrics_udf",
+    "with_cell", "explode_poly_cells", "range_join_pairs", "salted",
+]
+
+
+def cell_udf(code: int):
+    """(x, y) → int64 hex cell id at resolution `code` (SURVEY.md J1:
+    the point-in-polygon tile join becomes a computed column)."""
+    @F.pandas_udf(T.LongType())
+    def _cell(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(I.xy_to_cell(x.to_numpy(np.float64), y.to_numpy(np.float64), code))
+    return _cell
+
+
+def poly_cover_udf(radius: float, code: int):
+    """geom → array of cell ids covering bbox(geom) ⊕ radius."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _cover(geom: pd.Series) -> pd.Series:
+        out = []
+        for g in geom:
+            ring = np.asarray(g[0], dtype=np.float64).reshape(-1, 2)
+            cells = I.cover_bbox(
+                float(ring[:, 0].min()) - radius, float(ring[:, 1].min()) - radius,
+                float(ring[:, 0].max()) + radius, float(ring[:, 1].max()) + radius,
+                code,
+            )
+            out.append(cells.tolist())
+        return pd.Series(out)
+    return _cover
+
+
+_IS_VALID = None
+
+
+def is_valid_udf():
+    """Vector validity check (st_is_valid, C_…R:317-318)."""
+    global _IS_VALID
+    if _IS_VALID is None:
+        @F.pandas_udf(T.BooleanType())
+        def _valid(geom: pd.Series) -> pd.Series:
+            return pd.Series([
+                K.ring_is_valid(np.asarray(g[0], dtype=np.float64).reshape(-1, 2))
+                for g in geom
+            ])
+        _IS_VALID = _valid
+    return _IS_VALID
+
+
+def pair_metrics_udf(radii: tuple[float, ...]):
+    """Per-candidate-pair refinement: point-to-polygon distance
+    (st_distance, C_…R:117) and exact circle∩polygon area at each
+    buffer radius (st_intersection+st_union+st_area, C_…R:96-108) in
+    one Arrow batch pass."""
+    fields = [T.StructField("dist", T.DoubleType())] + [
+        T.StructField(f"a{int(r)}", T.DoubleType()) for r in radii
+    ]
+
+    @F.pandas_udf(returnType=T.StructType(fields))
+    def _metrics(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.DataFrame:
+        rings = [np.asarray(g[0], dtype=np.float64).reshape(-1, 2) for g in geom]
+        px = x.to_numpy(np.float64)
+        py = y.to_numpy(np.float64)
+        dist = K.pairs_point_polygon_distance(px, py, rings)
+        out = {"dist": dist}
+        rr = np.empty(len(rings), dtype=np.float64)
+        for r in radii:
+            rr.fill(r)
+            a = K.pairs_circle_polygon_area(px, py, rr, rings)
+            # dist ≥ r ⇒ the buffer misses the polygon: exact 0 (kills
+            # ~1e-9 Green's-theorem noise; matches R's empty
+            # st_intersection → zero area / NA age, C_…R:99,159)
+            out[f"a{int(r)}"] = np.where(dist < r, a, 0.0)
+        return pd.DataFrame(out)
+    return _metrics
+
+
+def with_cell(df: DataFrame, code: int, x: str = "x", y: str = "y",
+              out: str = "cell") -> DataFrame:
+    return df.withColumn(out, cell_udf(code)(F.col(x), F.col(y)))
+
+
+def explode_poly_cells(polys: DataFrame, radius: float, code: int,
+                       geom: str = "geom", out: str = "cell") -> DataFrame:
+    return polys.withColumn(out, F.explode(poly_cover_udf(radius, code)(F.col(geom))))
+
+
+def salted(points: DataFrame, polys: DataFrame, salt: int,
+           point_key: Column) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Explicit skew salting: replicate each poly row `salt` ways and
+    route each point to one replica by a hash — turns one hot cell into
+    `salt` balanced join keys (SURVEY.md §4 skew row)."""
+    polys_s = polys.withColumn("_salt", F.explode(F.array([F.lit(i) for i in range(salt)])))
+    points_s = points.withColumn("_salt", F.pmod(F.xxhash64(point_key), F.lit(salt)).cast("int"))
+    return points_s, polys_s, ["cell", "_salt"]
+
+
+def range_join_pairs(
+    points: DataFrame,
+    polys: DataFrame,
+    radius: float,
+    radii: tuple[float, ...] = (),
+    *,
+    code: int | None = None,
+    theta: Column | None = None,
+    broadcast_polys: bool = False,
+    salt: int = 0,
+    point_x: str = "x",
+    point_y: str = "y",
+    keep_dist_within: bool = True,
+) -> DataFrame:
+    """Candidate pairs of (point, polygon) within `radius`, refined.
+
+    Returns points' columns + polys' columns + `dist` + one `a<r>`
+    column per entry of `radii` (exact circle∩polygon area). `theta`
+    is an optional extra join predicate evaluated *inside* the join
+    (e.g. the temporal filter poly.YEAR < point.YEAR, C_…R:93-94) so
+    Catalyst keeps the equi-hash join on cell and applies the theta
+    condition as a post-filter before the UDF runs.
+    """
+    code = I.code_for_radius(radius) if code is None else code
+    pts = with_cell(points, code, point_x, point_y)
+    pls = explode_poly_cells(polys, radius, code)
+
+    join_keys = ["cell"]
+    if salt > 1:
+        pts, pls, join_keys = salted(pts, pls, salt, F.col(point_x))
+    if broadcast_polys:
+        pls = F.broadcast(pls)
+
+    cond = None
+    for k in join_keys:
+        c = pts[k] == pls[k]
+        cond = c if cond is None else cond & c
+    if theta is not None:
+        cond = cond & theta
+    pairs = pts.join(pls, cond, "inner").drop(pls["cell"])
+    if salt > 1:
+        pairs = pairs.drop(pls["_salt"]).drop(pts["_salt"])
+
+    m = pair_metrics_udf(tuple(radii))(
+        F.col(point_x), F.col(point_y), F.col("geom")
+    ).alias("_m")
+    pairs = pairs.withColumn("_m", m).select("*", "_m.*").drop("_m")
+    if keep_dist_within:
+        pairs = pairs.filter(F.col("dist") < F.lit(float(radius)))
+    return pairs
