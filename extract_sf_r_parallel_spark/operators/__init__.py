@@ -1,1 +1,1 @@
-from . import areadist, range_join  # noqa: F401
+from . import areadist, dedup, knn, multimodal, range_join, similarity  # noqa: F401

@@ -1,0 +1,137 @@
+"""Multimodal (image) column operators over the opaque-binary model
+(BASELINE.json input_hint: bytes + typed metadata).
+
+All real Spark plumbing — schemas, mapInPandas batching, partitioning —
+with the from-scratch codec (data/codec.py) doing decode. Operators:
+
+- decode_stats:   decode → per-channel mean/std + recomputed phash
+                  (verifies the lossless invariant end-to-end);
+- resize_images:  decode → block resize → re-encode (PNG);
+- pixel_embed:    deterministic 64-dim "embedding" from resized
+                  grayscale (a stand-in for a vision encoder — the
+                  container has no image/NN libs; the Spark-side
+                  shape, batching and schema are the real thing);
+- frame_sample:   video frame sampling — STUB: raises
+                  NotImplementedError for video formats (no video
+                  codec in this container), wired with the real
+                  mapInPandas signature so a codec drop-in needs no
+                  plan changes.
+
+mapInPandas (not a scalar UDF) so each Arrow batch amortizes codec
+setup and output rows can differ in count (frame explosion)."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..data import codec
+
+__all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample"]
+
+_STATS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("mean_r", T.DoubleType()),
+    T.StructField("mean_g", T.DoubleType()),
+    T.StructField("mean_b", T.DoubleType()),
+    T.StructField("std_gray", T.DoubleType()),
+    T.StructField("phash_ok", T.BooleanType()),
+])
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(r.bytes, r.fmt, r.w, r.h)
+                gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                rows.append((
+                    r.image_id,
+                    float(img[..., 0].mean()), float(img[..., 1].mean()),
+                    float(img[..., 2].mean()), float(gray.std()),
+                    codec.phash64(img) == r.phash,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in _STATS_SCHEMA.fields])
+    return images.mapInPandas(gen, _STATS_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
+])
+
+
+def resize_images(images: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(r.bytes, r.fmt, r.w, r.h)
+                small = np.stack([
+                    codec.resize_block(img[..., c].astype(np.float64), out_h, out_w)
+                    for c in range(3)
+                ], axis=-1)
+                small = np.clip(np.rint(small), 0, 255).astype(np.uint8)
+                rows.append((r.image_id, codec.png_encode(small), out_w, out_h, "png"))
+            yield pd.DataFrame(rows, columns=[f.name for f in _RESIZE_SCHEMA.fields])
+    return images.mapInPandas(gen, _RESIZE_SCHEMA)
+
+
+_EMBED_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def pixel_embed(images: DataFrame, dim: int = 64) -> DataFrame:
+    """8×8 grayscale DCT block, L2-normalized → 64-dim embedding.
+    Deterministic stand-in for a vision encoder (see module docstring);
+    feeds the similarity operators with a real array<float> column."""
+    side = int(np.sqrt(dim))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(r.bytes, r.fmt, r.w, r.h)
+                gray = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+                vec = codec.resize_block(gray, side, side).ravel()
+                n = np.linalg.norm(vec)
+                vec = vec / n if n > 0 else vec
+                rows.append((r.image_id, vec.astype(np.float32).tolist()))
+            yield pd.DataFrame(rows, columns=["image_id", "embedding"])
+    return images.mapInPandas(gen, _EMBED_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("bytes", T.BinaryType()),
+])
+
+
+def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling. The container ships no video codec, so
+    video formats raise NotImplementedError (clearly-marked stub);
+    still images pass through as frame 0 — the plan, schema and batch
+    shape are production-real."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                if r.fmt in ("png", "raw"):
+                    rows.append((r.image_id, 0, r.bytes))
+                else:
+                    raise NotImplementedError(
+                        f"video codec for fmt={r.fmt!r} not available in this "
+                        "container; plug a decoder into data/codec.py")
+            yield pd.DataFrame(rows, columns=["image_id", "frame_idx", "bytes"])
+    return media.mapInPandas(gen, _FRAME_SCHEMA)

@@ -1,0 +1,105 @@
+"""Embedding similarity search.
+
+- brute_force_topk: exact cosine top-k via a JVM-only cross join
+  (zip_with/aggregate higher-order functions — no Python). The
+  correctness baseline; O(n·m) — fine for a broadcast-able query set.
+- lsh_ann_topk: the scale path — random-hyperplane LSH buckets turn
+  the cross join into an equi join on bucket keys (same trick as the
+  spatial cell join: compute a key, join, refine). Probes multiple
+  hash tables for recall.
+
+At 10⁹ vectors: bucket keys shuffle-partition the corpus; each query
+is replicated per table (L×), never per candidate; the refinement is
+the same JVM cosine. Skew (dense buckets) is bounded by bucket-size
+capping as in dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.vectors import cosine
+
+__all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_ann_topk"]
+
+
+def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     id_q: str = "vec_id", id_c: str = "vec_id",
+                     vec_q: str = "embedding", vec_c: str = "embedding",
+                     round_dp: int | None = None) -> DataFrame:
+    """Exact top-k cosine neighbours (excluding self-id matches)."""
+    q = queries.select(F.col(id_q).alias("qid"),
+                       F.col(vec_q).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_c).alias("nid"),
+                      F.col(vec_c).cast("array<double>").alias("nv"))
+    pairs = q.crossJoin(c).filter(F.col("qid") != F.col("nid"))
+    cos = cosine(F.col("qv"), F.col("nv"))
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    pairs = pairs.withColumn("cos", cos)
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nid", "cos")
+    )
+
+
+def _plane_matrix(dim: int, n_planes: int, table: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.default_rng(seed * 7919 + table)
+    return rng.standard_normal((dim, n_planes))
+
+
+def hyperplane_buckets(df: DataFrame, dim: int, n_planes: int = 12,
+                       n_tables: int = 4, vec: str = "embedding",
+                       seed: int = 11) -> DataFrame:
+    """Add (table, bucket) rows: sign-pattern of `n_planes` random
+    hyperplane projections per table — one NumPy matmul per batch."""
+    planes = [_plane_matrix(dim, n_planes, t, seed) for t in range(n_tables)]
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        out = np.empty((len(m), len(planes)), dtype=np.int64)
+        for t, P in enumerate(planes):
+            bits = (m @ P) > 0
+            out[:, t] = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
+        return pd.Series(out.tolist())
+    b = df.withColumn("_bks", _buckets(F.col(vec)))
+    b = b.select("*", F.posexplode("_bks").alias("table", "bucket")).drop("_bks")
+    return b
+
+
+def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, dim: int,
+                 k: int = 5, n_planes: int = 12, n_tables: int = 4,
+                 id_q: str = "vec_id", id_c: str = "vec_id",
+                 vec: str = "embedding", seed: int = 11,
+                 max_bucket: int = 2000) -> DataFrame:
+    """Approximate top-k: candidates = bucket collisions in any table,
+    refined by exact JVM cosine. Recall grows with n_tables."""
+    qb = hyperplane_buckets(
+        queries.select(F.col(id_q).alias("qid"), F.col(vec).cast("array<double>").alias("qv")),
+        dim, n_planes, n_tables, "qv", seed)
+    cb = hyperplane_buckets(
+        corpus.select(F.col(id_c).alias("nid"), F.col(vec).cast("array<double>").alias("nv")),
+        dim, n_planes, n_tables, "nv", seed)
+    cb = cb.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket")))
+    cb = cb.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qv", "nid", "nv")
+        .dropDuplicates(["qid", "nid"])
+    )
+    cand = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nid", "cos")
+    )

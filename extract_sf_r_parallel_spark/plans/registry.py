@@ -1,0 +1,157 @@
+"""The driver-contract query registry: every implemented operator from
+SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, with a DuckDB
+oracle SQL string wherever the semantics are ANSI-SQL-expressible.
+Rows-only entries (spatial circle kernels, MinHash/SimHash, LSH-ANN,
+multimodal) are pytest-oracled instead (tests/)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..data import synth
+from ..functions.text import fingerprint_udf, langid_udf, quality_udf, token_count_udf
+from ..operators.areadist import areadist
+from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
+from ..operators.knn import knn_join
+from ..operators.multimodal import decode_stats, pixel_embed
+from ..operators.similarity import brute_force_topk, lsh_ann_topk
+from . import relational, spatial_queries, textops
+from .spatial_queries import points_df, rects_df
+
+ORACLE: dict[str, str] = {}
+ORACLE.update(relational.ORACLE)
+ORACLE.update(spatial_queries.ORACLE)
+ORACLE.update(textops.ORACLE)
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --- exact cosine top-1 neighbour (brute force, JVM higher-order
+# functions). Rounded to 5 dp before ranking on BOTH engines so the
+# float accumulation-order difference (≈1e-15) can't flip the winner.
+def q_embed_top1(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return (
+        brute_force_topk(e, e, k=1, round_dp=5)
+        .select("qid", "nid")
+    )
+
+
+ORACLE["embed_top1"] = """
+SELECT qid, nid FROM (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 5) DESC,
+                    b.vec_id) AS rk
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id
+) WHERE rk = 1
+"""
+
+
+# --- LSH-bucketed approximate NN (the 10⁹-vector scale path); driver
+# records rows-only, pytest checks recall vs brute force
+def q_embed_ann_lsh(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return lsh_ann_topk(e, e, dim=64, k=1, n_planes=10, n_tables=6) \
+        .select("qid", "rk", "nid")
+
+
+# --- MinHash+LSH near-dup pairs (rows-only; pytest oracle on planted dups)
+def q_minhash_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+# --- SimHash signatures (rows-only; deterministic — pytest-checked)
+def q_simhash(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return simhash_signatures(d).select("doc_id", "simhash")
+
+
+# --- n-gram Jaccard pairs within language blocks (rows-only)
+def q_ngram_jaccard(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return ngram_jaccard_pairs(d, threshold=0.2, block_col="lang")
+
+
+# --- document fingerprint + BPE-ish token count + n-gram langid +
+# quality struct (rows-only; pytest oracles in tests/test_text_ops.py)
+def q_text_features(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        fingerprint_udf()(F.col("text")).alias("fingerprint"),
+        token_count_udf()(F.col("text")).alias("n_bpe_tokens"),
+        langid_udf()(F.col("text")).alias("pred_lang"),
+        quality_udf()(F.col("text")).alias("quality"),
+    ).select("doc_id", "fingerprint", "n_bpe_tokens", "pred_lang", "quality.*")
+
+
+# --- the flagship circle-kernel spatial extraction (areadist.age) on
+# deterministically geotagged points vs rectangle features (rows-only
+# for the driver; the pytest serial oracle covers values)
+def _circle_inputs(spark, sf_dir):
+    pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
+        F.col("pid").cast("string").alias("PKEY"),
+        (F.col("pid") % 97).cast("string").alias("SS"),
+        F.col("pyear").alias("YEAR"), "x", "y",
+    )
+    polys = rects_df(spark, sf_dir).select(
+        F.col("fid").alias("feature_id"), F.lit("rects").alias("layer"),
+        F.col("ryear").alias("YEAR"), "geom",
+    )
+    return pts, polys
+
+
+def q_areadist_circle(spark, sf_dir):
+    pts, polys = _circle_inputs(spark, sf_dir)
+    return areadist(pts, polys, validity_filter=False, broadcast_polys=True) \
+        .drop("x", "y")
+
+
+# --- kNN ring expansion (uncapped k nearest; rows-only)
+def q_knn_ring(spark, sf_dir):
+    pts, polys = _circle_inputs(spark, sf_dir)
+    return knn_join(pts.filter(F.col("PKEY").cast("long") % 50 == 0), polys,
+                    k=3, r0=1000.0, max_radius=32000.0,
+                    broadcast_polys=True)
+
+
+# --- multimodal decode/stat/embed over the synthetic image table
+# (generated in-session; deterministic, no external data)
+def q_multimodal_stats(spark, sf_dir):
+    n = 120 if "0.001" in sf_dir else 240
+    images = spark.createDataFrame(synth.images_pdf(n))
+    stats = decode_stats(images)
+    emb = pixel_embed(images)
+    return stats.join(emb, "image_id").select(
+        "image_id", "mean_r", "mean_g", "mean_b", "phash_ok",
+        F.size("embedding").alias("embed_dim"),
+    )
+
+
+QUERIES = {}
+QUERIES.update(relational.QUERIES)
+QUERIES.update(spatial_queries.QUERIES)
+QUERIES.update(textops.QUERIES)
+QUERIES.update({
+    "embed_top1": q_embed_top1,
+    "embed_ann_lsh": q_embed_ann_lsh,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "text_features": q_text_features,
+    "areadist_circle": q_areadist_circle,
+    "knn_ring": q_knn_ring,
+    "multimodal_stats": q_multimodal_stats,
+})

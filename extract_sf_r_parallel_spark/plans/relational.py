@@ -1,0 +1,322 @@
+"""Relational query builders (DuckDB-oracled, SURVEY.md §2.2/2.4/2.5/2.6).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; ORACLE
+holds the equivalent ANSI SQL for DuckDB over the pre-registered
+testdata views. Column names are aliased identically on both sides
+(driver hashes sort columns by name).
+
+Float-determinism rules used throughout (so the driver's exact value
+hash matches):
+- sums of integer-valued doubles are exact → no rounding;
+- sums/avgs of fractional doubles are order-dependent → ROUND(…, 4);
+- sqrt/division of identical inputs are IEEE-identical → no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A3/A6: grouped aggregation pipeline (TPC-H Q1 shape; the engine
+# analog of the reference's per-point summary rows, C_…R:118-125)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < F.lit("1997-09-01"))  # P3 theta filter
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+    )
+
+
+ORACLE["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n_rows,
+       ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1997-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- A2/P6: filtered min — the oldest-year scalar pattern (C_…R:231)
+def q_filtered_min(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderstatus")
+        .agg(F.min("o_totalprice").alias("min_price"),
+             F.max("o_totalprice").alias("max_price"))
+    )
+
+
+ORACLE["filtered_min"] = """
+SELECT o_orderstatus, MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+FROM orders WHERE o_totalprice > 0 GROUP BY o_orderstatus
+"""
+
+
+# --- A4: area-weighted mean shape (C_…R:156-159): Σ(w·x)/Σ(w)
+def q_weighted_mean(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.round(F.sum(F.col("c_acctbal") * F.col("c_custkey"))
+                     / F.sum(F.col("c_custkey")), 4).alias("wmean_bal"))
+    )
+
+
+ORACLE["weighted_mean"] = """
+SELECT c_nationkey,
+       ROUND(SUM(c_acctbal * c_custkey) / SUM(c_custkey), 4) AS wmean_bal
+FROM customer GROUP BY c_nationkey
+"""
+
+
+# --- J5: multi-way equi join (the 14-way merge, C_…R:1194-1208)
+def q_multi_join(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)  # small dim → broadcast
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE["multi_join"] = """
+SELECT r_name, n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+# --- J4: theta join (temporal non-equi predicate, C_…R:93-94)
+def q_theta_join(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey)
+                & (li.l_shipdate > o.o_orderdate))  # equi key + theta
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_lines"))
+    )
+
+
+ORACLE["theta_join"] = """
+SELECT o_orderpriority, COUNT(*) AS n_late_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+GROUP BY o_orderpriority
+"""
+
+
+# --- J6/P9: left join + coalesce defaults (empty-group semantics)
+def q_left_coalesce(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000)
+    agg = big.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("n_big", F.lit(0)).alias("n_big"),
+            F.coalesce("spent", F.lit(0.0)).alias("spent"),
+        )
+    )
+
+
+ORACLE["left_coalesce"] = """
+SELECT c_custkey,
+       COALESCE(n_big, 0) AS n_big,
+       COALESCE(spent, 0.0) AS spent
+FROM customer LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_big, ROUND(SUM(o_totalprice), 2) AS spent
+  FROM orders WHERE o_totalprice > 400000 GROUP BY o_custkey
+) ON c_custkey = o_custkey
+"""
+
+
+# --- E3: pivot-wide merge (suffix-rename blocks + 14-way merge → one pivot)
+def q_pivot_wide(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_custkey").pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_custkey",
+        F.col("O").alias("n_open"), F.col("F").alias("n_filled"),
+        F.col("P").alias("n_partial"),
+    )
+
+
+ORACLE["pivot_wide"] = """
+SELECT o_custkey,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --- O1: union all (rbind shards, C_…R:712-723)
+def q_union_all(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    u = (
+        c.select(F.col("c_nationkey").alias("nationkey"),
+                 F.lit("customer").alias("kind"))
+        .unionByName(
+            s.select(F.col("s_nationkey").alias("nationkey"),
+                     F.lit("supplier").alias("kind")))
+    )
+    return u.groupBy("nationkey", "kind").agg(F.count(F.lit(1)).alias("n"))
+
+
+ORACLE["union_all"] = """
+SELECT nationkey, kind, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+  UNION ALL
+  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier
+) GROUP BY nationkey, kind
+"""
+
+
+# --- window top-k (the kNN relational analog, SURVEY.md §2.5 note)
+def q_window_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey")
+    )
+
+
+ORACLE["window_topk"] = """
+SELECT o_custkey, rk, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+# --- P8: conditional recode (when/otherwise ↔ ifelse, C_…R:150)
+def q_conditional_recode(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bucket",
+            F.when(F.col("o_totalprice") < 100000, F.lit("small"))
+            .when(F.col("o_totalprice") < 300000, F.lit("medium"))
+            .otherwise(F.lit("large")))
+        .groupBy("bucket", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE["conditional_recode"] = """
+SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+            WHEN o_totalprice < 300000 THEN 'medium'
+            ELSE 'large' END AS bucket,
+       o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --- distinct count (levels(as.factor(...)), D_…R:107)
+def q_distinct_count(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+
+ORACLE["distinct_count"] = """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+FROM lineitem
+"""
+
+
+# --- O2/O3: sort + limit (top-k by value, deterministic tie-break)
+def q_sort_limit(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+ORACLE["sort_limit"] = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+# --- tumbling time window over the events table (batch analog of the
+# streaming windowed agg; date_trunc on both sides)
+def q_tumbling_window(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE["tumbling_window"] = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "filtered_min": q_filtered_min,
+    "weighted_mean": q_weighted_mean,
+    "multi_join": q_multi_join,
+    "theta_join": q_theta_join,
+    "left_coalesce": q_left_coalesce,
+    "pivot_wide": q_pivot_wide,
+    "union_all": q_union_all,
+    "window_topk": q_window_topk,
+    "conditional_recode": q_conditional_recode,
+    "distinct_count": q_distinct_count,
+    "sort_limit": q_sort_limit,
+    "tumbling_window": q_tumbling_window,
+}

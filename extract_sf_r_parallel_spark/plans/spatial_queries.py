@@ -1,0 +1,250 @@
+"""Spatial queries over deterministically geotagged testdata rows —
+the driver-facing face of the spatial engine (SURVEY.md §2.3/2.4).
+
+Points come from `orders` (o_orderkey → integer-valued metres via the
+SQL-parity LCG in data/geotag.py), axis-aligned rectangle features from
+`part`. The Spark side runs the REAL engine path — hex-cell candidate
+join + refinement — while the DuckDB oracle brute-forces a cross join
+from the same deterministic coordinates. A hash match therefore proves
+the cell cover, explode, join, and left-default semantics are exact,
+not just that two copies of the same formula agree.
+
+All geometry here is integer-valued, so distances (sqrt of exact ints)
+and overlap areas (exact int products) hash bit-identically across
+engines with no rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..data import geotag as G
+from ..geo import index as I
+from ..operators.range_join import explode_poly_cells, with_cell
+
+ORACLE: dict[str, str] = {}
+
+MAXDIST = 1000.0
+TILE = 1250  # fishnet tile size (m) for the J1 tile-assignment query
+
+_R = G.sql_rect("p_partkey")
+
+_PTS_SQL = f"""
+  SELECT o_orderkey AS pid,
+         {G.sql_point_x('o_orderkey')} AS x,
+         {G.sql_point_y('o_orderkey')} AS y,
+         {G.sql_point_year('o_orderkey')} AS pyear
+  FROM orders
+"""
+
+_RECTS_SQL = f"""
+  SELECT p_partkey AS fid,
+         {_R['rxmin']} AS rxmin, {_R['rymin']} AS rymin,
+         {_R['rxmax']} AS rxmax, {_R['rymax']} AS rymax,
+         {_R['ryear']} AS ryear
+  FROM part
+"""
+
+_PAIRS_SQL = f"""
+  SELECT pid, fid, x, y, pyear, ryear, rxmin, rymin, rxmax, rymax,
+         SQRT(dx * dx + dy * dy) AS dist
+  FROM (
+    SELECT *,
+           GREATEST(rxmin - x, x - rxmax, 0.0) AS dx,
+           GREATEST(rymin - y, y - rymax, 0.0) AS dy
+    FROM ({_PTS_SQL}) CROSS JOIN ({_RECTS_SQL})
+  )
+"""
+
+
+def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        F.col("o_orderkey").alias("pid"),
+        F.expr(G.sql_point_x("o_orderkey")).alias("x"),
+        F.expr(G.sql_point_y("o_orderkey")).alias("y"),
+        F.expr(G.sql_point_year("o_orderkey")).alias("pyear"),
+    )
+
+
+def rects_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    sel = [F.col("p_partkey").alias("fid")]
+    sel += [F.expr(v).alias(k) for k, v in _R.items()]
+    df = p.select(*sel)
+    ring = F.array(
+        F.col("rxmin"), F.col("rymin"), F.col("rxmax"), F.col("rymin"),
+        F.col("rxmax"), F.col("rymax"), F.col("rxmin"), F.col("rymax"),
+        F.col("rxmin"), F.col("rymin"),
+    )
+    return df.withColumn("geom", F.array(ring))
+
+
+def rect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's candidate-pair join: points carry one hex cell id,
+    rectangles explode over the hex cover of their maxdist-dilated
+    bbox, equi join on cell, then a pure-Column (JVM, codegen'd)
+    point-to-rectangle distance — no Python in the refinement at all
+    (axis-aligned features need no pandas UDF)."""
+    code = I.code_for_radius(MAXDIST)
+    pts = with_cell(points_df(spark, sf_dir), code)
+    rects = explode_poly_cells(rects_df(spark, sf_dir), MAXDIST, code)
+    pairs = pts.join(F.broadcast(rects.drop("geom")), "cell")
+    dx = F.greatest(F.col("rxmin") - F.col("x"), F.col("x") - F.col("rxmax"), F.lit(0.0))
+    dy = F.greatest(F.col("rymin") - F.col("y"), F.col("y") - F.col("rymax"), F.lit(0.0))
+    return pairs.withColumn("dist", F.sqrt(dx * dx + dy * dy))
+
+
+# --- J1/G8: fishnet tile assignment + per-tile counts (the reference's
+# points-in-cell join, C_…R:235, as pure column arithmetic)
+def q_tile_counts(spark, sf_dir):
+    pts = points_df(spark, sf_dir)
+    return (
+        pts.withColumn("tile_x", F.floor(F.col("x") / TILE).cast("int"))
+        .withColumn("tile_y", F.floor(F.col("y") / TILE).cast("int"))
+        .groupBy("tile_x", "tile_y")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+ORACLE["tile_counts"] = f"""
+SELECT CAST(FLOOR(x / {TILE}) AS INT) AS tile_x,
+       CAST(FLOOR(y / {TILE}) AS INT) AS tile_y,
+       COUNT(*) AS n_points
+FROM ({_PTS_SQL}) GROUP BY 1, 2
+"""
+
+
+# --- J2/J3/G7: range join + capped nearest distance (the flagship:
+# st_distance + maxdist cap, C_…R:112-117) with LEFT defaults (J6)
+def q_range_near(spark, sf_dir):
+    pairs = rect_pairs(spark, sf_dir).filter(F.col("dist") < MAXDIST)
+    agg = pairs.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.min("dist").alias("near_dist"),
+    )
+    pts = points_df(spark, sf_dir)
+    return pts.join(agg, "pid", "left").select(
+        "pid",
+        F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        F.coalesce("near_dist", F.lit(MAXDIST)).alias("near_dist"),
+    )
+
+
+ORACLE["range_near"] = f"""
+SELECT pid,
+       COALESCE(n_cand, 0) AS n_cand,
+       COALESCE(near_dist, {MAXDIST}) AS near_dist
+FROM ({_PTS_SQL})
+LEFT JOIN (
+  SELECT pid AS jpid, COUNT(*) AS n_cand, MIN(dist) AS near_dist
+  FROM ({_PAIRS_SQL}) WHERE dist < {MAXDIST} GROUP BY pid
+) ON pid = jpid
+"""
+
+
+# --- the full areadist semantics with square windows (temporal theta
+# filter, YEAR=0 recode to the oldest real year, area-weighted mean
+# age, LEFT defaults — C_…R:135-197) in exact integer arithmetic
+def q_areadist_square(spark, sf_dir):
+    r = 150
+    pairs = rect_pairs(spark, sf_dir).filter(F.col("ryear") < F.col("pyear"))
+    ow = F.greatest(
+        F.least(F.col("x") + r, F.col("rxmax")) - F.greatest(F.col("x") - r, F.col("rxmin")),
+        F.lit(0.0))
+    oh = F.greatest(
+        F.least(F.col("y") + r, F.col("rymax")) - F.greatest(F.col("y") - r, F.col("rymin")),
+        F.lit(0.0))
+    pairs = pairs.withColumn("a150", ow * oh)
+    rects = rects_df(spark, sf_dir)
+    oldest = rects.filter(F.col("ryear") > 0).agg(F.min("ryear").alias("oldestyear"))
+    pairs = pairs.crossJoin(F.broadcast(oldest))
+    age = F.col("pyear") - F.when(F.col("ryear") == 0, F.col("oldestyear")) \
+                            .otherwise(F.col("ryear"))
+    pairs = pairs.withColumn("age", age)
+    agg = pairs.groupBy("pid").agg(
+        F.sum("a150").alias("area150"),
+        (F.sum(F.when(F.col("a150") > 0, F.col("age") * F.col("a150")))
+         / F.sum(F.when(F.col("a150") > 0, F.col("a150")))).alias("meanage150"),
+        F.min("dist").alias("near_dist"),
+    )
+    pts = points_df(spark, sf_dir)
+    return pts.join(agg, "pid", "left").select(
+        "pid",
+        F.coalesce("area150", F.lit(0.0)).alias("area150"),
+        F.col("meanage150"),
+        F.coalesce(F.least(F.col("near_dist"), F.lit(MAXDIST)), F.lit(MAXDIST)).alias("near_dist"),
+    )
+
+
+ORACLE["areadist_square"] = f"""
+WITH pairs AS (
+  SELECT *,
+         GREATEST(LEAST(x + 150, rxmax) - GREATEST(x - 150, rxmin), 0.0)
+       * GREATEST(LEAST(y + 150, rymax) - GREATEST(y - 150, rymin), 0.0) AS a150
+  FROM ({_PAIRS_SQL}) WHERE ryear < pyear AND dist < {MAXDIST}
+), oldest AS (
+  SELECT MIN(ryear) AS oldestyear FROM ({_RECTS_SQL}) WHERE ryear > 0
+), agg AS (
+  SELECT pid AS jpid,
+         SUM(a150) AS area150,
+         SUM(CASE WHEN a150 > 0 THEN (pyear - CASE WHEN ryear = 0 THEN oldestyear ELSE ryear END) * a150 END)
+           / SUM(CASE WHEN a150 > 0 THEN a150 END) AS meanage150,
+         MIN(dist) AS near_dist
+  FROM pairs CROSS JOIN oldest GROUP BY pid
+)
+SELECT pid,
+       COALESCE(area150, 0.0) AS area150,
+       meanage150,
+       COALESCE(LEAST(near_dist, {MAXDIST}), {MAXDIST}) AS near_dist
+FROM ({_PTS_SQL}) LEFT JOIN agg ON pid = jpid
+"""
+
+
+# --- kNN (k=3) per point within maxdist: the ranking generalization of
+# NEAR.DIST (SURVEY.md §2.5 window note)
+def q_knn3(spark, sf_dir):
+    pairs = rect_pairs(spark, sf_dir).filter(F.col("dist") < MAXDIST)
+    w = W.partitionBy("pid").orderBy(F.col("dist"), F.col("fid"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("pid", "rk", "fid", "dist")
+    )
+
+
+ORACLE["knn3"] = f"""
+SELECT pid, rk, fid, dist FROM (
+  SELECT pid, fid, dist,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, fid) AS rk
+  FROM ({_PAIRS_SQL}) WHERE dist < {MAXDIST}
+) WHERE rk <= 3
+"""
+
+
+# --- P3+J4 combined: temporal theta predicate inside the spatial join
+def q_theta_spatial(spark, sf_dir):
+    pairs = rect_pairs(spark, sf_dir).filter(
+        (F.col("dist") < MAXDIST) & (F.col("ryear") < F.col("pyear")))
+    return pairs.groupBy("pyear").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.sum("dist"), 4).alias("sum_dist"),
+    )
+
+
+ORACLE["theta_spatial"] = f"""
+SELECT pyear, COUNT(*) AS n_pairs, ROUND(SUM(dist), 4) AS sum_dist
+FROM ({_PAIRS_SQL})
+WHERE dist < {MAXDIST} AND ryear < pyear
+GROUP BY pyear
+"""
+
+QUERIES = {
+    "tile_counts": q_tile_counts,
+    "range_near": q_range_near,
+    "areadist_square": q_areadist_square,
+    "knn3": q_knn3,
+    "theta_spatial": q_theta_spatial,
+}
