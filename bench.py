@@ -1,0 +1,83 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ..., "rows_per_sec": ...}
+
+The headline is the BASELINE.json metric: spatial-join rows/sec
+(distance + buffered footprint-amount extraction). Queries are
+materialized with a noop-format write so every output column is
+computed (count() would let Catalyst prune the geometry kernels away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from extract_sf_r_parallel_spark.plans import registry, spatial_queries  # noqa: E402
+from extract_sf_r_parallel_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "range_near",        # flagship: cell join + capped nearest distance
+    "areadist_square",   # full areadist semantics, JVM kernels
+    "areadist_circle",   # circle kernels via Arrow pandas UDFs
+    "knn3",              # ranked spatial join
+    "tile_counts",       # fishnet assignment
+    "pricing_summary",   # relational agg
+    "multi_join",        # 4-way join
+    "embed_top1",        # brute-force cosine
+    "minhash_pairs",     # LSH dedup
+]
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        _materialize(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # spatial-join throughput: joined candidate-pair rows/sec of the
+    # flagship range join (the BASELINE.md comparable)
+    pairs = spatial_queries.rect_pairs(spark, sf_dir).filter("dist < 1000")
+    t0 = time.time()
+    n_pairs = pairs.count()
+    join_wall = time.time() - t0
+    n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "spatial-join rows/sec (distance + buffered footprint-amount extraction)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "spatial_pairs": n_pairs,
+        "spatial_join_wall_s": round(join_wall, 3),
+        "rows_per_sec": round(n_pairs / join_wall, 1) if join_wall > 0 else None,
+        "points_per_sec": round(n_points / join_wall, 1) if join_wall > 0 else None,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""Iceberg-lite table layer.
+
+No Iceberg runtime jars exist in this sandbox (offline), so the engine
+implements the Iceberg *semantics* it needs — snapshot manifests over
+immutable partitioned Parquet data files, atomic commit by pointer
+swap, time-travel by snapshot id — as a thin layer with the same API
+shape as spark.read.format("iceberg"). Swapping in a real
+iceberg-spark-runtime jar replaces this module with
+``df.writeTo(tbl).append()`` / ``spark.read.table(tbl)`` and nothing
+else changes (readers get a DataFrame either way).
+
+Layout:
+  <root>/data/<uuid>/...parquet       immutable data files per commit
+  <root>/meta/snap-<n>.json           snapshot: schema + file list + parent
+  <root>/meta/CURRENT                 pointer to the live snapshot (atomic rename)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["IceLiteTable"]
+
+
+class IceLiteTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.meta = os.path.join(root, "meta")
+        os.makedirs(self.meta, exist_ok=True)
+
+    # -- commit chain -----------------------------------------------------
+    def _current_snapshot(self) -> dict | None:
+        cur = os.path.join(self.meta, "CURRENT")
+        if not os.path.exists(cur):
+            return None
+        with open(cur) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.meta, name)) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        snaps = sorted(
+            f for f in os.listdir(self.meta) if f.startswith("snap-"))
+        out = []
+        for s in snaps:
+            with open(os.path.join(self.meta, s)) as f:
+                out.append(json.load(f))
+        return out
+
+    def _commit(self, files: list[str], schema_json: str, parent: dict | None,
+                op: str) -> dict:
+        sid = (parent["snapshot_id"] + 1) if parent else 0
+        snap = {
+            "snapshot_id": sid,
+            "operation": op,
+            "schema": schema_json,
+            "files": files,
+            "parent": parent["snapshot_id"] if parent else None,
+        }
+        name = f"snap-{sid:06d}.json"
+        with open(os.path.join(self.meta, name), "w") as f:
+            json.dump(snap, f)
+        tmp = os.path.join(self.meta, f".CURRENT.{uuid.uuid4().hex}")
+        with open(tmp, "w") as f:
+            f.write(name)
+        os.replace(tmp, os.path.join(self.meta, "CURRENT"))  # atomic swap
+        return snap
+
+    # -- write ------------------------------------------------------------
+    def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
+        """Append df as a new snapshot (previous files remain live)."""
+        dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(dirname)
+        parent = self._current_snapshot()
+        files = (parent["files"] if parent else []) + [dirname]
+        return self._commit(files, df.schema.json(), parent, "append")
+
+    def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
+        dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(dirname)
+        parent = self._current_snapshot()
+        return self._commit([dirname], df.schema.json(), parent, "overwrite")
+
+    # -- read -------------------------------------------------------------
+    def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:
+        """Read the live snapshot, or time-travel to `snapshot_id`."""
+        if snapshot_id is None:
+            snap = self._current_snapshot()
+        else:
+            with open(os.path.join(self.meta, f"snap-{snapshot_id:06d}.json")) as f:
+                snap = json.load(f)
+        if snap is None or not snap["files"]:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        dfs = [spark.read.parquet(p) for p in snap["files"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out

@@ -1,0 +1,70 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only ("run again when new data arrives",
+README.md:3); the engine adds the incremental path the reference
+couldn't: file-source streaming with watermarked windowed aggregation
+and within-watermark dedup, so new event files are folded in without
+recomputation. Used with Trigger.AvailableNow in tests (bounded run),
+identical code runs continuously on a cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+__all__ = ["EVENTS_SCHEMA", "read_events_stream", "windowed_counts",
+           "dedup_stream", "run_available_now"]
+
+
+def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src_dir)
+    )
+
+
+def windowed_counts(stream: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts/sums per event_type with late-data
+    watermark — the streaming twin of plans/relational.q_tumbling_window
+    (same grouping, so batch output is the oracle)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "sum_value")
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event ids within the watermark horizon."""
+    return stream.withWatermark("ts", watermark) \
+        .dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(df: DataFrame, sink_table: str, checkpoint: str,
+                      output_mode: str = "append"):
+    """Drain everything currently available into an in-memory sink and
+    stop — bounded streaming execution for tests/benches."""
+    q = (
+        df.writeStream.format("memory").queryName(sink_table)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

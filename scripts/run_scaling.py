@@ -1,0 +1,95 @@
+"""Two-parallelism scaling benchmark (north rule: throughput scaling
+efficiency ≥ 0.8 from N to 4N executors; evidenced here as local[8]
+vs local[32] on identical input — no real cluster in this sandbox).
+
+Each parallelism level runs in its OWN subprocess (fresh JVM) so the
+measurements don't share JIT warmup or cached shuffle state. Writes
+BENCH/BASELINE.md with throughput at both levels + efficiency.
+
+Usage:
+  python scripts/run_scaling.py                 # orchestrate both runs
+  python scripts/run_scaling.py --child 8       # one measured run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
+
+
+def child(cpus: int) -> None:
+    from extract_sf_r_parallel_spark.plans import spatial_queries
+    from extract_sf_r_parallel_spark.session import get_spark
+
+    spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warmup (JIT, Python worker pool, file listing)
+    spatial_queries.rect_pairs(spark, SF_DIR).filter("dist < 1000").count()
+    best = None
+    n_pairs = 0
+    for _ in range(REPEATS):
+        t0 = time.time()
+        n_pairs = spatial_queries.rect_pairs(spark, SF_DIR) \
+            .filter("dist < 1000").count()
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+    print(json.dumps({"cpus": cpus, "wall_s": best, "pairs": n_pairs}))
+    spark.stop()
+
+
+def orchestrate() -> None:
+    results = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            capture_output=True, text=True, cwd=REPO, timeout=1800,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+        print(line)
+    t8, t32 = results[8]["wall_s"], results[32]["wall_s"]
+    pairs = results[32]["pairs"]
+    speedup = t8 / t32
+    eff = speedup / (32 / 8)
+    md = f"""# BENCH — two-parallelism scaling (north rule evidence)
+
+Flagship spatial join (cell-indexed range join + capped nearest
+distance, `rect_pairs` filtered to dist < 1000 m) on identical input
+({SF_DIR}), one fresh JVM per level, best of {REPEATS} timed runs
+after a warmup pass.
+
+| parallelism | wall (s) | joined pairs | pairs/sec |
+|---|---|---|---|
+| local[8]  | {t8:.3f} | {pairs:,} | {pairs / t8:,.0f} |
+| local[32] | {t32:.3f} | {pairs:,} | {pairs / t32:,.0f} |
+
+- speedup 8→32 cores: **{speedup:.2f}×** (ideal 4×)
+- scaling efficiency = (T8/T32) / 4 = **{eff:.2f}** (target ≥ 0.8)
+
+Caveat: local mode shares one JVM heap and host disk for shuffle, so
+this under-states what separate executors achieve (no shared-memory
+contention). The job is embarrassingly parallel after the cell-id
+shuffle — the same per-tile independence the reference relied on
+(C_…R:232-253) — so the partition count, not coordination, bounds
+scaling.
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    if "--child" in sys.argv:
+        child(int(sys.argv[sys.argv.index("--child") + 1]))
+    else:
+        orchestrate()

@@ -1,0 +1,108 @@
+"""Spark-level checks for dedup + similarity: planted near-duplicates
+must be found by MinHash+LSH; LSH-ANN recall vs brute force; exact
+dedup counts."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from extract_sf_r_parallel_spark.functions import hashing as H
+from extract_sf_r_parallel_spark.operators import dedup as D
+from extract_sf_r_parallel_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(9)
+    vocab = [f"w{i}" for i in range(500)]
+    rows = []
+    for i in range(80):
+        toks = list(rng.choice(vocab, 60))
+        rows.append((i, " ".join(toks)))
+    # plant near-duplicates: ids 1000+i are 95%-copies of i for i<10
+    for i in range(10):
+        toks = rows[i][1].split()
+        for j in rng.choice(60, 3, replace=False):
+            toks[j] = f"alt{j}"
+        rows.append((1000 + i, " ".join(toks)))
+    # plant exact duplicates of ids 20, 21
+    rows.append((2020, rows[20][1]))
+    rows.append((2021, rows[21][1]))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs).toPandas()
+    assert len(out) == 90  # 92 rows, 2 exact dups collapsed
+    assert set(out[out.n_copies > 1]["doc_id"]) == {20, 21}
+
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.5, bands=16).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    for i in range(10):
+        assert (i, 1000 + i) in found, f"planted near-dup {i} missed"
+    # jaccard values match the exact oracle
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    for r in pairs.itertuples():
+        want = H.jaccard(H.shingle_hashes(pdf[r.id_a]), H.shingle_hashes(pdf[r.id_b]))
+        assert r.jaccard == pytest.approx(want, rel=1e-12)
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    d = docs.withColumn("lang", F.lit("en"))
+    pairs = D.ngram_jaccard_pairs(d, threshold=0.5, block_col="lang").toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    for i in range(10):
+        assert (i, 1000 + i) in found
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    # clustered vectors (realistic embeddings have cluster structure;
+    # uniform-random Gaussians have near-orthogonal NNs that no LSH
+    # family can bucket well)
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((12, 32)) * 3.0
+    base = np.stack([centers[i % 12] + 0.4 * rng.standard_normal(32)
+                     for i in range(120)])
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(120)]
+    # planted neighbours: 500+i ≈ i + tiny noise
+    for i in range(15):
+        v = base[i] + 0.05 * rng.standard_normal(32)
+        rows.append((500 + i, v.astype(np.float32).tolist()))
+    return spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+
+
+def test_brute_force_topk_exact(spark, vectors):
+    out = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    got = dict(zip(out.qid, out.nid))
+    # numpy oracle
+    pdf = vectors.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.stack([np.asarray(v, np.float64) for v in pdf.embedding])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    np.fill_diagonal(sims, -np.inf)
+    for r, qid in enumerate(ids):
+        best = sims[r].max()
+        cands = ids[np.flatnonzero(np.isclose(sims[r], best, atol=1e-12))]
+        assert got[qid] in cands
+    for i in range(15):
+        assert got[500 + i] == i and got[i] == 500 + i
+
+
+def test_lsh_ann_recall(spark, vectors):
+    brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    ann = S.lsh_ann_topk(vectors, vectors, dim=32, k=1,
+                         n_planes=8, n_tables=8).toPandas()
+    bm = dict(zip(brute.qid, brute.nid))
+    am = dict(zip(ann.qid, ann.nid))
+    hits = sum(1 for q, n in bm.items() if am.get(q) == n)
+    recall = hits / len(bm)
+    assert recall >= 0.8, f"LSH recall too low: {recall:.2f}"
+    # planted twins must be found (their cosine ≈ 1 → same buckets
+    # with overwhelming probability across 8 tables)
+    for i in range(15):
+        assert am.get(500 + i) == i

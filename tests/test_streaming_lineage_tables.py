@@ -1,0 +1,107 @@
+"""Structured Streaming (windowed agg == batch oracle; watermark
+dedup), iceberg-lite snapshots/time-travel, and checkpoint/resume
+lineage."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_sf_r_parallel_spark.data import synth
+from extract_sf_r_parallel_spark.sources.lineage import LineageManifest, extract_with_resume
+from extract_sf_r_parallel_spark.sources.tables import IceLiteTable
+from extract_sf_r_parallel_spark.streaming import events as SE
+
+from .conftest import GEOTAGGED_SCHEMA, LAYER_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _events_dir(tmp_path) -> str:
+    """File-source streams watch a directory; stage the events file."""
+    d = tmp_path / "events_src"
+    d.mkdir(exist_ok=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_stream_windowed_counts_match_batch(spark, tmp_path):
+    stream = SE.read_events_stream(spark, _events_dir(tmp_path))
+    agg = SE.windowed_counts(stream)
+    SE.run_available_now(agg, "win_counts", str(tmp_path / "ck"),
+                         output_mode="complete")
+    got = spark.table("win_counts").toPandas()
+    want = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .toPandas()
+    )
+    g = got.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    w = want.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["n"].to_numpy() == w["n"].to_numpy()).all()
+    assert (g["sum_value"].to_numpy() == w["sum_value"].to_numpy()).all()
+
+
+def test_stream_dedup(spark, tmp_path):
+    stream = SE.read_events_stream(spark, _events_dir(tmp_path))
+    SE.run_available_now(SE.dedup_stream(stream), "dedup_ev", str(tmp_path / "ck2"))
+    n = spark.table("dedup_ev").count()
+    n_src = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    n_ids = spark.read.parquet(f"{SF_DIR}/events.parquet") \
+        .select("event_id").distinct().count()
+    assert n <= n_src and n >= n_ids * 0.99
+
+
+def test_icelite_snapshots_and_time_travel(spark, tmp_path):
+    t = IceLiteTable(str(tmp_path / "tbl"))
+    df1 = spark.range(10).withColumn("part", F.pmod("id", F.lit(2)).cast("int"))
+    df2 = spark.range(10, 25).withColumn("part", F.pmod("id", F.lit(2)).cast("int"))
+    s0 = t.append(df1, partition_by=("part",))
+    s1 = t.append(df2, partition_by=("part",))
+    assert t.read(spark).count() == 25
+    assert t.read(spark, snapshot_id=s0["snapshot_id"]).count() == 10
+    assert s1["parent"] == s0["snapshot_id"]
+    t.overwrite(df2)
+    assert t.read(spark).count() == 15
+    assert len(t.snapshots()) == 3
+
+
+def test_extract_with_resume(spark, tmp_path):
+    images = synth.geotag_images_pdf(synth.images_pdf(60))
+    layers = synth.footprint_layers_pdf(120)
+    pts = spark.createDataFrame(images, GEOTAGGED_SCHEMA) \
+        .select("PKEY", "SS", "YEAR", "x", "y")
+    pls = spark.createDataFrame(layers, LAYER_SCHEMA)
+    out = str(tmp_path / "extract")
+
+    # run 1: interrupted after 2 of 4 buckets
+    r1 = extract_with_resume(spark, pts, pls, out, n_buckets=4,
+                             max_buckets_this_run=2)
+    assert len(r1["ran"]) == 2
+    # run 2: resumes, skips the committed buckets
+    r2 = extract_with_resume(spark, pts, pls, out, n_buckets=4)
+    assert sorted(r2["skipped"]) == sorted(r1["ran"])
+    assert len(r2["ran"]) == 2
+
+    merged = spark.read.parquet(*[os.path.join(out, f"bucket={b}") for b in range(4)])
+    single = __import__(
+        "extract_sf_r_parallel_spark.operators.areadist",
+        fromlist=["areadist"]).areadist(pts, pls)
+    assert merged.count() == single.count() == 60 * 3
+    # identical content bucket-join vs single-shot
+    m = merged.select("PKEY", "layer", "AREA150", "NEAR_DIST").toPandas() \
+        .sort_values(["PKEY", "layer"]).reset_index(drop=True)
+    s = single.select("PKEY", "layer", "AREA150", "NEAR_DIST").toPandas() \
+        .sort_values(["PKEY", "layer"]).reset_index(drop=True)
+    assert (m["AREA150"].to_numpy() == s["AREA150"].to_numpy()).all()
+    assert (m["NEAR_DIST"].to_numpy() == s["NEAR_DIST"].to_numpy()).all()
+
+    # manifest carries the metrics
+    man = LineageManifest(os.path.join(out, "_lineage", "manifest.jsonl"))
+    recs = man.completed()
+    assert len(recs) == 4
+    assert sum(r["rows_in"] for r in recs.values()) == 60
+    assert all(r["rows_out"] == r["rows_in"] * 3 for r in recs.values())
