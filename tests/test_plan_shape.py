@@ -1,0 +1,122 @@
+"""Physical-plan shape checks (the 100 TB design invariants): filters
+reach the parquet scan, projections prune columns, small dims
+broadcast, relational pipelines stay inside WholeStageCodegen, and the
+areadist metrics Observation reports candidate counts."""
+
+import pytest
+from pyspark.sql import Observation
+from pyspark.sql import functions as F
+
+from extract_sf_r_parallel_spark.data import synth
+from extract_sf_r_parallel_spark.operators.areadist import areadist
+from extract_sf_r_parallel_spark.plans import relational, spatial_queries
+
+from .conftest import GEOTAGGED_SCHEMA, LAYER_SCHEMA
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    # scan must read only the two projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_multi_join_broadcasts_small_dims(spark):
+    plan = _plan(relational.q_multi_join(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    """Map-side combine: two HashAggregates around ONE exchange — the
+    shuffle carries pre-aggregated partials, not raw lineitem rows."""
+    plan = _plan(relational.q_pricing_summary(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("+- Exchange") == 1
+    assert "Scan parquet" in plan
+
+
+def test_rect_pairs_is_equi_join_with_jvm_refinement(spark):
+    """The flagship spatial join must compile to a hash equi join on
+    the cell id with NO Python evaluation in the distance refinement
+    (pure Column arithmetic for axis-aligned features)."""
+    import re
+    pairs = spatial_queries.rect_pairs(spark, SF_DIR).filter("dist < 1000")
+    plan = _plan(pairs)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # the distance refinement is Column arithmetic pushed INTO the join
+    # condition (SQRT/GREATEST), not a Python stage
+    assert "Join condition: (SQRT" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+    # the only Python stages are Arrow-batched cell-id/cover UDFs
+    n_arrow = len(re.findall(r"^\(\d+\) ArrowEvalPython", plan, re.M))
+    assert n_arrow <= 4
+
+
+def test_areadist_observation_metrics(spark):
+    images = synth.geotag_images_pdf(synth.images_pdf(40))
+    layers = synth.footprint_layers_pdf(80)
+    pts = spark.createDataFrame(images, GEOTAGGED_SCHEMA)
+    pls = spark.createDataFrame(layers, LAYER_SCHEMA)
+    obs = Observation("areadist_metrics")
+    out = areadist(pts, pls, observation=obs)
+    n = out.count()
+    assert n == 40 * 3
+    m = obs.get
+    assert m["rows_out"] == 40 * 3
+    assert 0 <= m["avg_near_dist"] <= 1000.0
+    assert 0 <= m["rows_with_area150"] <= m["rows_out"]
+
+
+def test_areadist_left_defaults_edge_cases(spark):
+    """FIXTURES.md §6 micro-cases: temporal filter empties candidates →
+    full defaults; circle fully inside a big polygon → AREA=π_lit·r²·…
+    exact values."""
+    import numpy as np
+    import pandas as pd
+
+    big = np.array([[0, 0], [4000, 0], [4000, 4000], [0, 4000], [0, 0]], float)
+    layers = pd.DataFrame([{
+        "feature_id": 1, "layer": "big", "YEAR": 2015,
+        "geom": [big.ravel().tolist()], "is_valid_truth": True,
+    }])
+    pts = pd.DataFrame([{
+        "image_id": "p1", "bytes": b"", "w": 1, "h": 1, "fmt": "raw",
+        "caption": "", "phash": 0, "x": 2000.0, "y": 2000.0,
+        "YEAR": 2020, "PKEY": "p1", "SS": "p1",
+    }, {
+        "image_id": "p2", "bytes": b"", "w": 1, "h": 1, "fmt": "raw",
+        "caption": "", "phash": 0, "x": 2000.0, "y": 2000.0,
+        "YEAR": 2010,  # poly YEAR 2015 ≥ 2010 → temporally excluded
+        "PKEY": "p2", "SS": "p2",
+    }])
+    sdf_p = spark.createDataFrame(pts, GEOTAGGED_SCHEMA)
+    sdf_l = spark.createDataFrame(layers, LAYER_SCHEMA)
+    got = areadist(sdf_p, sdf_l).toPandas().set_index("PKEY")
+    # p1: circle fully inside → AREA150 = π·150² (true π), PROP = π/3.14
+    assert got.loc["p1", "AREA150"] == pytest.approx(np.pi * 150**2, rel=1e-12)
+    assert got.loc["p1", "PROP150"] == pytest.approx(np.pi / 3.14, rel=1e-12)
+    assert got.loc["p1", "NEAR_DIST"] == 0.0
+    assert got.loc["p1", "MEANAGE_150"] == pytest.approx(5.0)
+    # p2: temporal filter removed everything → defaults (C_…R:99,116,159)
+    assert got.loc["p2", "AREA150"] == 0.0
+    assert got.loc["p2", "NEAR_DIST"] == 1000.0
+    assert np.isnan(got.loc["p2", "MEANAGE_150"])
