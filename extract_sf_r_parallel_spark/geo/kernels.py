@@ -25,6 +25,8 @@ __all__ = [
     "circle_polygon_area",
     "pairs_circle_polygon_area",
     "pairs_point_polygon_distance",
+    "PackedRings",
+    "packed_pair_metrics",
     "ring_is_valid",
     "tmerc_forward",
     "tmerc_inverse",
@@ -111,28 +113,53 @@ def _edge_circle_contrib(
     dx, dy = p2x - p1x, p2y - p1y
     a = dx * dx + dy * dy
     b = 2.0 * (p1x * dx + p1y * dy)
-    c = p1x * p1x + p1y * p1y - r * r
-    disc = b * b - 4.0 * a * c
+    c1 = p1x * p1x + p1y * p1y - r * r
+    c2 = p2x * p2x + p2y * p2y - r * r
+    disc = b * b - 4.0 * a * c1
+
+    total = np.empty_like(p1x)
+    cross = p1x * p2y - p2x * p1y
+    # fast path 1: both endpoints inside (circle convex ⇒ whole edge
+    # inside) → pure triangle term, no trig
+    both_in = (c1 <= 0) & (c2 <= 0)
+    # fast path 2: segment never enters the disc within t∈[0,1] and
+    # endpoints outside → pure sector term, one arctan2
     sq = np.sqrt(np.maximum(disc, 0.0))
     with np.errstate(divide="ignore", invalid="ignore"):
         t1 = np.where(a > 0, (-b - sq) / (2.0 * a), 0.0)
         t2 = np.where(a > 0, (-b + sq) / (2.0 * a), 0.0)
-    ok = disc > 0
-    t1 = np.where(ok, np.clip(t1, 0.0, 1.0), 0.0)
-    t2 = np.where(ok, np.clip(t2, 0.0, 1.0), 0.0)
+    misses = (disc <= 0) | (t2 <= 0) | (t1 >= 1) | (a == 0)
+    both_out = ~both_in & misses
+    split = ~both_in & ~misses
 
-    total = np.zeros_like(p1x)
-    bounds = (np.zeros_like(t1), t1, t2, np.ones_like(t1))
-    for k in range(3):
-        ta, tb = bounds[k], bounds[k + 1]
-        ax_, ay_ = p1x + ta * dx, p1y + ta * dy
-        bx_, by_ = p1x + tb * dx, p1y + tb * dy
-        mx, my = 0.5 * (ax_ + bx_), 0.5 * (ay_ + by_)
-        inside = mx * mx + my * my <= r * r
-        tri = 0.5 * (ax_ * by_ - bx_ * ay_)
-        ang = np.arctan2(ax_ * by_ - bx_ * ay_, ax_ * bx_ + ay_ * by_)
-        sec = 0.5 * r * r * ang
-        total += np.where(tb > ta, np.where(inside, tri, sec), 0.0)
+    total[both_in] = 0.5 * cross[both_in]
+    if both_out.any():
+        ang = np.arctan2(cross[both_out],
+                         p1x[both_out] * p2x[both_out] + p1y[both_out] * p2y[both_out])
+        total[both_out] = 0.5 * r[both_out] * r[both_out] * ang
+
+    if split.any():
+        # general case (edge crosses the circle): split at the clipped
+        # intersection parameters into ≤3 sub-segments
+        s1x, s1y, s2x, s2y = p1x[split], p1y[split], p2x[split], p2y[split]
+        sdx, sdy = dx[split], dy[split]
+        rr = r[split]
+        st1 = np.clip(t1[split], 0.0, 1.0)
+        st2 = np.clip(t2[split], 0.0, 1.0)
+        acc = np.zeros_like(s1x)
+        bounds = (np.zeros_like(st1), st1, st2, np.ones_like(st1))
+        for k in range(3):
+            ta, tb = bounds[k], bounds[k + 1]
+            ax_, ay_ = s1x + ta * sdx, s1y + ta * sdy
+            bx_, by_ = s1x + tb * sdx, s1y + tb * sdy
+            mx, my = 0.5 * (ax_ + bx_), 0.5 * (ay_ + by_)
+            inside = mx * mx + my * my <= rr * rr
+            crs = ax_ * by_ - bx_ * ay_
+            tri = 0.5 * crs
+            ang = np.arctan2(crs, ax_ * bx_ + ay_ * by_)
+            sec = 0.5 * rr * rr * ang
+            acc += np.where(tb > ta, np.where(inside, tri, sec), 0.0)
+        total[split] = acc
     return total
 
 
@@ -220,6 +247,93 @@ def pairs_point_polygon_distance(
     np.add.at(ncross, pair_idx, crossing.astype(np.int64))
     inside = (ncross % 2 == 1) & (counts >= 3)
     out[inside] = 0.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# packed-ring batch kernel (the hot path inside the spatial-join UDF)
+# ---------------------------------------------------------------------------
+
+class PackedRings:
+    """Unique rings of one Arrow batch packed into flat arrays so the
+    per-pair kernel is pure vectorized gather — zero per-pair Python.
+    A candidate pair references its ring by index; the same feature
+    joined against many points is parsed exactly once per batch."""
+
+    __slots__ = ("V", "offsets", "counts", "nxt")
+
+    def __init__(self, rings: list[np.ndarray]):
+        opened = [_open_ring(r) for r in rings]
+        self.counts = np.array([len(o) for o in opened], dtype=np.int64)
+        self.offsets = np.concatenate([[0], np.cumsum(self.counts)[:-1]]).astype(np.int64)
+        self.V = (np.concatenate(opened, axis=0) if opened
+                  else np.zeros((0, 2), dtype=np.float64))
+        nxt = np.arange(1, len(self.V) + 1, dtype=np.int64)
+        ends = self.offsets + self.counts - 1
+        nxt[ends[self.counts > 0]] = self.offsets[self.counts > 0]
+        self.nxt = nxt
+
+
+def packed_pair_metrics(
+    px: np.ndarray, py: np.ndarray, ridx: np.ndarray,
+    packed: PackedRings, radii: tuple[float, ...],
+) -> dict[str, np.ndarray]:
+    """For candidate pairs (point i at (px[i], py[i]) vs ring
+    packed[ridx[i]]): distance (0 inside) and exact circle∩polygon
+    area per radius — one fully vectorized pass over all edges of all
+    pairs. Semantics identical to pairs_point_polygon_distance +
+    pairs_circle_polygon_area (with the dist≥r → 0 area clamp)."""
+    n = len(ridx)
+    out_dist = np.full(n, np.inf, dtype=np.float64)
+    if n == 0:
+        return {"dist": out_dist, **{f"a{int(r)}": np.zeros(0) for r in radii}}
+    counts = packed.counts[ridx]
+    total = int(counts.sum())
+    # grouped-ranges trick: vertex index per (pair, edge); pair order
+    # is sorted, so per-pair reductions are reduceat over segments
+    # (np.add.at/minimum.at are ~20× slower — unbuffered ufuncs)
+    cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    step = np.arange(total) - np.repeat(cum, counts)
+    vidx = np.repeat(packed.offsets[ridx], counts) + step
+    p1 = packed.V[vidx]
+    p2 = packed.V[packed.nxt[vidx]]
+    ppx = np.repeat(np.asarray(px, np.float64), counts)
+    ppy = np.repeat(np.asarray(py, np.float64), counts)
+    valid = counts > 0
+    seg_starts = cum[valid]
+
+    d = point_segment_distance(ppx, ppy, p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1])
+    out_dist[valid] = np.minimum.reduceat(d, seg_starts) if len(d) else np.inf
+    # inside test: even-odd crossing parity
+    cond = (p1[:, 1] > ppy) != (p2[:, 1] > ppy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = p1[:, 0] + (ppy - p1[:, 1]) * (p2[:, 0] - p1[:, 0]) / (p2[:, 1] - p1[:, 1])
+    crossing = (cond & (ppx < xint)).astype(np.int64)
+    ncross = np.zeros(n, dtype=np.int64)
+    ncross[valid] = np.add.reduceat(crossing, seg_starts)
+    out_dist[(ncross % 2 == 1) & (counts >= 3)] = 0.0
+
+    out: dict[str, np.ndarray] = {"dist": out_dist}
+    q1x, q1y = p1[:, 0] - ppx, p1[:, 1] - ppy
+    q2x, q2y = p2[:, 0] - ppx, p2[:, 1] - ppy
+    for r in radii:
+        # area is non-zero only where dist < r — evaluate the (trig-
+        # heavy) circle kernel on that pair subset only (2-30% of
+        # pairs at the reference radii vs the 1000 m candidate cap)
+        hit = out_dist < r
+        a = np.zeros(n, dtype=np.float64)
+        if hit.any():
+            hcounts = counts[hit]
+            hedge = np.repeat(hit, counts)
+            hv = hcounts > 0
+            hstarts = np.concatenate([[0], np.cumsum(hcounts)[:-1]])[hv]
+            rr = np.full(int(hcounts.sum()), float(r))
+            contrib = _edge_circle_contrib(
+                q1x[hedge], q1y[hedge], q2x[hedge], q2y[hedge], rr)
+            acc = np.zeros(int(hit.sum()), dtype=np.float64)
+            acc[hv] = np.add.reduceat(contrib, hstarts) if len(contrib) else 0.0
+            a[hit] = np.abs(acc)
+        out[f"a{int(r)}"] = a
     return out
 
 

@@ -103,27 +103,33 @@ def pair_metrics_udf(radii: tuple[float, ...]):
     """Per-candidate-pair refinement: point-to-polygon distance
     (st_distance, C_…R:117) and exact circle∩polygon area at each
     buffer radius (st_intersection+st_union+st_area, C_…R:96-108) in
-    one Arrow batch pass."""
+    one Arrow batch pass.
+
+    The feature id rides along so each batch parses every distinct
+    geometry exactly ONCE (a feature near a dense cell joins hundreds
+    of points; ring decoding per pair would dominate). The math runs
+    through the packed-gather kernel — zero per-pair Python. The
+    dist ≥ r ⇒ area = 0 clamp kills ~1e-9 Green's-theorem noise and
+    matches R's empty st_intersection → zero area / NA age
+    (C_…R:99,159)."""
     fields = [T.StructField("dist", T.DoubleType())] + [
         T.StructField(f"a{int(r)}", T.DoubleType()) for r in radii
     ]
 
     @F.pandas_udf(returnType=T.StructType(fields))
-    def _metrics(x: pd.Series, y: pd.Series, geom: pd.Series) -> pd.DataFrame:
-        rings = [np.asarray(g[0], dtype=np.float64).reshape(-1, 2) for g in geom]
-        px = x.to_numpy(np.float64)
-        py = y.to_numpy(np.float64)
-        dist = K.pairs_point_polygon_distance(px, py, rings)
-        out = {"dist": dist}
-        rr = np.empty(len(rings), dtype=np.float64)
-        for r in radii:
-            rr.fill(r)
-            a = K.pairs_circle_polygon_area(px, py, rr, rings)
-            # dist ≥ r ⇒ the buffer misses the polygon: exact 0 (kills
-            # ~1e-9 Green's-theorem noise; matches R's empty
-            # st_intersection → zero area / NA age, C_…R:99,159)
-            out[f"a{int(r)}"] = np.where(dist < r, a, 0.0)
-        return pd.DataFrame(out)
+    def _metrics(x: pd.Series, y: pd.Series, fid: pd.Series,
+                 geom: pd.Series) -> pd.DataFrame:
+        codes, _uniq = pd.factorize(fid.to_numpy())
+        _ucodes, first_pos = np.unique(codes, return_index=True)
+        rings = [
+            np.asarray(geom.iloc[int(i)][0], dtype=np.float64).reshape(-1, 2)
+            for i in first_pos
+        ]
+        packed = K.PackedRings(rings)
+        m = K.packed_pair_metrics(
+            x.to_numpy(np.float64), y.to_numpy(np.float64),
+            codes.astype(np.int64), packed, tuple(radii))
+        return pd.DataFrame(m)
     return _metrics
 
 
@@ -209,7 +215,7 @@ def range_join_pairs(
     pairs = pairs.drop("bxmin", "bymin", "bxmax", "bymax")
 
     m = pair_metrics_udf(tuple(radii))(
-        F.col(point_x), F.col(point_y), F.col("geom")
+        F.col(point_x), F.col(point_y), F.col("feature_id"), F.col("geom")
     ).alias("_m")
     pairs = pairs.withColumn("_m", m).select("*", "_m.*").drop("_m")
     if keep_dist_within:

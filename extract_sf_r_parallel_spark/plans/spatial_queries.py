@@ -61,6 +61,11 @@ _PAIRS_SQL = f"""
 
 def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # the testdata tables are single small parquet files → one input
+    # split; a 100 TB scan has thousands. Spread the probe side across
+    # the cluster so downstream UDFs/joins parallelize (a real scan
+    # arrives pre-split and skips this)
+    o = o.repartition(spark.sparkContext.defaultParallelism * 2)
     return o.select(
         F.col("o_orderkey").alias("pid"),
         F.expr(G.sql_point_x("o_orderkey")).alias("x"),

@@ -26,23 +26,36 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEATS = int(os.environ.get("SCALING_REPEATS", "2"))
 
 
+def _workload(spark):
+    """The BASELINE.json metric job: distance + buffered footprint-
+    amount extraction (circle kernels in Arrow-batched pandas UDFs) —
+    compute-bound, embarrassingly parallel after the cell shuffle."""
+    from pyspark.sql import functions as F
+
+    from extract_sf_r_parallel_spark.plans.registry import _circle_inputs
+    from extract_sf_r_parallel_spark.operators.areadist import areadist
+
+    pts, polys = _circle_inputs(spark, SF_DIR)  # 1/10 of orders as points
+    return areadist(pts, polys, broadcast_polys=True, validity_filter=False)
+
+
 def child(cpus: int) -> None:
-    from extract_sf_r_parallel_spark.plans import spatial_queries
     from extract_sf_r_parallel_spark.session import get_spark
 
     spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup (JIT, Python worker pool, file listing)
-    spatial_queries.rect_pairs(spark, SF_DIR).filter("dist < 1000").count()
+    # warmup (JIT, Python worker pool, file listing) on a slice
+    _workload(spark).limit(500).write.format("noop").mode("overwrite").save()
     best = None
-    n_pairs = 0
+    n_rows = 0
     for _ in range(REPEATS):
+        df = _workload(spark)
         t0 = time.time()
-        n_pairs = spatial_queries.rect_pairs(spark, SF_DIR) \
-            .filter("dist < 1000").count()
+        df.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
+        n_rows = df.count()
         best = wall if best is None else min(best, wall)
-    print(json.dumps({"cpus": cpus, "wall_s": best, "pairs": n_pairs}))
+    print(json.dumps({"cpus": cpus, "wall_s": best, "pairs": n_rows}))
     spark.stop()
 
 
