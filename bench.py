@@ -47,6 +47,14 @@ def main() -> None:
     spark = get_spark(app="bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the Python worker pool + JIT before timing (a production
+    # job's executors are long-lived; cold-process costs are not the
+    # steady-state signal)
+    spark.range(10000).selectExpr("id * 2 as x").write.format("noop") \
+        .mode("overwrite").save()
+    registry.QUERIES["areadist_circle"](spark, sf_dir).limit(200) \
+        .write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES[name]

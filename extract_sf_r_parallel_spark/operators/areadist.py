@@ -92,6 +92,7 @@ def areadist(
     pairs = range_join_pairs(
         point_side, pl, maxdist, radii,
         theta=theta, broadcast_polys=broadcast_polys, salt=salt,
+        keep_geom=(dissolve == "raster"),
     )
 
 

@@ -42,7 +42,8 @@ from ..geo import kernels as K
 
 __all__ = [
     "cell_udf", "poly_cover_udf", "is_valid_udf", "pair_metrics_udf",
-    "with_cell", "explode_poly_cells", "range_join_pairs", "salted",
+    "broadcast_pair_metrics_udf", "with_cell", "explode_poly_cells",
+    "range_join_pairs", "salted",
 ]
 
 
@@ -133,6 +134,37 @@ def pair_metrics_udf(radii: tuple[float, ...]):
     return _metrics
 
 
+def broadcast_pair_metrics_udf(spark, polys: DataFrame, radii: tuple[float, ...]):
+    """Geometry-over-broadcast variant of pair_metrics_udf: the poly
+    side's rings are packed ONCE on the driver and shipped to each
+    executor as a broadcast variable; candidate-pair rows then carry
+    only (x, y, feature_id) through Arrow — no nested-array
+    serialization per pair (which otherwise dominates the join cost).
+    Valid whenever the poly side is broadcast-join-sized anyway."""
+    gpdf = polys.select("feature_id", "geom").toPandas()
+    fids = gpdf["feature_id"].to_numpy(np.int64)
+    order = np.argsort(fids)
+    rings = [
+        np.asarray(gpdf["geom"].iloc[int(i)][0], dtype=np.float64).reshape(-1, 2)
+        for i in order
+    ]
+    packed = K.PackedRings(rings)
+    bc = spark.sparkContext.broadcast((packed, fids[order]))
+    fields = [T.StructField("dist", T.DoubleType())] + [
+        T.StructField(f"a{int(r)}", T.DoubleType()) for r in radii
+    ]
+
+    @F.pandas_udf(returnType=T.StructType(fields))
+    def _metrics(x: pd.Series, y: pd.Series, fid: pd.Series) -> pd.DataFrame:
+        pk, sorted_fids = bc.value
+        ridx = np.searchsorted(sorted_fids, fid.to_numpy(np.int64))
+        m = K.packed_pair_metrics(
+            x.to_numpy(np.float64), y.to_numpy(np.float64),
+            ridx, pk, tuple(radii))
+        return pd.DataFrame(m)
+    return _metrics
+
+
 def with_cell(df: DataFrame, code: int, x: str = "x", y: str = "y",
               out: str = "cell") -> DataFrame:
     return df.withColumn(out, cell_udf(code)(F.col(x), F.col(y)))
@@ -172,6 +204,7 @@ def range_join_pairs(
     point_x: str = "x",
     point_y: str = "y",
     keep_dist_within: bool = True,
+    keep_geom: bool = False,
 ) -> DataFrame:
     """Candidate pairs of (point, polygon) within `radius`, refined.
 
@@ -185,6 +218,13 @@ def range_join_pairs(
     code = I.code_for_radius(radius) if code is None else code
     pts = with_cell(points, code, point_x, point_y)
     pls = explode_poly_cells(polys, radius, code, keep_bbox=True)
+    bc_metrics = None
+    if broadcast_polys:
+        # broadcast side is small ⇒ ship geometry once per executor and
+        # keep per-pair Arrow traffic to fixed-width columns
+        bc_metrics = broadcast_pair_metrics_udf(points.sparkSession, polys, tuple(radii))
+        if not keep_geom:
+            pls = pls.drop("geom")
 
     join_keys = ["cell"]
     if salt > 1:
@@ -214,9 +254,12 @@ def range_join_pairs(
     pairs = pairs.filter(bdx * bdx + bdy * bdy < F.lit(float(radius) ** 2))
     pairs = pairs.drop("bxmin", "bymin", "bxmax", "bymax")
 
-    m = pair_metrics_udf(tuple(radii))(
-        F.col(point_x), F.col(point_y), F.col("feature_id"), F.col("geom")
-    ).alias("_m")
+    if bc_metrics is not None:
+        m = bc_metrics(F.col(point_x), F.col(point_y), F.col("feature_id")).alias("_m")
+    else:
+        m = pair_metrics_udf(tuple(radii))(
+            F.col(point_x), F.col(point_y), F.col("feature_id"), F.col("geom")
+        ).alias("_m")
     pairs = pairs.withColumn("_m", m).select("*", "_m.*").drop("_m")
     if keep_dist_within:
         pairs = pairs.filter(F.col("dist") < F.lit(float(radius)))

@@ -24,7 +24,7 @@ from pyspark.sql import types as T
 
 from ..functions.vectors import cosine
 
-__all__ = ["brute_force_topk", "hyperplane_buckets", "lsh_ann_topk"]
+__all__ = ["brute_force_topk", "matmul_topk", "hyperplane_buckets", "lsh_ann_topk"]
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -47,6 +47,50 @@ def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "nid", "cos")
     )
+
+
+def matmul_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                id_q: str = "vec_id", id_c: str = "vec_id",
+                vec_q: str = "embedding", vec_c: str = "embedding",
+                round_dp: int | None = None) -> DataFrame:
+    """Exact cosine top-k with the corpus broadcast as one NumPy matrix
+    and a BLAS matmul per Arrow batch of queries — the fast exact path
+    when the corpus side fits an executor (≲10⁷ rows); beyond that,
+    lsh_ann_topk. Same output contract as brute_force_topk (ties
+    broken by ascending neighbour id on the round_dp-rounded score)."""
+    spark = queries.sparkSession
+    cp = corpus.select(id_c, vec_c).toPandas()
+    C = np.stack([np.asarray(v, np.float64) for v in cp[vec_c]])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = cp[id_c].to_numpy()
+    bc = spark.sparkContext.broadcast((C, cids))
+    out_schema = T.StructType([
+        T.StructField("qid", queries.schema[id_q].dataType),
+        T.StructField("rk", T.IntegerType()),
+        T.StructField("nid", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        Cm, ids = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, np.float64) for v in pdf[vec_q]])
+            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            sims = Q @ Cm.T
+            qids = pdf[id_q].to_numpy()
+            sims[qids[:, None] == ids[None, :]] = -np.inf  # exclude self
+            if round_dp is not None:
+                np.round(sims, round_dp, out=sims)
+            rows = []
+            for i in range(len(Q)):
+                order = np.lexsort((ids, -sims[i]))[:k]
+                for r, j in enumerate(order, 1):
+                    rows.append((qids[i], r, int(ids[j]), float(sims[i, j])))
+            yield pd.DataFrame(rows, columns=["qid", "rk", "nid", "cos"])
+
+    return queries.mapInPandas(gen, out_schema)
 
 
 def _plane_matrix(dim: int, n_planes: int, table: int, seed: int = 11) -> np.ndarray:

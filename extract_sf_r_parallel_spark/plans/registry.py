@@ -14,7 +14,7 @@ from ..operators.areadist import areadist
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, pixel_embed
-from ..operators.similarity import brute_force_topk, lsh_ann_topk
+from ..operators.similarity import lsh_ann_topk, matmul_topk
 from . import relational, spatial_queries, textops
 from .spatial_queries import points_df, rects_df
 
@@ -38,7 +38,7 @@ def _docs(spark, sf_dir):
 def q_embed_top1(spark, sf_dir):
     e = _emb(spark, sf_dir)
     return (
-        brute_force_topk(e, e, k=1, round_dp=5)
+        matmul_topk(e, e, k=1, round_dp=5)
         .select("qid", "nid")
     )
 

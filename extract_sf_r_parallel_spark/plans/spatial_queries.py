@@ -76,6 +76,8 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rects_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # single small file → 1 split; spread so the cover UDF parallelizes
+    p = p.repartition(spark.sparkContext.defaultParallelism)
     sel = [F.col("p_partkey").alias("fid")]
     sel += [F.expr(v).alias(k) for k, v in _R.items()]
     df = p.select(*sel)

@@ -93,6 +93,16 @@ def test_brute_force_topk_exact(spark, vectors):
         assert got[500 + i] == i and got[i] == 500 + i
 
 
+def test_matmul_topk_matches_jvm_brute_force(spark, vectors):
+    """The broadcast-matmul fast path must agree with the JVM
+    higher-order-function brute force after 5-dp rounding."""
+    a = S.brute_force_topk(vectors, vectors, k=3, round_dp=5).toPandas()
+    b = S.matmul_topk(vectors, vectors, k=3, round_dp=5).toPandas()
+    ka = set(zip(a.qid, a.rk, a.nid))
+    kb = set(zip(b.qid, b.rk, b.nid))
+    assert ka == kb
+
+
 def test_lsh_ann_recall(spark, vectors):
     brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
     ann = S.lsh_ann_topk(vectors, vectors, dim=32, k=1,
