@@ -198,6 +198,7 @@ def range_join_pairs(
     radii: tuple[float, ...] = (),
     *,
     code: int | None = None,
+    cell_edge_divisor: float = 4.0,
     theta: Column | None = None,
     broadcast_polys: bool = False,
     salt: int = 0,
@@ -215,7 +216,15 @@ def range_join_pairs(
     Catalyst keeps the equi-hash join on cell and applies the theta
     condition as a post-filter before the UDF runs.
     """
-    code = I.code_for_radius(radius) if code is None else code
+    # Cell resolution is DECOUPLED from the radius: the poly cover is
+    # the bbox dilated by `radius`, which is a sound candidate superset
+    # at ANY cell size; finer cells approximate the dilated region more
+    # tightly, shrinking the raw join output (the dominant JVM cost) at
+    # the price of a larger (broadcast-side) cover explode. Edge ≈
+    # radius/4 cuts raw join rows ~4× vs edge ≥ radius at fixture
+    # densities.
+    if code is None:
+        code = I.code_for_radius(max(radius / cell_edge_divisor, I.RESOLUTIONS[0]))
     pts = with_cell(points, code, point_x, point_y)
     pls = explode_poly_cells(polys, radius, code, keep_bbox=True)
     bc_metrics = None

@@ -95,7 +95,9 @@ def rect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bbox, equi join on cell, then a pure-Column (JVM, codegen'd)
     point-to-rectangle distance — no Python in the refinement at all
     (axis-aligned features need no pandas UDF)."""
-    code = I.code_for_radius(MAXDIST)
+    # finer-than-radius cells → tighter dilation cover → fewer raw
+    # join rows (see range_join.range_join_pairs)
+    code = I.code_for_radius(MAXDIST / 4.0)
     pts = with_cell(points_df(spark, sf_dir), code)
     rects = explode_poly_cells(rects_df(spark, sf_dir), MAXDIST, code)
     pairs = pts.join(F.broadcast(rects.drop("geom")), "cell")
