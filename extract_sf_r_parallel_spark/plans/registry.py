@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..data import synth
 from ..functions.text import fingerprint_udf, langid_udf, quality_udf, token_count_udf
 from ..operators.areadist import areadist
+from ..operators.areadist_fused import areadist_fused
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, pixel_embed
@@ -114,6 +115,15 @@ def _circle_inputs(spark, sf_dir):
 
 
 def q_areadist_circle(spark, sf_dir):
+    # fused broadcast path: single-stage mapInPandas (see
+    # operators/areadist_fused.py); result-identical to the join path
+    pts, polys = _circle_inputs(spark, sf_dir)
+    return areadist_fused(pts, polys, validity_filter=False).drop("x", "y")
+
+
+def q_areadist_circle_join(spark, sf_dir):
+    # the generic cell-explode equi-join path (the SMJ-capable plan for
+    # feature sides too large to broadcast) — same results
     pts, polys = _circle_inputs(spark, sf_dir)
     return areadist(pts, polys, validity_filter=False, broadcast_polys=True) \
         .drop("x", "y")
@@ -152,6 +162,7 @@ QUERIES.update({
     "ngram_jaccard": q_ngram_jaccard,
     "text_features": q_text_features,
     "areadist_circle": q_areadist_circle,
+    "areadist_circle_join": q_areadist_circle_join,
     "knn_ring": q_knn_ring,
     "multimodal_stats": q_multimodal_stats,
 })

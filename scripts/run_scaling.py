@@ -35,7 +35,7 @@ def _workload(spark):
     the regime a real cluster job runs in."""
     from pyspark.sql import functions as F
 
-    from extract_sf_r_parallel_spark.operators.areadist import areadist
+    from extract_sf_r_parallel_spark.operators.areadist_fused import areadist_fused
     from extract_sf_r_parallel_spark.plans.spatial_queries import points_df, rects_df
 
     rep = int(os.environ.get("SCALING_REPLICATION", "16"))
@@ -56,7 +56,7 @@ def _workload(spark):
     polys = rects_df(spark, SF_DIR).select(
         F.col("fid").alias("feature_id"), F.lit("rects").alias("layer"),
         F.col("ryear").alias("YEAR"), "geom")
-    return areadist(pts, polys, broadcast_polys=True, validity_filter=False)
+    return areadist_fused(pts, polys, validity_filter=False)
 
 
 def child(cpus: int) -> None:
@@ -64,8 +64,8 @@ def child(cpus: int) -> None:
 
     spark = get_spark(app=f"scaling-{cpus}", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    # warmup (JIT, Python worker pool, file listing) on a slice
-    _workload(spark).limit(500).write.format("noop").mode("overwrite").save()
+    # warmup (JIT, Python worker pool, allocator pools) on a slice
+    _workload(spark).limit(40000).write.format("noop").mode("overwrite").save()
     best = None
     n_rows = 0
     for _ in range(REPEATS):
