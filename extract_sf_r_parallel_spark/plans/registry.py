@@ -99,8 +99,12 @@ def q_text_features(spark, sf_dir):
 
 
 # --- the flagship circle-kernel spatial extraction (areadist.age) on
-# deterministically geotagged points vs rectangle features (rows-only
-# for the driver; the pytest serial oracle covers values)
+# deterministically geotagged points vs rectangle features. Driver-
+# oracled since r02: DuckDB evaluates the closed-form circular-segment
+# area (spatial_queries._sql_circle_rect_area) against the engine's
+# Green's-theorem kernel; both sides ROUND per FLAGSHIP_ROUND (digits
+# ≥3 orders above the ≤4e-9 measured cross-formula error). The
+# unrounded kernel stays pytest-oracled at 1e-9 (tests/).
 def _circle_inputs(spark, sf_dir):
     pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
         F.col("pid").cast("string").alias("PKEY"),
@@ -114,27 +118,46 @@ def _circle_inputs(spark, sf_dir):
     return pts, polys
 
 
+def _flagship_select(df):
+    """Rounding contract shared with the DuckDB oracle
+    (spatial_queries.FLAGSHIP_ROUND). MEANAGE is gated on the ROUNDED
+    area > 0 on both engines, which also unifies the fused path's NaN
+    with the join path's NULL for empty candidate sets."""
+    d = spatial_queries.FLAGSHIP_ROUND
+    cols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"), F.col("layer"),
+            F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        area = F.round(F.col(f"AREA{r}"), d["AREA"])
+        cols.append(area.alias(f"AREA{r}"))
+        cols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+        cols.append(F.when(area > 0, F.round(F.col(f"MEANAGE_{r}"), d["MEANAGE"]))
+                     .alias(f"MEANAGE_{r}"))
+    return df.select(*cols)
+
+
 def q_areadist_circle(spark, sf_dir):
     # fused broadcast path: single-stage mapInPandas (see
     # operators/areadist_fused.py); result-identical to the join path
     pts, polys = _circle_inputs(spark, sf_dir)
-    return areadist_fused(pts, polys, validity_filter=False).drop("x", "y")
+    return _flagship_select(areadist_fused(pts, polys, validity_filter=False))
 
 
 def q_areadist_circle_join(spark, sf_dir):
     # the generic cell-explode equi-join path (the SMJ-capable plan for
     # feature sides too large to broadcast) — same results
     pts, polys = _circle_inputs(spark, sf_dir)
-    return areadist(pts, polys, validity_filter=False, broadcast_polys=True) \
-        .drop("x", "y")
+    return _flagship_select(
+        areadist(pts, polys, validity_filter=False, broadcast_polys=True))
 
 
-# --- kNN ring expansion (uncapped k nearest; rows-only)
+# --- kNN ring expansion (uncapped k nearest; brute-force SQL oracle)
 def q_knn_ring(spark, sf_dir):
     pts, polys = _circle_inputs(spark, sf_dir)
-    return knn_join(pts.filter(F.col("PKEY").cast("long") % 50 == 0), polys,
-                    k=3, r0=1000.0, max_radius=32000.0,
-                    broadcast_polys=True)
+    out = knn_join(pts.filter(F.col("PKEY").cast("long") % 50 == 0), polys,
+                   k=3, r0=1000.0, max_radius=32000.0,
+                   broadcast_polys=True)
+    return out.select("PKEY", "rk", "feature_id",
+                      F.round("dist", 6).alias("dist"))
 
 
 # --- multimodal decode/stat/embed over the synthetic image table

