@@ -12,18 +12,20 @@ __all__ = [
     "rolling_fingerprint", "jaccard", "MINHASH_PRIME",
 ]
 
-MINHASH_PRIME = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+MINHASH_PRIME = np.uint64((1 << 31) - 1)  # Mersenne prime 2^31-1
 
 
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable per-token FNV-1a 64 hashes."""
+    """Stable per-token FNV-1a 64 hashes (wraparound is the algorithm;
+    errstate keeps the intentional overflow from masking real bugs)."""
     toks = text.split()
     out = np.empty(len(toks), dtype=np.uint64)
-    for i, t in enumerate(toks):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in t.encode():
-            h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
-        out[i] = h
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(toks):
+            h = np.uint64(0xCBF29CE484222325)
+            for b in t.encode():
+                h = (h ^ np.uint64(b)) * np.uint64(0x100000001B3)
+            out[i] = h
     return out
 
 
@@ -50,25 +52,19 @@ def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 
 def minhash_signature(shingles: np.ndarray, n_hashes: int = 64,
                       seed: int = 7) -> np.ndarray:
-    """MinHash signature: min over shingles of (a·x + b) mod p, per
-    hash function. 128-bit intermediate via Python ints avoided by
-    splitting the 61-bit modular multiply into 32-bit halves."""
+    """MinHash signature: min over shingles of (a·x + b) mod p per hash
+    function, the exact Carter–Wegman universal family over Z_p with
+    p = 2^31−1: a, b < p and x reduced mod p, so a·x + b < 2^62 — every
+    intermediate is uint64-exact (no overflow, no folding tricks) and
+    the identical integer arithmetic is expressible in ANSI SQL BIGINT
+    for the driver's DuckDB oracle (plans/textops.py)."""
     a, b = _minhash_params(n_hashes, seed)
     if len(shingles) == 0:
         return np.full(n_hashes, int(MINHASH_PRIME), dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        x = (shingles % MINHASH_PRIME).astype(np.uint64)
-        # (a*x + b) mod p with p = 2^61-1 using 128-bit-safe split:
-        # a*x = hi*2^32 + lo; 2^32 mod p is small, fold twice
-        sig = np.empty(n_hashes, dtype=np.uint64)
-        for i in range(n_hashes):
-            prod_lo = (a[i] & np.uint64(0xFFFFFFFF)) * x
-            prod_hi = (a[i] >> np.uint64(32)) * x
-            # fold: value = prod_hi*2^32 + prod_lo (mod p)
-            v = (prod_hi % MINHASH_PRIME) * (np.uint64(1 << 32) % MINHASH_PRIME) % MINHASH_PRIME
-            v = (v + prod_lo % MINHASH_PRIME + b[i]) % MINHASH_PRIME
-            sig[i] = v.min()
-    return sig
+    x = (shingles % MINHASH_PRIME).astype(np.uint64)
+    # broadcast (n_hashes, n_shingles): exact in uint64 since a,x < 2^31
+    v = (a[:, None] * x[None, :] + b[:, None]) % MINHASH_PRIME
+    return v.min(axis=1)
 
 
 def simhash64(text: str) -> int:

@@ -12,7 +12,51 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ..functions import hashing as _H
+from ..functions.text import LANG_PROFILES
+
 ORACLE: dict[str, str] = {}
+
+
+# ---------------------------------------------------------------------------
+# SQL-parity hash primitives (VERDICT r01 #3): the engine's NumPy hash
+# pipeline re-expressed as DuckDB integer arithmetic so the driver can
+# value-check simhash / minhash_pairs / text_features exactly. HUGEINT
+# (int128) carries the 64-bit wraparound math; xor runs in UBIGINT.
+# All verified token-for-token against functions/hashing.py.
+# ---------------------------------------------------------------------------
+
+_M64 = "18446744073709551616::HUGEINT"  # 2^64
+_GOLD = "11400714819323198485::HUGEINT"  # shingle-combine multiplier
+_P61 = "2305843009213693951::HUGEINT"   # fingerprint modulus 2^61-1
+
+# FNV-1a 64 over the bytes of `tok` (ASCII corpus: unicode == byte)
+_FNV_TOK = f"""list_reduce(
+  list_prepend(CAST(14695981039346656037 AS HUGEINT),
+               list_transform(string_split(tok, ''),
+                              c -> CAST(unicode(c) AS HUGEINT))),
+  (h, b) -> (CAST(xor(CAST(h AS UBIGINT), CAST(b AS UBIGINT)) AS HUGEINT)
+             * 1099511628211) % {_M64})"""
+
+
+def _mul64(expr: str) -> str:
+    """(expr · GOLD) mod 2^64 without overflowing int128: split expr
+    into 32-bit halves (hi·GOLD mod 2^32 carries, lo·GOLD < 2^96)."""
+    return (f"(((({expr}) // 4294967296 * {_GOLD}) % 4294967296) "
+            f"* 4294967296 + (({expr}) % 4294967296) * {_GOLD}) % {_M64}")
+
+
+# word-3-shingles from token hashes: acc = (th[i]·G + th[i+1])·G + th[i+2]
+_ACC1 = f"({_mul64('th[i]')} + th[i+1]) % {_M64}"
+_SHINGLES = (f"CASE WHEN len(th) < 3 THEN th ELSE "
+             f"list_distinct(list_transform(range(1, len(th) - 1), "
+             f"i -> ({_mul64(_ACC1)} + th[i+2]) % {_M64})) END")
+
+_TOKS_CTE = f"""
+  SELECT doc_id, list_transform(string_split(text, chr(32)),
+                                tok -> {_FNV_TOK}) AS th
+  FROM documents
+"""
 
 
 def _docs(spark, sf_dir):
@@ -128,6 +172,143 @@ SELECT lang,
             ELSE 'unknown' END AS pred_lang,
        COUNT(*) AS n
 FROM documents GROUP BY 1, 2
+"""
+
+# --- SimHash (full 64-bit signature; oracle = token FNV → per-bit
+# ±1 majority vote in SQL, bit-identical to functions/hashing.simhash64)
+ORACLE["simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(th) AS th FROM ({_TOKS_CTE})
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (CAST(th AS UBIGINT) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS score
+  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+), v AS (
+  SELECT doc_id,
+         SUM(CASE WHEN score > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                  ELSE 0 END) AS hv
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(CASE WHEN hv >= 9223372036854775808::HUGEINT
+                 THEN hv - {_M64} ELSE hv END AS BIGINT) AS simhash
+FROM v
+"""
+
+
+def _minhash_perms_values() -> str:
+    """The MinHash (a, b) parameters as literal SQL VALUES — the same
+    rng(7) stream the engine uses (functions/hashing._minhash_params)."""
+    a, b = _H._minhash_params(64, 7)
+    return ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64))
+
+
+# --- MinHash+LSH near-dup pairs. The oracle replays the whole pipeline
+# in SQL: shingle → 64 Carter-Wegman perms mod 2^31-1 → 16 bands of 4 →
+# bucket equi-join (on the raw band signature; Spark buckets its
+# xxhash64, identical modulo 2^-64 collisions) → max_bucket=200 cap →
+# exact shingle-set Jaccard ≥ 0.5.
+ORACLE["minhash_pairs"] = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES} AS shingles FROM ({_TOKS_CTE})
+), perms(perm, pa, pb) AS (VALUES {{PERMS}}),
+mins AS (
+  SELECT doc_id, perm // 4 AS band, perm,
+         MIN((pa * CAST(x % 2147483647 AS BIGINT) + pb) % 2147483647) AS mh
+  FROM (SELECT doc_id, unnest(shingles) AS x FROM sh)
+  CROSS JOIN perms
+  GROUP BY doc_id, perm
+), bands AS (
+  SELECT doc_id, band,
+         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY perm) AS sigstr
+  FROM mins GROUP BY doc_id, band
+), sized AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY band, sigstr) AS bsz FROM bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM (SELECT * FROM sized WHERE bsz <= 200) a
+  JOIN (SELECT * FROM sized WHERE bsz <= 200) b
+    ON a.band = b.band AND a.sigstr = b.sigstr AND a.doc_id < b.doc_id
+), j AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / (len(sa.shingles) + len(sb.shingles)
+            - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+""".replace("{PERMS}", _minhash_perms_values())
+
+
+# --- blocked exact n-gram Jaccard pairs (block key = lang, the same
+# blocking the Spark operator uses): all in-block pairs, exact
+# shingle-set Jaccard ≥ 0.2. Ratio of exact ints → bit-identical.
+ORACLE["ngram_jaccard"] = f"""
+WITH sh AS (
+  SELECT doc_id, lang, {_SHINGLES} AS shingles
+  FROM (
+    SELECT t.doc_id, d.lang, t.th
+    FROM ({_TOKS_CTE}) t JOIN documents d ON t.doc_id = d.doc_id
+  )
+), j AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / (len(a.shingles) + len(b.shingles)
+            - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2
+"""
+
+
+def _langid_sql(t: str) -> str:
+    """langid_score as SQL: non-overlapping marker counts per profile,
+    first language reaching the (positive) running max wins — iteration
+    order en, fr, de, es exactly as functions/text.LANG_PROFILES."""
+    cnt = {}
+    for lang, grams in LANG_PROFILES.items():
+        terms = [
+            f"(length({t}) - length(replace({t}, '{g}', ''))) // {len(g)}"
+            for g in grams
+        ]
+        cnt[lang] = "(" + " + ".join(terms) + ")"
+    m = f"GREATEST({cnt['en']}, {cnt['fr']}, {cnt['de']}, {cnt['es']})"
+    return (f"CASE WHEN {m} <= 0 THEN 'unknown' "
+            f"WHEN {cnt['en']} = {m} THEN 'en' "
+            f"WHEN {cnt['fr']} = {m} THEN 'fr' "
+            f"WHEN {cnt['de']} = {m} THEN 'de' ELSE 'es' END")
+
+
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+_STOP_SQL = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+
+# --- text_features: rolling-hash fingerprint + BPE-ish token count +
+# n-gram langid + structural quality struct, all replayed in SQL
+ORACLE["text_features"] = f"""
+SELECT doc_id,
+       CAST(list_reduce(
+         list_prepend(0::HUGEINT,
+                      list_transform(string_split(text, ''),
+                                     c -> CAST(unicode(c) AS HUGEINT))),
+         (h, b) -> (h * 1000003 + b) % {_P61}) AS BIGINT) AS fingerprint,
+       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+       {_langid_sql('lower(text)')} AS pred_lang,
+       length(text) AS n_chars,
+       len(string_split(text, chr(32))) AS n_words,
+       CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+         / length(text) AS punct_ratio,
+       CAST(len(list_filter(string_split(text, chr(32)),
+                            w -> lower(w) IN {_STOP_SQL})) AS DOUBLE)
+         / len(string_split(text, chr(32))) AS stopword_ratio,
+       CAST(list_aggregate(list_transform(string_split(text, chr(32)),
+                                          w -> length(w)), 'sum') AS DOUBLE)
+         / len(string_split(text, chr(32))) AS mean_word_len
+FROM documents
 """
 
 QUERIES = {
