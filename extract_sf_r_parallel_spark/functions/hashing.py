@@ -35,7 +35,7 @@ def shingle_hashes(text: str, k: int = 3) -> np.ndarray:
     with np.errstate(over="ignore"):
         th = _token_hashes(text)
         if len(th) < k:
-            return th.copy()
+            return np.unique(th)  # set semantics even for short docs
         # combine k consecutive token hashes with distinct multipliers
         acc = np.zeros(len(th) - k + 1, dtype=np.uint64)
         for j in range(k):

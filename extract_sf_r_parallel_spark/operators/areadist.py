@@ -116,9 +116,14 @@ def areadist(
         )
         if age:
             # Σ(age·clip_area)/Σ(clip_area) over candidates with a>0
-            # (C_…R:156-159); null when nothing intersects the buffer
-            num = F.sum(F.when(F.col(a) > 0, F.col("page") * F.col(a)))
-            den = F.sum(F.when(F.col(a) > 0, F.col(a)))
+            # (C_…R:156-159); null when nothing intersects the buffer.
+            # Pairs with undefined age (YEAR=0 in a layer with no real
+            # year → null oldestyear → null page) are excluded from
+            # BOTH num and den (null-contribution semantics, ADVICE
+            # r01 — same rule as oracle.py and the fused path).
+            ok = (F.col(a) > 0) & F.col("page").isNotNull()
+            num = F.sum(F.when(ok, F.col("page") * F.col(a)))
+            den = F.sum(F.when(ok, F.col(a)))
             aggs.append((num / den).alias(f"MEANAGE_{int(r)}"))
 
     got = pairs.groupBy(*keys, "layer").agg(*aggs)

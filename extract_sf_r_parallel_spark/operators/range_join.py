@@ -144,20 +144,34 @@ def broadcast_pair_metrics_udf(spark, polys: DataFrame, radii: tuple[float, ...]
     gpdf = polys.select("feature_id", "geom").toPandas()
     fids = gpdf["feature_id"].to_numpy(np.int64)
     order = np.argsort(fids)
+    sorted_fids = fids[order]
+    # a duplicated feature_id would silently resolve pairs against the
+    # wrong ring via searchsorted — fail loudly at build time instead
+    if len(sorted_fids) > 1 and (np.diff(sorted_fids) == 0).any():
+        raise ValueError("broadcast_pair_metrics_udf: duplicate "
+                         "feature_id values in the broadcast poly side")
     rings = [
         np.asarray(gpdf["geom"].iloc[int(i)][0], dtype=np.float64).reshape(-1, 2)
         for i in order
     ]
     packed = K.PackedRings(rings)
-    bc = spark.sparkContext.broadcast((packed, fids[order]))
+    bc = spark.sparkContext.broadcast((packed, sorted_fids))
     fields = [T.StructField("dist", T.DoubleType())] + [
         T.StructField(f"a{int(r)}", T.DoubleType()) for r in radii
     ]
 
     @F.pandas_udf(returnType=T.StructType(fields))
     def _metrics(x: pd.Series, y: pd.Series, fid: pd.Series) -> pd.DataFrame:
-        pk, sorted_fids = bc.value
-        ridx = np.searchsorted(sorted_fids, fid.to_numpy(np.int64))
+        pk, sfids = bc.value
+        f = fid.to_numpy(np.int64)
+        ridx = np.searchsorted(sfids, f)
+        # validate the lookup: every pair's fid must exist in the
+        # broadcast index (ADVICE r01: absent fids otherwise refine
+        # against an arbitrary neighbour ring)
+        if len(sfids) == 0 or (ridx >= len(sfids)).any() \
+                or (sfids[np.minimum(ridx, len(sfids) - 1)] != f).any():
+            raise ValueError("broadcast_pair_metrics_udf: pair feature_id "
+                             "absent from the broadcast geometry index")
         m = K.packed_pair_metrics(
             x.to_numpy(np.float64), y.to_numpy(np.float64),
             ridx, pk, tuple(radii))

@@ -81,6 +81,12 @@ def areadist_oracle(
                 row[f"PROP{int(r)}"] = a_dissolved / (pi_literal * r * r)
                 if age:
                     m = areas > 0
+                    if oldest is None:
+                        # no real construction year anywhere in the
+                        # layer: YEAR=0 ages are undefined → those
+                        # candidates contribute nothing to MEANAGE
+                        # (null-contribution semantics, ADVICE r01)
+                        m = m & (cyears > 0)
                     if m.any():
                         yy = cyears[m].astype(np.float64)
                         if oldest is not None:

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from ..data import synth
 from ..functions.text import fingerprint_udf, langid_udf, quality_udf, token_count_udf
 from ..operators.areadist import areadist
-from ..operators.areadist_fused import areadist_fused
+from ..operators.areadist_fused import areadist_auto
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, pixel_embed
@@ -136,10 +136,12 @@ def _flagship_select(df):
 
 
 def q_areadist_circle(spark, sf_dir):
-    # fused broadcast path: single-stage mapInPandas (see
-    # operators/areadist_fused.py); result-identical to the join path
+    # auto plan selection (VERDICT r01 wrong-#3): the feature-side
+    # count picks the fused single-stage mapInPandas plan when it fits
+    # an executor (it does here), else the shuffle-join plan below —
+    # result-identical either way
     pts, polys = _circle_inputs(spark, sf_dir)
-    return _flagship_select(areadist_fused(pts, polys, validity_filter=False))
+    return _flagship_select(areadist_auto(pts, polys, validity_filter=False))
 
 
 def q_areadist_circle_join(spark, sf_dir):

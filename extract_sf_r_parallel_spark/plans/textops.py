@@ -48,7 +48,7 @@ def _mul64(expr: str) -> str:
 
 # word-3-shingles from token hashes: acc = (th[i]·G + th[i+1])·G + th[i+2]
 _ACC1 = f"({_mul64('th[i]')} + th[i+1]) % {_M64}"
-_SHINGLES = (f"CASE WHEN len(th) < 3 THEN th ELSE "
+_SHINGLES = (f"CASE WHEN len(th) < 3 THEN list_distinct(th) ELSE "
              f"list_distinct(list_transform(range(1, len(th) - 1), "
              f"i -> ({_mul64(_ACC1)} + th[i+2]) % {_M64})) END")
 
@@ -249,12 +249,16 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 # blocking the Spark operator uses): all in-block pairs, exact
 # shingle-set Jaccard ≥ 0.2. Ratio of exact ints → bit-identical.
 ORACLE["ngram_jaccard"] = f"""
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id, lang, {_SHINGLES} AS shingles
   FROM (
     SELECT t.doc_id, d.lang, t.th
     FROM ({_TOKS_CTE}) t JOIN documents d ON t.doc_id = d.doc_id
   )
+), sh AS (  -- mirror the operator's max_bucket=500 block-skew cap
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY lang) AS bsz FROM sh0
+  ) WHERE bsz <= 500
 ), j AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
