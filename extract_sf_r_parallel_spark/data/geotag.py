@@ -100,6 +100,19 @@ def sql_point_year(key: str) -> str:
     return f"CAST(1997 + ({key} % 25) AS INT)"
 
 
+def sql_lon(key: str) -> str:
+    """Deterministic lon degrees in [-121, -109) around the reference
+    CRS's central meridian (lon0 = -115, C_…R:33). Integer LCG + one
+    IEEE division — bit-identical across engines."""
+    return f"(-121.0 + CAST((({key} * {_A1} + 13) % {_P1}) % 12001 AS DOUBLE) / 1000.0)"
+
+
+def sql_lat(key: str) -> str:
+    """Deterministic lat degrees in [49, 60) (the reference extent's
+    latitude band)."""
+    return f"(49.0 + CAST((({key} * {_A2} + 7) % {_P2}) % 11001 AS DOUBLE) / 1000.0)"
+
+
 RECT_COLS = ("rxmin", "rymin", "rxmax", "rymax", "ryear")
 
 

@@ -141,15 +141,21 @@ def kring(cell: int, k: int) -> np.ndarray:
 
 def kring_for_radius(cell: np.ndarray, radius: float) -> np.ndarray:
     """Vectorized: for each cell (all same resolution) return the 2-D
-    array stack of k-ring neighbours where k = ceil(radius / inradius·2)
-    guarantees the Euclidean disk of `radius` around any point of the
-    cell is covered. Returns (n_cells, ring_size) int64."""
+    array stack of k-ring neighbours such that the Euclidean disk of
+    `radius` around ANY point of the cell is covered. Returns
+    (n_cells, ring_size) int64.
+
+    Coverage bound (ADVICE r01 #1): cell centres at hex distance k can
+    be as close as 1.5·e·k Euclidean (the zigzag axis), NOT k·√3·e; a
+    target point can sit up to `radius` from a source point that is up
+    to one circumradius e from the centre, and its own cell centre up
+    to e away again — so cover requires 1.5·e·k ≥ radius + 2e, i.e.
+    k = ceil((radius + 2e) / (1.5e))."""
     cell = np.asarray(cell, dtype=np.int64)
     code, q, r = cell_to_axial(cell)
     c0 = int(code[0]) if len(code) else 0
     e = edge_for_code(c0)
-    inradius = e * _SQRT3 / 2.0
-    k = int(np.ceil(radius / (2.0 * inradius))) + 1 if radius > 0 else 0
+    k = int(np.ceil((radius + 2.0 * e) / (1.5 * e))) if radius > 0 else 0
     dq_list, dr_list = [], []
     for d in range(-k, k + 1):
         lo = max(-k, -d - k)

@@ -370,10 +370,80 @@ WHERE dist < {MAXDIST} AND ryear < pyear
 GROUP BY pyear
 """
 
+# --- S4: CRS reprojection in the pipeline (st_transform on load,
+# C_…R:33). The Spark side runs the engine's tmerc_forward NumPy UDF
+# (operators/reproject.project_points); the oracle evaluates the same
+# GRS80 Redfearn series as plain SQL arithmetic. Identical series ⇒
+# truncation cancels; residual is fp-op-order + libm ulps (~1e-9 m),
+# and both sides ROUND to 4 dp (0.1 mm).
+def _tmerc_forward_sql(pts_sql: str) -> str:
+    a, f = 6378137.0, 1.0 / 298.257222101
+    e2 = f * (2 - f)
+    ep2 = e2 / (1 - e2)
+    m0 = 1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256
+    m2 = 3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024
+    m4 = 15 * e2**2 / 256 + 45 * e2**3 / 1024
+    m6 = 35 * e2**3 / 3072
+    k0, lon0, x0, y0 = 0.9992, -115.0, 500000.0, 0.0
+    # NB: DuckDB identifiers are case-insensitive — the Redfearn "C"
+    # coefficient is named CV so it cannot collide with cosine "c"
+    return f"""
+SELECT pid,
+       ROUND({x0!r} + {k0!r} * NU * (AA
+             + (1 - T2 + CV) * AA*AA*AA / 6
+             + (5 - 18*T2 + T2*T2 + 72*CV - 58*{ep2!r}) * AA*AA*AA*AA*AA / 120),
+             4) AS x,
+       ROUND({y0!r} + {k0!r} * (MM + NU * (sphi/cphi) * (AA*AA / 2
+             + (5 - T2 + 9*CV + 4*CV*CV) * AA*AA*AA*AA / 24
+             + (61 - 58*T2 + T2*T2 + 600*CV - 330*{ep2!r}) * AA*AA*AA*AA*AA*AA / 720)),
+             4) AS y
+FROM (
+  SELECT pid, sphi, cphi, AA,
+         {a!r} / SQRT(1 - {e2!r} * sphi * sphi) AS NU,
+         (sphi/cphi) * (sphi/cphi) AS T2,
+         {ep2!r} * cphi * cphi AS CV,
+         {a!r} * ({m0!r} * phi - {m2!r} * SIN(2*phi)
+                  + {m4!r} * SIN(4*phi) - {m6!r} * SIN(6*phi)) AS MM
+  FROM (
+    SELECT pid, phi, SIN(phi) AS sphi, COS(phi) AS cphi, dl * COS(phi) AS AA
+    FROM (
+      SELECT pid, RADIANS(lat) AS phi, RADIANS(lon - ({lon0!r})) AS dl
+      FROM ({pts_sql})
+    )
+  )
+)
+"""
+
+
+_LL_SQL = f"""
+  SELECT o_orderkey AS pid,
+         {G.sql_lon('o_orderkey')} AS lon,
+         {G.sql_lat('o_orderkey')} AS lat
+  FROM orders
+"""
+
+ORACLE["reproject"] = _tmerc_forward_sql(_LL_SQL)
+
+
+def q_reproject(spark, sf_dir):
+    from ..operators.reproject import project_points
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.repartition(spark.sparkContext.defaultParallelism)
+    ll = o.select(
+        F.col("o_orderkey").alias("pid"),
+        F.expr(G.sql_lon("o_orderkey")).alias("lon"),
+        F.expr(G.sql_lat("o_orderkey")).alias("lat"),
+    )
+    p = project_points(ll)
+    return p.select("pid", F.round("x", 4).alias("x"),
+                    F.round("y", 4).alias("y"))
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "range_near": q_range_near,
     "areadist_square": q_areadist_square,
     "knn3": q_knn3,
     "theta_spatial": q_theta_spatial,
+    "reproject": q_reproject,
 }

@@ -62,6 +62,27 @@ def test_kring_for_radius_covers_disk():
         assert qc[i] in rings[i]
 
 
+def test_kring_for_radius_covers_disk_high_ratios():
+    """The ADVICE r01 regression: at radius/edge ratios ≫ 1 the old
+    k = ceil(radius/(√3·e))+1 bound under-covered the disk (~7% misses
+    at ratio ≈ 19). Exercise ratios 10–40 against edge 32."""
+    rng = np.random.default_rng(13)
+    code = 1  # edge 32
+    for ratio in (10.0, 19.0, 27.0, 40.0):
+        radius = 32.0 * ratio
+        px = rng.uniform(0, 20000, 400)
+        py = rng.uniform(0, 20000, 400)
+        pc = I.xy_to_cell(px, py, code)
+        rings = I.kring_for_radius(pc, radius)
+        ang = rng.uniform(0, 2 * np.pi, 400)
+        # bias displacement toward the boundary (the failure zone)
+        rad = radius * np.sqrt(rng.uniform(0.8, 1.0, 400))
+        qx, qy = px + rad * np.cos(ang), py + rad * np.sin(ang)
+        qc = I.xy_to_cell(qx, qy, code)
+        miss = sum(1 for i in range(400) if qc[i] not in rings[i])
+        assert miss == 0, f"ratio {ratio}: {miss}/400 target cells missed"
+
+
 def test_cover_bbox_superset():
     """Every point inside the bbox maps to a cell in the cover."""
     rng = np.random.default_rng(4)
