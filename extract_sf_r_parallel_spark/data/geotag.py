@@ -116,6 +116,24 @@ def sql_lat(key: str) -> str:
 RECT_COLS = ("rxmin", "rymin", "rxmax", "rymax", "ryear")
 
 
+def rect_params_np(keys: np.ndarray) -> dict[str, np.ndarray]:
+    """NumPy twin of :func:`sql_rect` — identical integer arithmetic,
+    used by fixture writers (e.g. the shapefile round-trip layer) so a
+    binary-format read-back can be hash-checked against the SQL."""
+    k = np.asarray(keys, dtype=np.int64)
+    cx = ((k * _A1 + 101) % _P1) % WINDOW
+    cy = ((k * _A2 + 211) % _P2) % WINDOW
+    hw = 5 + (k % 37) * 3
+    hh = 5 + (k % 41) * 2
+    return {
+        "rxmin": (cx - hw).astype(np.float64),
+        "rymin": (cy - hh).astype(np.float64),
+        "rxmax": (cx + hw).astype(np.float64),
+        "rymax": (cy + hh).astype(np.float64),
+        "ryear": np.where(k % 20 == 0, 0, 1990 + (k % 29)).astype(np.int64),
+    }
+
+
 def sql_rect(key: str) -> dict[str, str]:
     """Axis-aligned rectangle derived from an integer key column:
     centre via the LCG above, half-extents 5..116 m, YEAR with the

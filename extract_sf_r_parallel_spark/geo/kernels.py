@@ -47,6 +47,16 @@ def _open_ring(ring: np.ndarray) -> np.ndarray:
     return ring
 
 
+def ring_is_closed(ring: np.ndarray) -> bool:
+    """Geometry-kind convention (matches shapefiles): a POLYGON ring
+    repeats its first vertex last; an open POLYLINE (e.g. the
+    reference's seismic-line layers) does not. Closed rings have area
+    and an inside; polylines have zero area and distance-only
+    semantics."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    return len(r) >= 4 and bool(np.all(r[0] == r[-1]))
+
+
 def ring_area(ring: np.ndarray) -> float:
     """Signed shoelace area (CCW positive). Replaces st_area
     (C_…R:98) for whole polygons."""
@@ -166,6 +176,8 @@ def _edge_circle_contrib(
 def circle_polygon_area(cx: float, cy: float, r: float, ring: np.ndarray) -> float:
     """Exact area of circle((cx,cy), r) ∩ polygon(ring). Single-pair
     convenience wrapper over the vectorized edge kernel."""
+    if not ring_is_closed(ring):
+        return 0.0  # open polylines have zero clip area
     ring = _open_ring(ring)
     if len(ring) < 3 or r <= 0:
         return 0.0
@@ -214,12 +226,15 @@ def pairs_circle_polygon_area(
 def pairs_point_polygon_distance(
     px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
 ) -> np.ndarray:
-    """Vectorized st_distance(point, polygon) (C_…R:117): 0 when the
-    point is inside the ring, else min distance to any edge."""
+    """Vectorized st_distance(point, geometry) (C_…R:117): 0 when the
+    point is inside a closed ring, else min distance to any edge. Open
+    polylines (first ≠ last vertex) measure to the open edge chain —
+    no closing edge, no inside."""
     n = len(rings)
     out = np.full(n, np.inf, dtype=np.float64)
     if n == 0:
         return out
+    closed = np.array([ring_is_closed(rg) for rg in rings], dtype=bool)
     opened = [_open_ring(rg) for rg in rings]
     counts = np.array([len(o) for o in opened])
     good = counts >= 2
@@ -231,7 +246,7 @@ def pairs_point_polygon_distance(
     pstops = np.cumsum(used)
     pstarts = pstops - used
     nxt = np.arange(len(pts)) + 1
-    nxt[pstops - 1] = pstarts
+    nxt[pstops - 1] = np.where(closed, pstarts, pstops - 1)
     p1, p2 = pts, pts[nxt]
     ppx = np.repeat(np.asarray(px, dtype=np.float64), counts)
     ppy = np.repeat(np.asarray(py, dtype=np.float64), counts)
@@ -245,7 +260,7 @@ def pairs_point_polygon_distance(
     crossing = cond & (ppx < xint)
     ncross = np.zeros(n, dtype=np.int64)
     np.add.at(ncross, pair_idx, crossing.astype(np.int64))
-    inside = (ncross % 2 == 1) & (counts >= 3)
+    inside = (ncross % 2 == 1) & (counts >= 3) & closed
     out[inside] = 0.0
     return out
 
@@ -258,11 +273,18 @@ class PackedRings:
     """Unique rings of one Arrow batch packed into flat arrays so the
     per-pair kernel is pure vectorized gather — zero per-pair Python.
     A candidate pair references its ring by index; the same feature
-    joined against many points is parsed exactly once per batch."""
+    joined against many points is parsed exactly once per batch.
 
-    __slots__ = ("V", "offsets", "counts", "nxt")
+    Open polylines (first ≠ last raw vertex, :func:`ring_is_closed`)
+    are first-class: their edge chain does NOT wrap around (the last
+    vertex's `nxt` is itself — a degenerate zero-length segment whose
+    distance is the vertex distance, already dominated by the real
+    segments), they have no inside, and their circle-clip area is 0."""
+
+    __slots__ = ("V", "offsets", "counts", "nxt", "closed")
 
     def __init__(self, rings: list[np.ndarray]):
+        self.closed = np.array([ring_is_closed(r) for r in rings], dtype=bool)
         opened = [_open_ring(r) for r in rings]
         self.counts = np.array([len(o) for o in opened], dtype=np.int64)
         self.offsets = np.concatenate([[0], np.cumsum(self.counts)[:-1]]).astype(np.int64)
@@ -270,7 +292,10 @@ class PackedRings:
                   else np.zeros((0, 2), dtype=np.float64))
         nxt = np.arange(1, len(self.V) + 1, dtype=np.int64)
         ends = self.offsets + self.counts - 1
-        nxt[ends[self.counts > 0]] = self.offsets[self.counts > 0]
+        wrap = self.closed & (self.counts > 0)
+        nxt[ends[wrap]] = self.offsets[wrap]
+        stay = ~self.closed & (self.counts > 0)
+        nxt[ends[stay]] = ends[stay]
         self.nxt = nxt
 
 
@@ -304,14 +329,16 @@ def packed_pair_metrics(
 
     d = point_segment_distance(ppx, ppy, p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1])
     out_dist[valid] = np.minimum.reduceat(d, seg_starts) if len(d) else np.inf
-    # inside test: even-odd crossing parity
+    # inside test: even-odd crossing parity (closed rings only — an
+    # open polyline has no inside)
     cond = (p1[:, 1] > ppy) != (p2[:, 1] > ppy)
     with np.errstate(divide="ignore", invalid="ignore"):
         xint = p1[:, 0] + (ppy - p1[:, 1]) * (p2[:, 0] - p1[:, 0]) / (p2[:, 1] - p1[:, 1])
     crossing = (cond & (ppx < xint)).astype(np.int64)
     ncross = np.zeros(n, dtype=np.int64)
     ncross[valid] = np.add.reduceat(crossing, seg_starts)
-    out_dist[(ncross % 2 == 1) & (counts >= 3)] = 0.0
+    pair_closed = packed.closed[ridx]
+    out_dist[(ncross % 2 == 1) & (counts >= 3) & pair_closed] = 0.0
 
     out: dict[str, np.ndarray] = {"dist": out_dist}
     q1x, q1y = p1[:, 0] - ppx, p1[:, 1] - ppy
@@ -319,8 +346,9 @@ def packed_pair_metrics(
     for r in radii:
         # area is non-zero only where dist < r — evaluate the (trig-
         # heavy) circle kernel on that pair subset only (2-30% of
-        # pairs at the reference radii vs the 1000 m candidate cap)
-        hit = out_dist < r
+        # pairs at the reference radii vs the 1000 m candidate cap).
+        # Open polylines have zero clip area by definition.
+        hit = (out_dist < r) & pair_closed
         a = np.zeros(n, dtype=np.float64)
         if hit.any():
             hcounts = counts[hit]
@@ -353,6 +381,15 @@ def _segments_properly_intersect(
     o3 = orient(cx, cy, dx, dy, ax, ay)
     o4 = orient(cx, cy, dx, dy, bx, by)
     return (o1 * o2 < 0) & (o3 * o4 < 0)
+
+
+def polyline_is_valid(ring: np.ndarray) -> bool:
+    """Open-chain validity: ≥2 vertices, finite coords, no repeated
+    consecutive vertex (zero-length segment)."""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(r) < 2 or not np.isfinite(r).all():
+        return False
+    return bool((np.abs(np.diff(r, axis=0)).sum(axis=1) > 0).all())
 
 
 def ring_is_valid(ring: np.ndarray) -> bool:

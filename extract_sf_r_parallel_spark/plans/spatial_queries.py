@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..data import geotag as G
 from ..geo import index as I
@@ -439,6 +440,132 @@ def q_reproject(spark, sf_dir):
                     F.round("y", 4).alias("y"))
 
 
+# --- S3: shapefile ingestion (st_read, C_…R:32). The query writes the
+# rectangle layer as REAL .shp/.shx/.dbf files (sources/shapefile.py
+# writer) from the deterministic integers, reads them back through the
+# distributed binaryFile+mapInPandas scan, and reconstructs the rect
+# params from parsed ring vertices. The oracle derives the same values
+# from pure SQL arithmetic — a hash match proves the byte-level format
+# round-trip end to end.
+def q_shapefile_scan(spark, sf_dir):
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources import shapefile as SHP
+
+    keys = np.sort(np.array(
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_partkey").toPandas()["p_partkey"], dtype=np.int64))
+    p = G.rect_params_np(keys)
+    d = os.path.join(tempfile.gettempdir(),
+                     "shpfix_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(d, exist_ok=True)
+    nshards = 4
+    for s in range(nshards):
+        m = keys % nshards == s
+        geoms = [
+            [np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])]
+            for x0, y0, x1, y1 in zip(p["rxmin"][m], p["rymin"][m],
+                                      p["rxmax"][m], p["rymax"][m])
+        ]
+        import pandas as pd
+        attrs = pd.DataFrame({"FID": keys[m], "YEAR": p["ryear"][m]})
+        SHP.write_shapefile(os.path.join(d, f"layer{s}"), geoms, attrs)
+
+    df = SHP.read_shapefiles_df(
+        spark, os.path.join(d, "*"),
+        [("FID", T.LongType()), ("YEAR", T.IntegerType())])
+    xs = F.expr("filter(geom[0], (v, i) -> i % 2 = 0)")
+    ys = F.expr("filter(geom[0], (v, i) -> i % 2 = 1)")
+    return df.select(
+        F.col("FID").alias("fid"),
+        F.array_min(xs).alias("rxmin"), F.array_min(ys).alias("rymin"),
+        F.array_max(xs).alias("rxmax"), F.array_max(ys).alias("rymax"),
+        F.col("YEAR").alias("ryear"),
+    )
+
+
+ORACLE["shapefile_scan"] = f"""
+SELECT fid, rxmin, rymin, rxmax, rymax, ryear FROM ({_RECTS_SQL})
+"""
+
+
+# --- open polylines (the reference's seismic-line layers): kNN over
+# 3-vertex open chains derived from supplier keys. The engine runs the
+# real packed-ring kernel (no closing edge, no inside, zero area); the
+# oracle brute-forces the two point-to-segment closed forms. Offsets
+# are constructed never-zero so no segment degenerates.
+_SEGS = {
+    "ax": "CAST(((s_suppkey * 48271 + 307) % 999983) % 20000 AS DOUBLE)",
+    "ay": "CAST(((s_suppkey * 69621 + 401) % 999979) % 20000 AS DOUBLE)",
+    "dx1": "CAST((301 + s_suppkey % 600) * (1 - 2 * (s_suppkey % 2)) AS DOUBLE)",
+    "dy1": "CAST((157 + s_suppkey % 500) * (1 - 2 * ((s_suppkey % 3) % 2)) AS DOUBLE)",
+    "dx2": "CAST((211 + s_suppkey % 450) * (1 - 2 * ((s_suppkey % 5) % 2)) AS DOUBLE)",
+    "dy2": "CAST((263 + s_suppkey % 550) * (1 - 2 * ((s_suppkey % 7) % 2)) AS DOUBLE)",
+}
+
+_LINES_SQL = f"""
+  SELECT s_suppkey AS fid,
+         ax, ay, ax + dx1 AS bx, ay + dy1 AS by,
+         ax + dx1 + dx2 AS cx, ay + dy1 + dy2 AS cy
+  FROM (
+    SELECT s_suppkey, {_SEGS['ax']} AS ax, {_SEGS['ay']} AS ay,
+           {_SEGS['dx1']} AS dx1, {_SEGS['dy1']} AS dy1,
+           {_SEGS['dx2']} AS dx2, {_SEGS['dy2']} AS dy2
+    FROM supplier
+  )
+"""
+
+
+def _sql_point_seg(ax: str, ay: str, bx: str, by: str) -> str:
+    """Point-to-segment distance from (x, y) — the same projection/
+    clip/hypot form the NumPy kernel uses."""
+    dx, dy = f"(({bx}) - ({ax}))", f"(({by}) - ({ay}))"
+    t = (f"LEAST(GREATEST(((x - ({ax})) * {dx} + (y - ({ay})) * {dy})"
+         f" / ({dx} * {dx} + {dy} * {dy}), 0.0), 1.0)")
+    return (f"SQRT((x - (({ax}) + {t} * {dx})) * (x - (({ax}) + {t} * {dx}))"
+            f" + (y - (({ay}) + {t} * {dy})) * (y - (({ay}) + {t} * {dy})))")
+
+
+ORACLE["polyline_knn"] = f"""
+SELECT CAST(pid AS VARCHAR) AS PKEY, rk, fid AS feature_id,
+       ROUND(dist, 6) AS dist
+FROM (
+  SELECT pid, fid,
+         LEAST({_sql_point_seg('ax', 'ay', 'bx', 'by')},
+               {_sql_point_seg('bx', 'by', 'cx', 'cy')}) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY pid
+           ORDER BY LEAST({_sql_point_seg('ax', 'ay', 'bx', 'by')},
+                          {_sql_point_seg('bx', 'by', 'cx', 'cy')}), fid) AS rk
+  FROM (SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0)
+  CROSS JOIN ({_LINES_SQL})
+) WHERE rk <= 2
+"""
+
+
+def q_polyline_knn(spark, sf_dir):
+    from ..operators.knn import knn_join
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    seg = {k: F.expr(v) for k, v in _SEGS.items()}
+    s2 = s.select(F.col("s_suppkey").alias("feature_id"), *[
+        seg[k].alias(k) for k in ("ax", "ay", "dx1", "dy1", "dx2", "dy2")])
+    geom = F.array(F.array(
+        F.col("ax"), F.col("ay"),
+        F.col("ax") + F.col("dx1"), F.col("ay") + F.col("dy1"),
+        F.col("ax") + F.col("dx1") + F.col("dx2"),
+        F.col("ay") + F.col("dy1") + F.col("dy2"),
+    ))
+    polys = s2.select("feature_id", geom.alias("geom"))
+    pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
+        F.col("pid").cast("string").alias("PKEY"), "x", "y")
+    out = knn_join(pts, polys, k=2, r0=2000.0, max_radius=32000.0,
+                   broadcast_polys=True)
+    return out.select("PKEY", "rk", "feature_id",
+                      F.round("dist", 6).alias("dist"))
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "range_near": q_range_near,
@@ -446,4 +573,6 @@ QUERIES = {
     "knn3": q_knn3,
     "theta_spatial": q_theta_spatial,
     "reproject": q_reproject,
+    "shapefile_scan": q_shapefile_scan,
+    "polyline_knn": q_polyline_knn,
 }

@@ -1,0 +1,262 @@
+"""From-scratch ESRI shapefile I/O (st_read, /root/reference/1_scripts/
+C_…R:32 and 14 repeats; D_…R:79 — the reference's entry point for every
+layer). No GDAL/fiona: the formats are parsed directly from the public
+ESRI whitepaper (.shp geometry + .dbf dBase III attributes).
+
+Supported shapes: Polygon (type 5, multi-ring) and PolyLine (type 3,
+open parts — the reference's seismic-line layers). Attributes: C
+(text) and N (numeric) fields.
+
+Spark-first read path: `read_shapefiles_df` loads the raw bytes with
+the built-in `binaryFile` source (so file contents move through Spark,
+not the driver), pairs each .shp with its .dbf sidecar, and parses
+record streams inside `mapInPandas` — one task per shapefile, features
+exploded to rows. At 100 TB-of-layers scale that is exactly the
+parallelism shapefiles admit (they are not splittable mid-stream);
+downstream everything is ordinary columnar DataFrame work.
+
+The writer exists for fixtures and round-trip tests: the driver query
+`shapefile_scan` writes layers from deterministic integers, reads them
+back through this module, and hash-matches a DuckDB oracle that
+derives the same integers independently.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["write_shapefile", "read_shapefile_bytes", "read_shapefile",
+           "read_shapefiles_df", "SHAPE_POLYGON", "SHAPE_POLYLINE"]
+
+SHAPE_POLYLINE = 3
+SHAPE_POLYGON = 5
+
+
+# ---------------------------------------------------------------------------
+# writer (fixtures + round-trip tests)
+# ---------------------------------------------------------------------------
+
+def _shp_header(file_len_words: int, shape_type: int,
+                bbox: tuple[float, float, float, float]) -> bytes:
+    return (
+        struct.pack(">i", 9994) + b"\x00" * 20
+        + struct.pack(">i", file_len_words)
+        + struct.pack("<ii", 1000, shape_type)
+        + struct.pack("<4d", *bbox)
+        + struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    )
+
+
+def write_shapefile(base: str, geoms: list[list[np.ndarray]],
+                    attrs: pd.DataFrame,
+                    shape_type: int = SHAPE_POLYGON) -> None:
+    """Write `base`.shp/.shx/.dbf. `geoms` is one list of (n,2) float64
+    part arrays per feature (rings for polygons, open parts for
+    polylines); `attrs` one row per feature (C for object/str columns,
+    N width 18 for numeric)."""
+    assert len(geoms) == len(attrs)
+    rec_blobs, shx_entries = [], []
+    gxmin = gymin = np.inf
+    gxmax = gymax = -np.inf
+    offset_words = 50  # header = 100 bytes
+    for rings in geoms:
+        pts = np.concatenate(rings, axis=0)
+        xmin, ymin = pts.min(axis=0)
+        xmax, ymax = pts.max(axis=0)
+        gxmin, gymin = min(gxmin, xmin), min(gymin, ymin)
+        gxmax, gymax = max(gxmax, xmax), max(gymax, ymax)
+        parts = np.cumsum([0] + [len(r) for r in rings[:-1]]).astype("<i4")
+        content = (
+            struct.pack("<i", shape_type)
+            + struct.pack("<4d", xmin, ymin, xmax, ymax)
+            + struct.pack("<ii", len(rings), len(pts))
+            + parts.tobytes()
+            + pts.astype("<f8").tobytes()
+        )
+        shx_entries.append((offset_words, len(content) // 2))
+        rec_blobs.append(
+            struct.pack(">ii", len(rec_blobs) + 1, len(content) // 2) + content)
+        offset_words += 4 + len(content) // 2
+    bbox = (gxmin, gymin, gxmax, gymax) if rec_blobs else (0.0, 0.0, 0.0, 0.0)
+    with open(base + ".shp", "wb") as f:
+        f.write(_shp_header(offset_words, shape_type, bbox))
+        for b in rec_blobs:
+            f.write(b)
+    with open(base + ".shx", "wb") as f:
+        f.write(_shp_header(50 + 4 * len(rec_blobs), shape_type, bbox))
+        for off, ln in shx_entries:
+            f.write(struct.pack(">ii", off, ln))
+
+    # dBase III
+    fields = []
+    for col in attrs.columns:
+        if attrs[col].dtype.kind in "iuf":
+            fields.append((col[:10], b"N", 18, 0 if attrs[col].dtype.kind in "iu" else 6))
+        else:
+            width = max(1, min(254, int(attrs[col].astype(str).str.len().max() or 1)))
+            fields.append((col[:10], b"C", width, 0))
+    header_size = 32 + 32 * len(fields) + 1
+    record_size = 1 + sum(w for _, _, w, _ in fields)
+    with open(base + ".dbf", "wb") as f:
+        f.write(struct.pack("<B3B", 0x03, 95, 7, 26))
+        f.write(struct.pack("<i", len(attrs)))
+        f.write(struct.pack("<hh", header_size, record_size))
+        f.write(b"\x00" * 20)
+        for name, ftype, width, dec in fields:
+            f.write(name.encode().ljust(11, b"\x00") + ftype
+                    + b"\x00" * 4 + struct.pack("<BB", width, dec) + b"\x00" * 14)
+        f.write(b"\x0d")
+        for _, row in attrs.iterrows():
+            f.write(b" ")
+            for (name, ftype, width, dec), col in zip(fields, attrs.columns):
+                v = row[col]
+                if ftype == b"N":
+                    s = (f"{v:.{dec}f}" if dec else str(int(v))).rjust(width)
+                else:
+                    s = str(v).ljust(width)
+                f.write(s[:width].encode())
+        f.write(b"\x1a")
+
+
+# ---------------------------------------------------------------------------
+# reader
+# ---------------------------------------------------------------------------
+
+def _parse_shp(blob: bytes) -> list[tuple[int, list[np.ndarray]]]:
+    """.shp bytes → [(shape_type, [part arrays])] per feature."""
+    out = []
+    pos = 100
+    n = len(blob)
+    while pos + 8 <= n:
+        (_recno, content_words) = struct.unpack(">ii", blob[pos:pos + 8])
+        pos += 8
+        end = pos + content_words * 2
+        (stype,) = struct.unpack("<i", blob[pos:pos + 4])
+        if stype == 0:  # null shape
+            out.append((stype, []))
+            pos = end
+            continue
+        if stype not in (SHAPE_POLYGON, SHAPE_POLYLINE):
+            raise ValueError(f"unsupported shape type {stype}")
+        nparts, npoints = struct.unpack("<ii", blob[pos + 36:pos + 44])
+        parts = np.frombuffer(blob, dtype="<i4", count=nparts,
+                              offset=pos + 44)
+        pts = np.frombuffer(blob, dtype="<f8", count=npoints * 2,
+                            offset=pos + 44 + 4 * nparts).reshape(-1, 2)
+        bounds = np.append(parts, npoints)
+        rings = [pts[bounds[i]:bounds[i + 1]].astype(np.float64)
+                 for i in range(nparts)]
+        out.append((stype, rings))
+        pos = end
+    return out
+
+
+def _parse_dbf(blob: bytes) -> pd.DataFrame:
+    nrec, = struct.unpack("<i", blob[4:8])
+    hsize, rsize = struct.unpack("<hh", blob[8:12])
+    fields = []
+    pos = 32
+    while blob[pos] != 0x0D:
+        name = blob[pos:pos + 11].split(b"\x00")[0].decode()
+        ftype = chr(blob[pos + 11])
+        width = blob[pos + 16]
+        dec = blob[pos + 17]
+        fields.append((name, ftype, width, dec))
+        pos += 32
+    rows = []
+    for i in range(nrec):
+        rpos = hsize + i * rsize
+        if blob[rpos:rpos + 1] == b"*":  # deleted
+            continue
+        rpos += 1
+        row = {}
+        for name, ftype, width, dec in fields:
+            raw = blob[rpos:rpos + width].decode().strip()
+            if ftype == "N":
+                row[name] = (float(raw) if dec else int(raw)) if raw else None
+            else:
+                row[name] = raw
+            rpos += width
+        rows.append(row)
+    return pd.DataFrame(rows, columns=[f[0] for f in fields])
+
+
+def read_shapefile_bytes(shp: bytes, dbf: bytes | None) -> pd.DataFrame:
+    """(shp bytes, dbf bytes) → DataFrame: shape_type, geom (list of
+    flat [x0,y0,x1,y1,…] part arrays — the engine's ring layout) +
+    attribute columns."""
+    feats = _parse_shp(shp)
+    pdf = pd.DataFrame({
+        "shape_type": [s for s, _ in feats],
+        "geom": [[r.ravel().tolist() for r in rings] for _, rings in feats],
+    })
+    if dbf is not None:
+        attrs = _parse_dbf(dbf)
+        assert len(attrs) == len(pdf), "dbf/shp record count mismatch"
+        pdf = pd.concat([pdf, attrs.reset_index(drop=True)], axis=1)
+    return pdf
+
+
+def read_shapefile(base: str) -> pd.DataFrame:
+    with open(base + ".shp", "rb") as f:
+        shp = f.read()
+    try:
+        with open(base + ".dbf", "rb") as f:
+            dbf = f.read()
+    except FileNotFoundError:
+        dbf = None
+    return read_shapefile_bytes(shp, dbf)
+
+
+def read_shapefiles_df(spark: SparkSession, glob: str,
+                       attr_schema: list[tuple[str, T.DataType]]) -> DataFrame:
+    """Distributed shapefile scan: binaryFile source → pair .shp with
+    its .dbf sidecar → parse inside mapInPandas (one task per layer
+    file, features exploded to rows). `attr_schema` declares the dbf
+    columns to surface, e.g. [("YEAR", IntegerType()), …]."""
+    raw = (
+        spark.read.format("binaryFile")
+        .load(glob)
+        .select(
+            F.regexp_replace("path", r"\.(shp|dbf)$", "").alias("base"),
+            F.element_at(F.split("path", r"\."), -1).alias("ext"),
+            "content",
+        )
+        .filter(F.col("ext").isin("shp", "dbf"))  # .shx is redundant
+    )
+    paired = (
+        raw.groupBy("base")
+        .pivot("ext", ["shp", "dbf"])
+        .agg(F.first("content"))
+    )
+    out_fields = [
+        T.StructField("base", T.StringType()),
+        T.StructField("feature_idx", T.LongType()),
+        T.StructField("shape_type", T.IntegerType()),
+        T.StructField("geom", T.ArrayType(T.ArrayType(T.DoubleType()))),
+    ] + [T.StructField(n, t) for n, t in attr_schema]
+    names = [n for n, _ in attr_schema]
+
+    def parse(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                feats = read_shapefile_bytes(bytes(row["shp"]),
+                                             bytes(row["dbf"])
+                                             if row["dbf"] is not None else None)
+                res = pd.DataFrame({
+                    "base": row["base"],
+                    "feature_idx": np.arange(len(feats), dtype=np.int64),
+                    "shape_type": feats["shape_type"].astype("int32"),
+                    "geom": feats["geom"],
+                })
+                for n in names:
+                    res[n] = feats[n]
+                yield res
+
+    return paired.mapInPandas(parse, T.StructType(out_fields))

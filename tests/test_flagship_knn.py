@@ -25,7 +25,13 @@ def _pandas_inputs(spark):
 
 
 def test_flagship_circle_query_matches_serial_oracle(spark):
-    got = entrymod.queries()["areadist_circle"](spark, SF_DIR).toPandas()
+    # the raw operator at full precision (the driver query adds the
+    # 2-6dp ROUND layer shared with its DuckDB closed-form oracle —
+    # that layer is checked by CORRECTNESS, not here)
+    from extract_sf_r_parallel_spark.operators.areadist_fused import areadist_auto
+    pts, polys = _circle_inputs(spark, SF_DIR)
+    got = areadist_auto(pts, polys, validity_filter=False) \
+        .drop("x", "y").toPandas()
     ppd, lpd = _pandas_inputs(spark)
     want = areadist_oracle(ppd, lpd, validity_filter=False)
     g = got.sort_values(["PKEY", "layer"]).reset_index(drop=True)
