@@ -366,6 +366,196 @@ def packed_pair_metrics(
 
 
 # ---------------------------------------------------------------------------
+# exact dissolved union (st_union before st_area, C_…R:99,154):
+# inclusion–exclusion over pairwise/k-wise polygon intersections
+# computed by Sutherland–Hodgman clipping against convex clip polygons
+# ---------------------------------------------------------------------------
+
+class DissolveFallback(Exception):
+    """Raised when the exact union needs a non-convex clip polygon (or
+    the overlap component is too entangled) — callers switch to the
+    supersampled raster union for that layer."""
+
+
+def orient_ccw(ring: np.ndarray) -> np.ndarray:
+    """Open ring, oriented counter-clockwise."""
+    r = _open_ring(ring)
+    x, y = r[:, 0], r[:, 1]
+    a = 0.5 * np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y)
+    return r if a >= 0 else r[::-1]
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    """All turns of the (CCW-oriented) open ring are left or straight."""
+    r = orient_ccw(ring)
+    if len(r) < 3:
+        return False
+    d = np.roll(r, -1, axis=0) - r
+    cross = d[:, 0] * np.roll(d[:, 1], -1) - d[:, 1] * np.roll(d[:, 0], -1)
+    return bool((cross >= -1e-9 * np.abs(cross).max()).all()) if len(d) else False
+
+
+def convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman: clip an arbitrary simple `subject` ring by a
+    CONVEX `clip` ring. Returns the open intersection ring (may be
+    empty). Correct area for any simple subject; the clip side must be
+    convex (checked by callers)."""
+    out = orient_ccw(subject)
+    cl = orient_ccw(clip)
+    n = len(cl)
+    for i in range(n):
+        if len(out) < 3:
+            return np.zeros((0, 2))
+        ax, ay = cl[i]
+        bx, by = cl[(i + 1) % n]
+        ex, ey = bx - ax, by - ay
+        px, py = out[:, 0], out[:, 1]
+        side = ex * (py - ay) - ey * (px - ax)   # ≥0 = inside (left)
+        inside = side >= 0.0
+        nxt_i = np.roll(np.arange(len(out)), -1)
+        res: list[np.ndarray] = []
+        for j in range(len(out)):
+            k = nxt_i[j]
+            if inside[j]:
+                res.append(out[j])
+            if inside[j] != inside[k]:
+                # edge crosses the clip line: parametric intersection
+                denom = side[j] - side[k]
+                t = side[j] / denom
+                res.append(out[j] + t * (out[k] - out[j]))
+        out = np.array(res) if res else np.zeros((0, 2))
+    return out
+
+
+def overlap_corrections(
+    rings: list[np.ndarray], years: np.ndarray, *,
+    max_terms: int = 2048,
+) -> list[tuple[np.ndarray, int, float]]:
+    """Inclusion–exclusion correction polygons for an overlapping layer:
+    for every subset S (|S| ≥ 2) of mutually intersecting features,
+    the intersection polygon I_S with weight (−1)^{|S|+1} and theta
+    year max(YEAR_i, i∈S) — so that for any region R (here: a circle),
+
+        area(R ∩ ⋃ rings) = Σ_i area(R ∩ ring_i)
+                          + Σ_{|S|≥2} weight_S · area(R ∩ I_S).
+
+    Corrections are FEATURE-STATIC: computed once per layer, they ride
+    the same cell-indexed join as real features, so per-point dissolve
+    cost stays O(local candidates) at any point count. Raises
+    DissolveFallback when an intersection needs a non-convex clip
+    polygon or the component explodes combinatorially.
+
+    Open polylines carry no area, so only CLOSED rings participate —
+    a polyline layer yields no corrections."""
+    areal = [i for i, r in enumerate(rings) if ring_is_closed(r)]
+    if len(areal) < len(rings):
+        rings = [rings[i] for i in areal]
+        years = np.asarray(years)[areal]
+    n = len(rings)
+    opened = [orient_ccw(r) for r in rings]
+    bb = np.array([[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
+                   for r in opened]) if n else np.zeros((0, 4))
+    # clip everything in a local frame to keep coordinates small
+    # (coords ~4e5 in the fixture CRS would cost ~1e-8 area noise)
+    origin = bb[:, :2].min(axis=0) if n else np.zeros(2)
+    local = [r - origin for r in opened]
+    convex = [is_convex(r) for r in opened]
+
+    # pairwise bbox-overlap candidates via x-interval sweep: O(n log n
+    # + pairs), never the O(n²) all-pairs scan (20k-feature layers)
+    lb = bb - np.array([*origin, *origin])
+    order = np.argsort(lb[:, 0], kind="stable")
+    xs = lb[order, 0]
+    adj: dict[int, list[int]] = {i: [] for i in range(n)}
+    for pos in range(n):
+        i = int(order[pos])
+        hi = int(np.searchsorted(xs, lb[i, 2], side="right"))
+        js = order[pos + 1:hi]
+        js = js[(lb[js, 1] <= lb[i, 3]) & (lb[js, 3] >= lb[i, 1])]
+        for j in js:
+            a, b = (i, int(j)) if i < j else (int(j), i)
+            adj[a].append(b)
+            adj[b].append(a)
+
+    out: list[tuple[np.ndarray, int, float]] = []
+    terms = 0
+
+    def clip_pair(i: int, k: int) -> np.ndarray:
+        if convex[k]:
+            return convex_clip(local[i], local[k])
+        if convex[i]:
+            return convex_clip(local[k], local[i])
+        raise DissolveFallback(f"non-convex clip pair ({i}, {k})")
+
+    # frontier of subsets: (member tuple, intersection polygon)
+    frontier: list[tuple[tuple[int, ...], np.ndarray]] = []
+    for i in range(n):
+        for k in sorted(set(adj[i])):
+            if k <= i:
+                continue
+            inter = clip_pair(i, k)
+            if len(inter) < 3 or abs(ring_area(inter)) <= 0.0:
+                continue
+            terms += 1
+            if terms > max_terms:
+                raise DissolveFallback("overlap component too entangled")
+            closed = np.vstack([inter, inter[:1]]) + origin
+            out.append((closed, int(max(years[i], years[k])), -1.0))
+            frontier.append(((i, k), inter))
+
+    while frontier:
+        nxt = []
+        for members, poly in frontier:
+            last = members[-1]
+            pb = (poly[:, 0].min(), poly[:, 1].min(),
+                  poly[:, 0].max(), poly[:, 1].max())
+            for k in sorted(set(adj[members[0]])):
+                if k <= last:
+                    continue
+                if (lb[k, 0] > pb[2] or lb[k, 2] < pb[0]
+                        or lb[k, 1] > pb[3] or lb[k, 3] < pb[1]):
+                    continue
+                if not convex[k]:
+                    raise DissolveFallback(
+                        f"non-convex clip polygon (feature {k})")
+                inter = convex_clip(poly, local[k])
+                if len(inter) < 3 or abs(ring_area(inter)) <= 0.0:
+                    continue
+                sub = members + (k,)
+                terms += 1
+                if terms > max_terms:
+                    raise DissolveFallback("overlap component too entangled")
+                w = 1.0 if len(sub) % 2 == 1 else -1.0
+                # store CLOSED (first vertex repeated): correction
+                # polygons are areal, not polylines (ring_is_closed)
+                closed = np.vstack([inter, inter[:1]]) + origin
+                out.append((closed, int(years[list(sub)].max()), w))
+                nxt.append((sub, inter))
+        frontier = nxt
+    return out
+
+
+def union_circle_area(cx: float, cy: float, r: float,
+                      rings: list[np.ndarray],
+                      years: np.ndarray | None = None,
+                      point_year: int | None = None) -> float:
+    """Exact area(circle ∩ ⋃ rings) — serial-oracle counterpart of the
+    correction machinery (optionally theta-filtered). Raises
+    DissolveFallback like overlap_corrections."""
+    if years is None:
+        years = np.zeros(len(rings), dtype=np.int64)
+    keep = np.ones(len(rings), dtype=bool)
+    if point_year is not None:
+        keep = years < point_year
+    rs = [rg for rg, k in zip(rings, keep) if k]
+    ys = years[keep]
+    total = sum(circle_polygon_area(cx, cy, r, rg) for rg in rs)
+    for poly, _y, w in overlap_corrections(rs, ys):
+        total += w * circle_polygon_area(cx, cy, r, poly)
+    return float(total)
+
+
+# ---------------------------------------------------------------------------
 # validity (st_is_valid, C_…R:317)
 # ---------------------------------------------------------------------------
 

@@ -40,9 +40,58 @@ from pyspark.sql import types as T
 from ..geo import kernels as K
 from .range_join import is_valid_udf, range_join_pairs
 
-__all__ = ["areadist", "areadist_wide", "PI_LITERAL"]
+__all__ = ["areadist", "areadist_wide", "dissolve_corrections_df", "PI_LITERAL"]
 
 PI_LITERAL = 3.14  # the reference's literal (C_…R:122-123), not math.pi
+
+_CORR_MARK = "__dissolve_fallback__"
+
+
+def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer") -> DataFrame:
+    """Inclusion–exclusion correction polygons per layer (st_union
+    semantics, C_…R:99,154 — VERDICT r01 #8): one grouped pass over the
+    feature table emits weighted pseudo-features (weight ±1, theta year
+    = max of the subset) that ride the SAME cell-indexed join as real
+    features, so dissolve costs nothing per point. Layers whose exact
+    union needs a non-convex clip emit a marker row instead — the
+    caller routes those layers to the raster fallback.
+
+    Scale: grouped per layer (the reference's layers are broadcast-
+    sized); for larger layers the same kernel applies per (layer,
+    coarse-tile) group with tile-boundary features replicated."""
+    schema = T.StructType([
+        T.StructField("feature_id", T.LongType()),
+        T.StructField(layer_col, T.StringType()),
+        T.StructField("poly_year", T.IntegerType()),
+        T.StructField("geom", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        T.StructField("weight", T.DoubleType()),
+    ])
+
+    def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        layer = pdf[layer_col].iloc[0]
+        # synthetic negative ids, layer-salted; a collision across
+        # layers would be caught by the broadcast uniqueness check
+        base = -(int(pd.util.hash_pandas_object(
+            pd.Series([layer])).iloc[0]) % (1 << 20) + 1) << 32
+        rings = [np.asarray(g[0], np.float64).reshape(-1, 2)
+                 for g in pdf["geom"]]
+        years = pdf["poly_year"].to_numpy(np.int64)
+        try:
+            corrs = K.overlap_corrections(rings, years)
+        except K.DissolveFallback:
+            return pd.DataFrame({
+                "feature_id": [base], layer_col: [_CORR_MARK + layer],
+                "poly_year": [0], "geom": [[[0.0] * 8]], "weight": [0.0],
+            })
+        rows = []
+        for i, (ring, y, w) in enumerate(corrs):
+            rows.append((base - 1 - i, layer, int(y),
+                         [ring.ravel().tolist()], float(w)))
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return (polys.select("feature_id", layer_col,
+                         F.col("poly_year"), "geom")
+            .groupBy(layer_col).applyInPandas(_fn, schema))
 
 
 def _union_area_raster(px: float, py: float, radius: float,
@@ -71,13 +120,24 @@ def areadist(
     validity_filter: bool = True,
     broadcast_polys: bool = False,
     salt: int = 0,
-    dissolve: str = "sum",
+    dissolve: str = "auto",
     pi_literal: float = PI_LITERAL,
     observation=None,
 ) -> DataFrame:
     """One row per (point, layer): AREA<r>, PROP<r>, MEANAGE_<r> (if
     `age`), NEAR_DIST. `temporal`/`age` flags select the reference's
-    areadist vs areadist.age vs areadist.wet variants."""
+    areadist vs areadist.age vs areadist.wet variants.
+
+    `dissolve` (the st_union in C_…R:99,154):
+    - "auto" (default): exact union via precomputed inclusion–exclusion
+      correction pseudo-features (geo/kernels.overlap_corrections);
+      layers whose exact union is not S-H-computable fall back to the
+      supersampled raster union automatically;
+    - "sum": Σ of per-clip areas (exact only for disjoint layers — the
+      reference's superseded variant, C_…R:101);
+    - "raster": force the supersampled union everywhere.
+    MEANAGE always uses the per-clip (non-dissolved) areas, the
+    reference's dual-area-notion quirk (C_…R:154-159)."""
     point_side = points.select(*keys, "x", "y")
 
     pl = polys
@@ -88,11 +148,24 @@ def areadist(
         F.col("YEAR").alias("poly_year"), F.col("geom"),
     )
 
+    fallback_layers: list[str] = []
+    join_side = pl.withColumn("weight", F.lit(1.0)) \
+                  .withColumn("is_real", F.lit(True))
+    if dissolve == "auto":
+        corr = dissolve_corrections_df(pl)
+        marks = corr.filter(F.col("layer").startswith(_CORR_MARK)) \
+                    .select("layer").distinct().collect()
+        fallback_layers = [r[0][len(_CORR_MARK):] for r in marks]
+        corr = (corr.filter(~F.col("layer").startswith(_CORR_MARK))
+                .withColumn("is_real", F.lit(False)))
+        join_side = join_side.unionByName(corr)
+
+    need_geom = dissolve == "raster" or bool(fallback_layers)
     theta = F.col("poly_year") < F.col("YEAR") if temporal else None
     pairs = range_join_pairs(
-        point_side, pl, maxdist, radii,
+        point_side, join_side, maxdist, radii,
         theta=theta, broadcast_polys=broadcast_polys, salt=salt,
-        keep_geom=(dissolve == "raster"),
+        keep_geom=need_geom,
     )
 
 
@@ -107,12 +180,16 @@ def areadist(
                    .otherwise(F.col("poly_year"))  # C_…R:150
         pairs = pairs.withColumn("page", F.col("YEAR") - recoded)
 
-    aggs = [F.least(F.min("dist"), F.lit(float(maxdist))).alias("NEAR_DIST")]
+    # distance and MEANAGE see only REAL features; dissolve correction
+    # pseudo-features contribute weight·area to the union sums only
+    aggs = [F.least(F.min(F.when(F.col("is_real"), F.col("dist"))),
+                    F.lit(float(maxdist))).alias("NEAR_DIST")]
     for r in radii:
         a = f"a{int(r)}"
-        aggs.append(F.sum(a).alias(f"AREA{int(r)}"))
+        aggs.append(F.sum(F.col("weight") * F.col(a)).alias(f"AREA{int(r)}"))
         aggs.append(
-            (F.sum(a) / F.lit(pi_literal * r * r)).alias(f"PROP{int(r)}")
+            (F.sum(F.col("weight") * F.col(a))
+             / F.lit(pi_literal * r * r)).alias(f"PROP{int(r)}")
         )
         if age:
             # Σ(age·clip_area)/Σ(clip_area) over candidates with a>0
@@ -121,21 +198,26 @@ def areadist(
             # year → null oldestyear → null page) are excluded from
             # BOTH num and den (null-contribution semantics, ADVICE
             # r01 — same rule as oracle.py and the fused path).
-            ok = (F.col(a) > 0) & F.col("page").isNotNull()
+            ok = (F.col(a) > 0) & F.col("page").isNotNull() & F.col("is_real")
             num = F.sum(F.when(ok, F.col("page") * F.col(a)))
             den = F.sum(F.when(ok, F.col(a)))
             aggs.append((num / den).alias(f"MEANAGE_{int(r)}"))
 
     got = pairs.groupBy(*keys, "layer").agg(*aggs)
 
-    if dissolve == "raster":
-        # overlapping layers: dissolved union area via deterministic
-        # supersampling (applyInPandas per point group — G5 fallback)
+    if need_geom:
+        # raster-dissolved layers: union area via deterministic
+        # supersampling (applyInPandas per point group — G5 fallback).
+        # Under "auto" only the layers whose exact union raised
+        # DissolveFallback take this path; under "raster", all do.
         key_fields = [pairs.schema[k] for k in (*keys, "layer")]
         fields = key_fields + [
             T.StructField(f"UAREA{int(r)}", T.DoubleType()) for r in radii
         ]
         kcols = (*keys, "layer")
+        rpairs = pairs.filter(F.col("is_real"))
+        if dissolve == "auto":
+            rpairs = rpairs.filter(F.col("layer").isin(fallback_layers))
 
         def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
             rings = [np.asarray(g[0], np.float64).reshape(-1, 2) for g in pdf["geom"]]
@@ -145,13 +227,14 @@ def areadist(
                 row[f"UAREA{int(r)}"] = [_union_area_raster(px, py, r, rings)]
             return pd.DataFrame(row)
 
-        uareas = pairs.groupBy(*kcols).applyInPandas(_fn, T.StructType(fields))
+        uareas = rpairs.groupBy(*kcols).applyInPandas(_fn, T.StructType(fields))
         got = got.join(uareas, [*kcols], "left")
         for r in radii:
+            patched = F.coalesce(F.col(f"UAREA{int(r)}"), F.col(f"AREA{int(r)}"))
             got = (
-                got.withColumn(f"AREA{int(r)}", F.col(f"UAREA{int(r)}"))
+                got.withColumn(f"AREA{int(r)}", patched)
                 .withColumn(f"PROP{int(r)}",
-                            F.col(f"UAREA{int(r)}") / F.lit(pi_literal * r * r))
+                            F.col(f"AREA{int(r)}") / F.lit(pi_literal * r * r))
                 .drop(f"UAREA{int(r)}")
             )
 

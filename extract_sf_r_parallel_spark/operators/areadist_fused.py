@@ -66,28 +66,61 @@ def areadist_auto(points: DataFrame, polys: DataFrame,
 
 class _FeatureIndex:
     """Driver-built, broadcast-shipped: packed rings + bboxes + years +
-    layer codes + CSR (cell id → candidate feature indices)."""
+    layer codes + CSR (cell id → candidate feature indices). With
+    dissolve="auto", inclusion–exclusion correction polygons
+    (geo/kernels.overlap_corrections) are appended as weighted
+    pseudo-features — weight ±1, is_real False — so the exact union
+    rides the same CSR lookup with zero extra per-point machinery."""
 
     def __init__(self, pdf: pd.DataFrame, radius: float, code: int,
-                 layer_col: str, validity_filter: bool):
+                 layer_col: str, validity_filter: bool,
+                 dissolve: str = "auto"):
         rings = [np.asarray(g[0], np.float64).reshape(-1, 2) for g in pdf["geom"]]
         if validity_filter:
+            # polygon-ring validity (st_is_valid, C_…R:317) — polyline
+            # layers are ingested with validity_filter=False and
+            # checked by kernels.polyline_is_valid instead
             keep = np.array([K.ring_is_valid(r) for r in rings])
             pdf = pdf[keep].reset_index(drop=True)
             rings = [r for r, k in zip(rings, keep) if k]
+        years = pdf["YEAR"].to_numpy(np.int64)
+        lcodes, lnames = pd.factorize(pdf[layer_col])
+        lcodes = lcodes.astype(np.int64)
+        self.layers = [str(x) for x in lnames]
+        weight = np.ones(len(rings), dtype=np.float64)
+        is_real = np.ones(len(rings), dtype=bool)
+        if dissolve == "auto":
+            for li in range(len(self.layers)):
+                m = np.flatnonzero(lcodes == li)
+                lrings = [rings[int(i)] for i in m]
+                if not all(K.ring_is_closed(r) for r in lrings):
+                    continue  # polyline layers have no area to dissolve
+                try:
+                    corrs = K.overlap_corrections(lrings, years[m])
+                except K.DissolveFallback as e:
+                    raise ValueError(
+                        f"layer {self.layers[li]!r} needs the raster "
+                        f"dissolve fallback ({e}); use "
+                        f"areadist(dissolve='raster')") from None
+                for ring, y, w in corrs:
+                    rings.append(ring)
+                    years = np.append(years, y)
+                    lcodes = np.append(lcodes, li)
+                    weight = np.append(weight, w)
+                    is_real = np.append(is_real, False)
         self.packed = K.PackedRings(rings)
         self.bbox = np.array([
             [r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
             for r in rings
         ], dtype=np.float64) if rings else np.zeros((0, 4))
-        self.years = pdf["YEAR"].to_numpy(np.int64)
-        lcodes, lnames = pd.factorize(pdf[layer_col])
-        self.lcodes = lcodes.astype(np.int64)
-        self.layers = [str(x) for x in lnames]
-        # oldest real year per layer (C_…R:231)
+        self.years = years
+        self.lcodes = lcodes
+        self.weight = weight
+        self.is_real = is_real
+        # oldest real year per layer (C_…R:231) — real features only
         self.oldest = np.full(len(self.layers), -1, dtype=np.int64)
         for li in range(len(self.layers)):
-            real = self.years[(self.lcodes == li) & (self.years > 0)]
+            real = self.years[(self.lcodes == li) & (self.years > 0) & is_real]
             if len(real):
                 self.oldest[li] = real.min()
         # CSR cell cover
@@ -138,15 +171,20 @@ def areadist_fused(
     pi_literal: float = PI_LITERAL,
     cell_edge_divisor: float = 4.0,
     chunk_points: int = 512,
+    dissolve: str = "auto",
 ) -> DataFrame:
     """Drop-in equivalent of operators.areadist.areadist for
     broadcast-sized feature tables. Returns points' columns + layer +
-    NEAR_DIST + AREA<r>/PROP<r>[/MEANAGE_<r>] per radius."""
+    NEAR_DIST + AREA<r>/PROP<r>[/MEANAGE_<r>] per radius. `dissolve`:
+    "auto" = exact union via correction pseudo-features (raises with a
+    pointer to areadist(dissolve='raster') when a layer is not exactly
+    dissolvable), "sum" = Σ per-clip areas (disjoint layers)."""
     spark = points.sparkSession
     code = I.code_for_radius(max(maxdist / cell_edge_divisor, I.RESOLUTIONS[0]))
     pl_pdf = polys.select("feature_id", F.col(layer_col).alias(layer_col),
                           "YEAR", "geom").toPandas()
-    idx = _FeatureIndex(pl_pdf, maxdist, code, layer_col, validity_filter)
+    idx = _FeatureIndex(pl_pdf, maxdist, code, layer_col, validity_filter,
+                        dissolve)
     bc = spark.sparkContext.broadcast(idx)
     radii = tuple(float(r) for r in radii)
     L = len(idx.layers)
@@ -214,15 +252,22 @@ def areadist_fused(
 
                 nkeys = B * nL
                 near = np.full(nkeys, maxdist, dtype=np.float64)
+                real = fx.is_real[ridx][order] if len(key_s) else np.zeros(0, bool)
+                wgt = fx.weight[ridx][order] if len(key_s) else np.zeros(0)
                 if len(key_s):
-                    dmin = np.minimum.reduceat(m["dist"][order], kstart)
+                    # NEAR_DIST over REAL features only (corrections
+                    # are areal bookkeeping, not features)
+                    dreal = np.where(real, m["dist"][order], np.inf)
+                    dmin = np.minimum.reduceat(dreal, kstart)
                     near[ukey] = np.minimum(dmin, maxdist)  # cap (C_…R:116-117)
                 cols: dict[str, np.ndarray] = {"NEAR_DIST": near}
                 for r in radii:
                     a = m[f"a{int(r)}"][order] if len(key_s) else np.zeros(0)
                     asum = np.zeros(nkeys, dtype=np.float64)
                     if len(key_s):
-                        asum[ukey] = np.add.reduceat(a, kstart)
+                        # dissolved union: Σ weight·area (weight is +1
+                        # for real features, ±1 for I-E corrections)
+                        asum[ukey] = np.add.reduceat(wgt * a, kstart)
                     cols[f"AREA{int(r)}"] = asum
                     cols[f"PROP{int(r)}"] = asum / (pi_literal * r * r)
                     if age:
@@ -237,8 +282,11 @@ def areadist_fused(
                             # yy stays -1 when the layer has NO real
                             # year: age undefined → excluded from num
                             # AND den (null-contribution semantics,
-                            # ADVICE r01 — matches oracle + join path)
-                            w = np.where((a > 0) & (yy > 0), a, 0.0)
+                            # ADVICE r01 — matches oracle + join path).
+                            # MEANAGE uses per-clip areas of REAL
+                            # features (the reference's non-dissolved
+                            # area notion, C_…R:156-159)
+                            w = np.where((a > 0) & (yy > 0) & real, a, 0.0)
                             num[ukey] = np.add.reduceat(agev * w, kstart)
                             den[ukey] = np.add.reduceat(w, kstart)
                         else:

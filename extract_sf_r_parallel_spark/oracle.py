@@ -30,7 +30,7 @@ def areadist_oracle(
     age: bool = True,
     layer_col: str = "layer",
     validity_filter: bool = True,
-    dissolve: str = "sum",
+    dissolve: str = "auto",
     pi_literal: float = PI_LITERAL,
 ) -> pd.DataFrame:
     """One row per (point, layer), mirroring the R loop step-for-step."""
@@ -75,6 +75,16 @@ def areadist_oracle(
                 if dissolve == "raster":
                     hit = [cand[i] for i in np.flatnonzero(areas > 0)]
                     a_dissolved = _union_area_raster(x, y, r, hit) if hit else 0.0
+                elif dissolve == "auto":
+                    # rings with a>0 are necessarily closed (open
+                    # polylines have zero clip area)
+                    hit_i = np.flatnonzero(areas > 0)
+                    hit = [cand[i] for i in hit_i]
+                    try:
+                        a_dissolved = K.union_circle_area(
+                            x, y, r, hit, cyears[hit_i]) if hit else 0.0
+                    except K.DissolveFallback:
+                        a_dissolved = _union_area_raster(x, y, r, hit)
                 else:
                     a_dissolved = float(areas.sum())  # disjoint ⇒ union
                 row[f"AREA{int(r)}"] = a_dissolved

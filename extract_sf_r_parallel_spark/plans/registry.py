@@ -140,8 +140,13 @@ def q_areadist_circle(spark, sf_dir):
     # count picks the fused single-stage mapInPandas plan when it fits
     # an executor (it does here), else the shuffle-join plan below —
     # result-identical either way
+    # dissolve="sum": this query's DuckDB oracle evaluates the
+    # per-clip Σ (the reference's second area notion, C_…R:156); the
+    # dissolved-union semantics get their own oracled driver query
+    # (areadist_dissolve) and 1e-9 pytest oracles
     pts, polys = _circle_inputs(spark, sf_dir)
-    return _flagship_select(areadist_auto(pts, polys, validity_filter=False))
+    return _flagship_select(
+        areadist_auto(pts, polys, validity_filter=False, dissolve="sum"))
 
 
 def q_areadist_circle_join(spark, sf_dir):
@@ -149,7 +154,8 @@ def q_areadist_circle_join(spark, sf_dir):
     # feature sides too large to broadcast) — same results
     pts, polys = _circle_inputs(spark, sf_dir)
     return _flagship_select(
-        areadist(pts, polys, validity_filter=False, broadcast_polys=True))
+        areadist(pts, polys, validity_filter=False, broadcast_polys=True,
+                 dissolve="sum"))
 
 
 # --- kNN ring expansion (uncapped k nearest; brute-force SQL oracle)

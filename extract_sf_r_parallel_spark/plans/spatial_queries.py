@@ -492,6 +492,110 @@ SELECT fid, rxmin, rymin, rxmax, rymax, ryear FROM ({_RECTS_SQL})
 """
 
 
+# --- G5: exact dissolved-union area (st_union, C_…R:99,154) on a
+# deliberately OVERLAPPING layer: every part key spawns a rect pair
+# (B = A shifted by half its width) inside a private 140 m slot, so
+# the union has a closed form: area(circle∩A) + area(circle∩B) −
+# area(circle∩(A∩B)), and A∩B is itself an axis-aligned rect. The
+# Spark side runs dissolve="auto" DEFAULT — overlap detection +
+# inclusion–exclusion correction pseudo-features kick in with no
+# caller hint; the oracle evaluates the three-term closed form.
+_SLOT = 141
+
+
+def _pair_rects_sql() -> str:
+    k = f"(p_partkey % {_SLOT * _SLOT})"
+    sx = f"({k} % {_SLOT})"
+    sy = f"CAST(({k} - {sx}) / {_SLOT} AS BIGINT)"
+    ox, oy = f"({sx} * 140 + 10)", f"({sy} * 140 + 10)"
+    hw, hh = "(10 + p_partkey % 15)", "(8 + p_partkey % 11)"
+    return f"""
+  SELECT p_partkey AS fid, kind,
+         CAST({ox} + CASE WHEN kind = 1 THEN {hw}
+                          WHEN kind = 2 THEN {hw} ELSE 0 END AS DOUBLE) AS rxmin,
+         CAST({oy} AS DOUBLE) AS rymin,
+         CAST({ox} + 2 * {hw} + CASE WHEN kind = 1 THEN {hw} ELSE 0 END
+              AS DOUBLE) AS rxmax,
+         CAST({oy} + 2 * {hh} AS DOUBLE) AS rymax,
+         CASE WHEN kind = 2 THEN -1.0 ELSE 1.0 END AS w
+  FROM part CROSS JOIN (SELECT unnest([0, 1, 2]) AS kind)
+"""
+
+
+ORACLE["areadist_dissolve"] = f"""
+WITH dpts AS (
+  SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0
+), urects AS ({_pair_rects_sql()}),
+dpairs AS (
+  SELECT pid, w, kind, dist,
+         CASE WHEN dist < 150.0 THEN {_sql_circle_rect_area(150.0)}
+              ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {_sql_circle_rect_area(565.0)}
+              ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, r.*,
+           SQRT(GREATEST(rxmin - x, x - rxmax, 0.0)
+                * GREATEST(rxmin - x, x - rxmax, 0.0)
+              + GREATEST(rymin - y, y - rymax, 0.0)
+                * GREATEST(rymin - y, y - rymax, 0.0)) AS dist
+    FROM dpts p CROSS JOIN urects r
+  )
+), agg AS (
+  SELECT pid AS jpid,
+         MIN(CASE WHEN kind <> 2 THEN dist END) AS near,
+         SUM(w * ca150) AS area150,
+         SUM(w * ca565) AS area565
+  FROM dpairs GROUP BY pid
+)
+SELECT CAST(pid AS VARCHAR) AS PKEY,
+       ROUND(LEAST(COALESCE(near, {MAXDIST}), {MAXDIST}), 4) AS NEAR_DIST,
+       ROUND(COALESCE(area150, 0.0), 2) AS AREA150,
+       ROUND(COALESCE(area565, 0.0), 2) AS AREA565
+FROM dpts LEFT JOIN agg ON pid = jpid
+"""
+
+
+def q_areadist_dissolve(spark, sf_dir):
+    from ..operators.areadist import areadist
+    pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
+        F.col("pid").cast("string").alias("PKEY"),
+        (F.col("pid") % 97).cast("string").alias("SS"),
+        F.col("pyear").alias("YEAR"), "x", "y",
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    k = F.pmod(F.col("p_partkey"), F.lit(_SLOT * _SLOT))
+    sx, sy = F.pmod(k, F.lit(_SLOT)), F.floor(k / _SLOT)
+    ox = (sx * 140 + 10).cast("double")
+    oy = (sy * 140 + 10).cast("double")
+    hw = (F.lit(10) + F.pmod("p_partkey", F.lit(15))).cast("double")
+    hh = (F.lit(8) + F.pmod("p_partkey", F.lit(11))).cast("double")
+    base = p.select("p_partkey", ox.alias("ox"), oy.alias("oy"),
+                    hw.alias("hw"), hh.alias("hh"))
+
+    def rect(df, x0, y0, x1, y1, fid):
+        ring = F.array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+        return df.select(fid.alias("feature_id"),
+                         F.lit("pairs").alias("layer"),
+                         F.lit(0).cast("int").alias("YEAR"),
+                         F.array(ring).alias("geom"))
+
+    a = rect(base, F.col("ox"), F.col("oy"),
+             F.col("ox") + 2 * F.col("hw"), F.col("oy") + 2 * F.col("hh"),
+             F.col("p_partkey") * 2)
+    b = rect(base, F.col("ox") + F.col("hw"), F.col("oy"),
+             F.col("ox") + 3 * F.col("hw"), F.col("oy") + 2 * F.col("hh"),
+             F.col("p_partkey") * 2 + 1)
+    polys = a.unionByName(b)
+    # dissolve left at its DEFAULT ("auto"): the overlap is detected
+    # and corrected with no caller hint — the point of this query
+    out = areadist(pts, polys, temporal=False, age=False,
+                   validity_filter=False, broadcast_polys=True)
+    return out.select(
+        "PKEY", F.round("NEAR_DIST", 4).alias("NEAR_DIST"),
+        F.round("AREA150", 2).alias("AREA150"),
+        F.round("AREA565", 2).alias("AREA565"))
+
+
 # --- open polylines (the reference's seismic-line layers): kNN over
 # 3-vertex open chains derived from supplier keys. The engine runs the
 # real packed-ring kernel (no closing edge, no inside, zero area); the
@@ -575,4 +679,5 @@ QUERIES = {
     "reproject": q_reproject,
     "shapefile_scan": q_shapefile_scan,
     "polyline_knn": q_polyline_knn,
+    "areadist_dissolve": q_areadist_dissolve,
 }
