@@ -9,8 +9,13 @@ Engine: extract_sf_r_parallel_spark (see SURVEY.md / README.md).
 Spatial queries run the real hex-cell-indexed join machinery; their
 oracles brute-force the same deterministic integer geometry in SQL, so
 a hash match validates the cell cover/join/refinement, not just a
-shared formula. Circle-kernel / MinHash / LSH / multimodal entries are
-rows-only here and value-checked by the pytest serial oracles.
+shared formula. Since round 2 the circle-kernel flagship (closed-form
+circular-segment SQL), exact dissolve (inclusion–exclusion SQL), kNN
+ring expansion, polylines, the shapefile round-trip, tmerc
+reprojection, and the whole text/hash family (FNV/SimHash/MinHash
+replayed in DuckDB integer arithmetic) are driver-oracled too; only
+embed_ann_lsh (float-sign bucketing) and multimodal_stats (PNG codec)
+remain rows-only, value-checked by pytest oracles.
 """
 
 from __future__ import annotations

@@ -27,6 +27,7 @@ HEADLINE = [
     "areadist_square",   # full areadist semantics, JVM kernels
     "areadist_circle",   # circle kernels via Arrow pandas UDFs
     "knn3",              # ranked spatial join
+    "areadist_dissolve",  # exact union via I-E correction features
     "tile_counts",       # fishnet assignment
     "pricing_summary",   # relational agg
     "multi_join",        # 4-way join

@@ -235,14 +235,21 @@ def areadist_fused(
         fx = bc.value
         nL = max(L, 1)
         for pdf0 in batches:
+            # kernels run over small cache-resident chunks, but the
+            # output is assembled and yielded ONCE per Arrow batch —
+            # per-chunk yields would send thousands of tiny record
+            # batches through the Arrow stream (measured JVM-side cost)
+            acc: list[dict[str, np.ndarray]] = []
+            px0 = pdf0["x"].to_numpy(np.float64)
+            py0 = pdf0["y"].to_numpy(np.float64)
+            pyear0 = pdf0["YEAR"].to_numpy(np.int64)
             for lo in range(0, len(pdf0), chunk_points):
-                pdf = pdf0.iloc[lo:lo + chunk_points]
-                B = len(pdf)
+                B = min(chunk_points, len(pdf0) - lo)
                 if B == 0:
                     continue
-                px = pdf["x"].to_numpy(np.float64)
-                py = pdf["y"].to_numpy(np.float64)
-                pyear = pdf["YEAR"].to_numpy(np.int64)
+                px = px0[lo:lo + chunk_points]
+                py = py0[lo:lo + chunk_points]
+                pyear = pyear0[lo:lo + chunk_points]
                 ppi, ridx, m = _chunk_metrics(fx, px, py, pyear)
                 lr = fx.lcodes[ridx]
                 key = ppi * nL + lr
@@ -294,18 +301,27 @@ def areadist_fused(
                             den = np.zeros(nkeys)
                         with np.errstate(divide="ignore", invalid="ignore"):
                             ma = np.where(den > 0, num / den, np.nan)
-                        # emit SQL NULL (not NaN) for empty candidate
-                        # sets — identical to the join path's LEFT-join
-                        # null (pandas nullable Float64 → Arrow null)
-                        cols[f"MEANAGE_{int(r)}"] = pd.arrays.FloatingArray(
-                            ma, np.isnan(ma))
+                        cols[f"MEANAGE_{int(r)}"] = ma
 
-                # dense (B × L) output with LEFT defaults built in
-                rep = pdf.loc[pdf.index.repeat(nL)].reset_index(drop=True)
-                out = rep[in_cols].copy()
-                out["layer"] = np.tile(np.array(fx.layers if L else ["<none>"]), B)
-                for name, arr in cols.items():
+                acc.append(cols)
+
+            if not acc:
+                continue
+            # dense (B × L) output with LEFT defaults built in
+            B0 = len(pdf0)
+            rep = pdf0.loc[pdf0.index.repeat(nL)].reset_index(drop=True)
+            out = rep[in_cols].copy()
+            out["layer"] = np.tile(np.array(fx.layers if L else ["<none>"]), B0)
+            for name in acc[0]:
+                arr = (np.concatenate([c[name] for c in acc])
+                       if len(acc) > 1 else acc[0][name])
+                if name.startswith("MEANAGE_"):
+                    # emit SQL NULL (not NaN) for empty candidate sets —
+                    # identical to the join path's LEFT-join null
+                    # (pandas nullable Float64 → Arrow null)
+                    out[name] = pd.arrays.FloatingArray(arr, np.isnan(arr))
+                else:
                     out[name] = arr
-                yield out
+            yield out
 
     return points.mapInPandas(fused, out_schema)
