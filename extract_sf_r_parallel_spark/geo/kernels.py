@@ -427,9 +427,30 @@ def convex_clip(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return out
 
 
+def _axis_rect_of(opened: np.ndarray) -> tuple | None:
+    """(x0, y0, x1, y1) when the open ring is an axis-aligned
+    rectangle (any vertex order), else None — the O(1) clip fast path
+    for rect-dominated footprint layers."""
+    if len(opened) != 4:
+        return None
+    xs, ys = opened[:, 0], opened[:, 1]
+    ux, uy = np.unique(xs), np.unique(ys)
+    if len(ux) != 2 or len(uy) != 2:
+        return None
+    # each vertex must be a distinct corner
+    if len({(float(x), float(y)) for x, y in opened}) != 4:
+        return None
+    return (float(ux[0]), float(uy[0]), float(ux[1]), float(uy[1]))
+
+
+def _rect_ring(r: tuple) -> np.ndarray:
+    x0, y0, x1, y1 = r
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
+
+
 def overlap_corrections(
     rings: list[np.ndarray], years: np.ndarray, *,
-    max_terms: int = 2048,
+    max_terms: int = 512,
 ) -> list[tuple[np.ndarray, int, float]]:
     """Inclusion–exclusion correction polygons for an overlapping layer:
     for every subset S (|S| ≥ 2) of mutually intersecting features,
@@ -446,7 +467,13 @@ def overlap_corrections(
     polygon or the component explodes combinatorially.
 
     Open polylines carry no area, so only CLOSED rings participate —
-    a polyline layer yields no corrections."""
+    a polyline layer yields no corrections.
+
+    `max_terms` bounds the subset count PER CONNECTED overlap
+    component (a clique of k mutually-overlapping features can emit
+    2^k−k−1 terms); the total across disjoint components is unbounded —
+    that is ordinary linear work. Axis-aligned rectangles intersect in
+    O(1) without the general clipping pass."""
     areal = [i for i, r in enumerate(rings) if ring_is_closed(r)]
     if len(areal) < len(rings):
         rings = [rings[i] for i in areal]
@@ -477,59 +504,96 @@ def overlap_corrections(
             adj[a].append(b)
             adj[b].append(a)
 
-    out: list[tuple[np.ndarray, int, float]] = []
-    terms = 0
+    # union-find over overlap pairs → per-component term budgets
+    parent = np.arange(n)
 
-    def clip_pair(i: int, k: int) -> np.ndarray:
-        if convex[k]:
-            return convex_clip(local[i], local[k])
-        if convex[i]:
-            return convex_clip(local[k], local[i])
-        raise DissolveFallback(f"non-convex clip pair ({i}, {k})")
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
 
-    # frontier of subsets: (member tuple, intersection polygon)
-    frontier: list[tuple[tuple[int, ...], np.ndarray]] = []
     for i in range(n):
+        for j in adj[i]:
+            ra, rb = find(i), find(int(j))
+            if ra != rb:
+                parent[ra] = rb
+
+    rect = [_axis_rect_of(r) for r in local]
+    comp_terms: dict[int, int] = {}
+    out: list[tuple[np.ndarray, int, float]] = []
+
+    def bump(i: int) -> None:
+        root = find(i)
+        comp_terms[root] = comp_terms.get(root, 0) + 1
+        if comp_terms[root] > max_terms:
+            raise DissolveFallback(
+                f"overlap component of feature {i} too entangled "
+                f"(> {max_terms} inclusion-exclusion terms)")
+
+    def intersect(poly, k: int):
+        """poly is a rect tuple or an open ndarray ring; returns same.
+        None/empty → no overlap."""
+        if isinstance(poly, tuple) and rect[k] is not None:
+            x0 = max(poly[0], rect[k][0])
+            y0 = max(poly[1], rect[k][1])
+            x1 = min(poly[2], rect[k][2])
+            y1 = min(poly[3], rect[k][3])
+            return (x0, y0, x1, y1) if x0 < x1 and y0 < y1 else None
+        subject = _rect_ring(poly) if isinstance(poly, tuple) else poly
+        if convex[k]:
+            inter = convex_clip(subject, local[k])
+        elif isinstance(poly, tuple) or is_convex(subject):
+            inter = convex_clip(local[k], subject)
+        else:
+            raise DissolveFallback(f"non-convex clip polygon (feature {k})")
+        if len(inter) < 3 or abs(ring_area(inter)) <= 0.0:
+            return None
+        return inter
+
+    def emit(poly, sub: tuple[int, ...]) -> None:
+        ring = _rect_ring(poly) if isinstance(poly, tuple) else poly
+        # store CLOSED (first vertex repeated): correction polygons
+        # are areal, not polylines (ring_is_closed)
+        closed = np.vstack([ring, ring[:1]]) + origin
+        w = 1.0 if len(sub) % 2 == 1 else -1.0
+        out.append((closed, int(years[list(sub)].max()), w))
+
+    # frontier of subsets: (member tuple, rect-or-ring intersection)
+    frontier: list[tuple[tuple[int, ...], object]] = []
+    for i in range(n):
+        start = rect[i] if rect[i] is not None else local[i]
         for k in sorted(set(adj[i])):
             if k <= i:
                 continue
-            inter = clip_pair(i, k)
-            if len(inter) < 3 or abs(ring_area(inter)) <= 0.0:
+            inter = intersect(start, k)
+            if inter is None:
                 continue
-            terms += 1
-            if terms > max_terms:
-                raise DissolveFallback("overlap component too entangled")
-            closed = np.vstack([inter, inter[:1]]) + origin
-            out.append((closed, int(max(years[i], years[k])), -1.0))
+            bump(i)
+            emit(inter, (i, k))
             frontier.append(((i, k), inter))
 
     while frontier:
         nxt = []
         for members, poly in frontier:
             last = members[-1]
-            pb = (poly[:, 0].min(), poly[:, 1].min(),
-                  poly[:, 0].max(), poly[:, 1].max())
+            if isinstance(poly, tuple):
+                pb = poly
+            else:
+                pb = (poly[:, 0].min(), poly[:, 1].min(),
+                      poly[:, 0].max(), poly[:, 1].max())
             for k in sorted(set(adj[members[0]])):
                 if k <= last:
                     continue
                 if (lb[k, 0] > pb[2] or lb[k, 2] < pb[0]
                         or lb[k, 1] > pb[3] or lb[k, 3] < pb[1]):
                     continue
-                if not convex[k]:
-                    raise DissolveFallback(
-                        f"non-convex clip polygon (feature {k})")
-                inter = convex_clip(poly, local[k])
-                if len(inter) < 3 or abs(ring_area(inter)) <= 0.0:
+                inter = intersect(poly, k)
+                if inter is None:
                     continue
                 sub = members + (k,)
-                terms += 1
-                if terms > max_terms:
-                    raise DissolveFallback("overlap component too entangled")
-                w = 1.0 if len(sub) % 2 == 1 else -1.0
-                # store CLOSED (first vertex repeated): correction
-                # polygons are areal, not polylines (ring_is_closed)
-                closed = np.vstack([inter, inter[:1]]) + origin
-                out.append((closed, int(years[list(sub)].max()), w))
+                bump(members[0])
+                emit(inter, sub)
                 nxt.append((sub, inter))
         frontier = nxt
     return out

@@ -122,6 +122,7 @@ def areadist(
     salt: int = 0,
     dissolve: str = "auto",
     pi_literal: float = PI_LITERAL,
+    cell_edge_divisor: float = 4.0,
     observation=None,
 ) -> DataFrame:
     """One row per (point, layer): AREA<r>, PROP<r>, MEANAGE_<r> (if
@@ -152,7 +153,12 @@ def areadist(
     join_side = pl.withColumn("weight", F.lit(1.0)) \
                   .withColumn("is_real", F.lit(True))
     if dissolve == "auto":
-        corr = dissolve_corrections_df(pl)
+        # persisted: the marker collect below, the join-side union, and
+        # (if broadcasting) the geometry-index build all read it — one
+        # grouped computation, not three (checkpoint instead at 100 TB)
+        from pyspark import StorageLevel
+        corr = dissolve_corrections_df(pl) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
         marks = corr.filter(F.col("layer").startswith(_CORR_MARK)) \
                     .select("layer").distinct().collect()
         fallback_layers = [r[0][len(_CORR_MARK):] for r in marks]
@@ -165,7 +171,7 @@ def areadist(
     pairs = range_join_pairs(
         point_side, join_side, maxdist, radii,
         theta=theta, broadcast_polys=broadcast_polys, salt=salt,
-        keep_geom=need_geom,
+        keep_geom=need_geom, cell_edge_divisor=cell_edge_divisor,
     )
 
 

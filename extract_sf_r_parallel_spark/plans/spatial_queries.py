@@ -563,6 +563,9 @@ def q_areadist_dissolve(spark, sf_dir):
         F.col("pyear").alias("YEAR"), "x", "y",
     )
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # single small file → 1 split; spread so the cover/correction UDFs
+    # parallelize (a real layer scan arrives pre-split)
+    p = p.repartition(spark.sparkContext.defaultParallelism)
     k = F.pmod(F.col("p_partkey"), F.lit(_SLOT * _SLOT))
     sx, sy = F.pmod(k, F.lit(_SLOT)), F.floor(k / _SLOT)
     ox = (sx * 140 + 10).cast("double")
@@ -587,9 +590,14 @@ def q_areadist_dissolve(spark, sf_dir):
              F.col("p_partkey") * 2 + 1)
     polys = a.unionByName(b)
     # dissolve left at its DEFAULT ("auto"): the overlap is detected
-    # and corrected with no caller hint — the point of this query
+    # and corrected with no caller hint — the point of this query.
+    # Coarse cells (edge ≈ maxdist): the probe side is small (pid%10)
+    # so raw join volume is cheap but the cover explode of 60k
+    # features+corrections is not — the opposite regime from the
+    # 2.4M-point flagship where divisor=4 wins.
     out = areadist(pts, polys, temporal=False, age=False,
-                   validity_filter=False, broadcast_polys=True)
+                   validity_filter=False, broadcast_polys=True,
+                   cell_edge_divisor=2.0)
     return out.select(
         "PKEY", F.round("NEAR_DIST", 4).alias("NEAR_DIST"),
         F.round("AREA150", 2).alias("AREA150"),
