@@ -181,7 +181,39 @@ def q_multimodal_stats(spark, sf_dir):
     )
 
 
-QUERIES = {}
+# --- per-user sessionization (gaps-and-islands): the batch twin of
+# the applyInPandasWithState custom stateful operator
+# (streaming/sessions.py; stream ≡ batch proven in pytest). Oracle:
+# the same LAG → break-flag → running-SUM shape in DuckDB.
+def q_sessions(spark, sf_dir):
+    from ..streaming.sessions import sessionize_batch
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # 10h gap: the fixture's mean per-user inter-event gap is ~9h, so
+    # sessions genuinely merge and split (a 30min gap would make every
+    # event its own island)
+    return sessionize_batch(ev, gap_minutes=600)
+
+
+ORACLE["sessions"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id)
+              > 36000000000 THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM o
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+QUERIES = {"sessions": q_sessions}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)

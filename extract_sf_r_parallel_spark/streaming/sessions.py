@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: per-user SESSIONIZATION with an
+inactivity gap — the `applyInPandasWithState` pattern the built-in
+windowed aggregates can't express (session extent depends on the data,
+not the clock grid).
+
+- `sessionize_stream`: arbitrary stateful logic per user key. State =
+  (start, last, n, Σvalue) in event-time micros; a session closes when
+  the watermark passes last_ts + gap (EventTimeTimeout), so late events
+  inside the gap still extend their session, exactly once per event.
+- `sessionize_batch`: the deterministic batch twin (gaps-and-islands:
+  LAG → break flags → running SUM → group), pure JVM window functions.
+  The driver query `sessions` runs it against a DuckDB oracle of the
+  same shape; the pytest proves stream ≡ batch across micro-batch
+  boundaries.
+
+Scale shape: state is per-user and O(1); the shuffle key is user_id
+(the same key any per-entity stateful pipeline shards by); watermark
+bounds state lifetime so the store can't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = ["sessionize_stream", "sessionize_batch", "SESSION_SCHEMA"]
+
+SESSION_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_start", T.TimestampType()),
+    T.StructField("session_end", T.TimestampType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_value", T.DoubleType()),
+])
+
+_STATE_SCHEMA = "start long, last long, n long, s double"
+
+
+def _micros(ts: pd.Series) -> pd.Series:
+    return ts.astype("int64")  # pandas datetime64[us/ns] → int
+
+
+def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
+                      watermark: str = "2 hours") -> DataFrame:
+    """stream(ts, user_id, value, …) → closed sessions per user."""
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key: Any, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        (user,) = key
+        out = []
+
+        def close(st):
+            out.append((user, st[0], st[1], st[2], st[3]))
+
+        if state.hasTimedOut:
+            close(state.get)
+            state.remove()
+        else:
+            rows = pd.concat(list(pdfs))
+            ts = _micros(rows["ts"].dt.as_unit("us")).to_numpy()
+            order = ts.argsort(kind="stable")
+            ts = ts[order]
+            vals = rows["value"].to_numpy()[order]
+            st = list(state.get) if state.exists else None
+            for t, v in zip(ts, vals):
+                if st is None:
+                    st = [int(t), int(t), 0, 0.0]
+                elif t - st[1] > gap_us:
+                    close(st)  # gap exceeded → previous session done
+                    st = [int(t), int(t), 0, 0.0]
+                st[1] = max(st[1], int(t))
+                st[2] += 1
+                st[3] += float(v)
+            state.update(tuple(st))
+            # close when the watermark passes last + gap
+            state.setTimeoutTimestamp((st[1] + gap_us) // 1000)
+        if out:
+            pdf = pd.DataFrame(
+                out, columns=["user_id", "s", "e", "n_events", "sum_value"])
+            pdf["session_start"] = pd.to_datetime(pdf["s"], unit="us")
+            pdf["session_end"] = pd.to_datetime(pdf["e"], unit="us")
+            yield pdf[[f.name for f in SESSION_SCHEMA.fields]]
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, SESSION_SCHEMA, _STATE_SCHEMA,
+            "append", GroupStateTimeout.EventTimeTimeout)
+    )
+
+
+def sessionize_batch(df: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Deterministic batch twin: gaps-and-islands over event time."""
+    gap_us = gap_minutes * 60_000_000
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet event time is TIMESTAMP_NTZ; interpret in the (UTC)
+    # session zone — only differences matter for gap detection
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    brk = F.when(t - F.lag(t).over(w) > gap_us, 1).otherwise(0)
+    d = df.withColumn("_brk", brk)
+    sid = F.sum("_brk").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0))
+    d = d.withColumn("_sid", sid)
+    return (
+        d.groupBy("user_id", "_sid")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .drop("_sid")
+    )
