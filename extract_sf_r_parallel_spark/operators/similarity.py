@@ -24,7 +24,61 @@ from pyspark.sql import types as T
 
 from ..functions.vectors import cosine
 
-__all__ = ["brute_force_topk", "matmul_topk", "hyperplane_buckets", "lsh_ann_topk"]
+__all__ = ["brute_force_topk", "matmul_topk", "hyperplane_buckets",
+           "lsh_ann_topk", "cosine_dup_pairs"]
+
+
+def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
+                     id_col: str = "vec_id", vec: str = "embedding",
+                     round_dp: int = 6,
+                     max_broadcast_rows: int = 2_000_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b,
+    ROUND(cos, round_dp) ≥ threshold) — the exact dedup companion of
+    the text near-dup family. One broadcast BLAS matmul per Arrow
+    batch; thresholding happens on the ROUNDED score so the decision is
+    reproducible across engines (the driver oracle evaluates the same
+    rounded cosine in SQL). Corpora past the broadcast envelope route
+    to `lsh_ann_topk` candidates + the same exact verify (recall then
+    bounded by the LSH family — the documented scale trade)."""
+    spark = df.sparkSession
+    if df.count() > max_broadcast_rows:
+        # scale path: LSH bucket candidates + the same exact verify;
+        # recall bounded by the hyperplane family (documented trade)
+        dim = int(df.select(F.size(vec).alias("d")).first()["d"])
+        cand = lsh_ann_topk(df, df, dim=dim, k=64, vec=vec,
+                            id_q=id_col, id_c=id_col)
+        return (cand.filter(F.col("qid") < F.col("nid"))
+                .withColumn("cos", F.round("cos", round_dp))
+                .filter(F.col("cos") >= threshold)
+                .select(F.col("qid").alias("id_a"),
+                        F.col("nid").alias("id_b"), "cos")
+                .dropDuplicates(["id_a", "id_b"]))
+    cp = df.select(id_col, vec).toPandas()
+    C = np.stack([np.asarray(v, np.float64) for v in cp[vec]])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    ids = cp[id_col].to_numpy()
+    bc = spark.sparkContext.broadcast((C, ids))
+    out_schema = T.StructType([
+        T.StructField("id_a", df.schema[id_col].dataType),
+        T.StructField("id_b", df.schema[id_col].dataType),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+    def gen(batches):
+        Cm, cids = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+            Q = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            sims = np.round(Q @ Cm.T, round_dp)
+            qids = pdf[id_col].to_numpy()
+            hit = (sims >= threshold) & (qids[:, None] < cids[None, :])
+            qi, ci = np.nonzero(hit)
+            yield pd.DataFrame({"id_a": qids[qi], "id_b": cids[ci],
+                                "cos": sims[qi, ci]})
+
+    return df.mapInPandas(gen, out_schema)
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -15,7 +15,7 @@ from ..operators.areadist_fused import areadist_auto
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, pixel_embed
-from ..operators.similarity import lsh_ann_topk, matmul_topk
+from ..operators.similarity import cosine_dup_pairs, lsh_ann_topk, matmul_topk
 from . import relational, spatial_queries, textops
 from .spatial_queries import points_df, rects_df
 
@@ -56,6 +56,25 @@ SELECT qid, nid FROM (
   FROM embeddings a CROSS JOIN embeddings b
   WHERE a.vec_id <> b.vec_id
 ) WHERE rk = 1
+"""
+
+
+# --- embedding-cosine near-dup pairs (exact broadcast-matmul path;
+# threshold on the ROUNDED cosine so both engines decide identically;
+# 0.4 is calibrated to the synthetic corpus whose max pair cosine is
+# ~0.51 — the operator, not the epsilon, is the point)
+def q_embed_dup_pairs(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return cosine_dup_pairs(e, threshold=0.4)
+
+
+ORACLE["embed_dup_pairs"] = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
 """
 
 
@@ -219,6 +238,7 @@ QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
 QUERIES.update({
     "embed_top1": q_embed_top1,
+    "embed_dup_pairs": q_embed_dup_pairs,
     "embed_ann_lsh": q_embed_ann_lsh,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,

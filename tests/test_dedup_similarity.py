@@ -103,6 +103,26 @@ def test_matmul_topk_matches_jvm_brute_force(spark, vectors):
     assert ka == kb
 
 
+def test_cosine_dup_pairs_exact(spark, vectors):
+    """Embedding-cosine near-dup: planted twins (cos ≈ 1) must all be
+    found, and every emitted pair must match the NumPy oracle."""
+    out = S.cosine_dup_pairs(vectors, threshold=0.98).toPandas()
+    found = set(zip(out.id_a, out.id_b))
+    for i in range(15):
+        assert (i, 500 + i) in found, f"planted twin {i} missed"
+    pdf = vectors.toPandas()
+    ids = pdf.vec_id.to_numpy()
+    m = np.stack([np.asarray(v, np.float64) for v in pdf.embedding])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round(mn @ mn.T, 6)
+    want = set()
+    for a in range(len(ids)):
+        for b in range(len(ids)):
+            if ids[a] < ids[b] and sims[a, b] >= 0.98:
+                want.add((ids[a], ids[b]))
+    assert found == want
+
+
 def test_lsh_ann_recall(spark, vectors):
     brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
     ann = S.lsh_ann_topk(vectors, vectors, dim=32, k=1,

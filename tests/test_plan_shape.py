@@ -120,3 +120,36 @@ def test_areadist_left_defaults_edge_cases(spark):
     assert got.loc["p2", "AREA150"] == 0.0
     assert got.loc["p2", "NEAR_DIST"] == 1000.0
     assert np.isnan(got.loc["p2", "MEANAGE_150"])
+
+
+def test_sessions_batch_twin_is_pure_jvm(spark):
+    """The sessionization batch twin (gaps-and-islands) must be window
+    functions only — zero Python stages."""
+    from extract_sf_r_parallel_spark.plans.registry import q_sessions
+    plan = _plan(q_sessions(spark, SF_DIR))
+    assert "Window" in plan
+    assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_reproject_is_arrow_vectorized(spark):
+    """CRS reprojection runs as one Arrow-batched projection over the
+    scan — vectorized Python (ArrowEvalPython), never row-at-a-time
+    (BatchEvalPython), no shuffle."""
+    from extract_sf_r_parallel_spark.plans.spatial_queries import q_reproject
+    plan = _plan(q_reproject(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    # one exchange only: the deliberate single-file → cluster spread
+    assert plan.count("+- Exchange") <= 1
+
+
+def test_dissolve_query_broadcasts_and_stays_vectorized(spark):
+    """The exact-dissolve query: correction pseudo-features ride a
+    BROADCAST join (not a shuffled one), and all Python is Arrow-
+    vectorized."""
+    from extract_sf_r_parallel_spark.plans.spatial_queries import (
+        q_areadist_dissolve,
+    )
+    plan = _plan(q_areadist_dissolve(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan
