@@ -199,6 +199,53 @@ def cover_bbox(
     return _pack(code, qq[keep], rr[keep])
 
 
+def cover_bbox_many(
+    xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray,
+    code: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized :func:`cover_bbox` over many bboxes: returns
+    (cells, counts) where cells is the concatenation of each bbox's
+    cover and counts[i] its length. One NumPy pass — no per-feature
+    Python loop (the driver-side index build and the cover UDF batch
+    thousands of features)."""
+    e = edge_for_code(code)
+    n = len(xmin)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    xs = np.stack([xmin, xmax, xmin, xmax])  # (4, n) corners
+    ys = np.stack([ymin, ymin, ymax, ymax])
+    qf = (_SQRT3 / 3.0 * xs - ys / 3.0) / e
+    rf = (2.0 / 3.0 * ys) / e
+    q, r = _axial_round(qf.ravel(), rf.ravel())
+    q = q.reshape(4, n)
+    r = r.reshape(4, n)
+    q0, q1 = q.min(axis=0) - 1, q.max(axis=0) + 1
+    r0, r1 = r.min(axis=0) - 1, r.max(axis=0) + 1
+    nq = (q1 - q0 + 1).astype(np.int64)
+    nr = (r1 - r0 + 1).astype(np.int64)
+    sizes = nq * nr
+    total = int(sizes.sum())
+    owner = np.repeat(np.arange(n), sizes)
+    # local index within each bbox's (nq × nr) grid
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    local = np.arange(total, dtype=np.int64) - np.repeat(starts, sizes)
+    qq = np.repeat(q0, sizes) + local // np.repeat(nr, sizes)
+    rr = np.repeat(r0, sizes) + local % np.repeat(nr, sizes)
+    # centre-proximity pruning, identical to cover_bbox
+    cx = e * (_SQRT3 * qq + _SQRT3 / 2.0 * rr)
+    cy = e * (1.5 * rr)
+    pad = e
+    keep = (
+        (cx >= np.repeat(xmin, sizes) - pad)
+        & (cx <= np.repeat(xmax, sizes) + pad)
+        & (cy >= np.repeat(ymin, sizes) - pad)
+        & (cy <= np.repeat(ymax, sizes) + pad)
+    )
+    cells = _pack(code, qq[keep], rr[keep])
+    counts = np.bincount(owner[keep], minlength=n).astype(np.int64)
+    return cells, counts
+
+
 def cell_ring_vertices(cell: int) -> np.ndarray:
     """The hexagon's 6 vertices (closed ring, 7×2) — for tests/plots."""
     code, q, r = cell_to_axial(np.array([cell]))

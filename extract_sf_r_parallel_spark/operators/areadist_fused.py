@@ -123,17 +123,12 @@ class _FeatureIndex:
             real = self.years[(self.lcodes == li) & (self.years > 0) & is_real]
             if len(real):
                 self.oldest[li] = real.min()
-        # CSR cell cover
-        cells_all, feat_all = [], []
-        for i in range(len(rings)):
-            c = I.cover_bbox(
-                self.bbox[i, 0] - radius, self.bbox[i, 1] - radius,
-                self.bbox[i, 2] + radius, self.bbox[i, 3] + radius, code)
-            cells_all.append(c)
-            feat_all.append(np.full(len(c), i, dtype=np.int64))
-        if cells_all:
-            cells = np.concatenate(cells_all)
-            feats = np.concatenate(feat_all)
+        # CSR cell cover (one vectorized pass over all features)
+        if len(rings):
+            cells, ccounts = I.cover_bbox_many(
+                self.bbox[:, 0] - radius, self.bbox[:, 1] - radius,
+                self.bbox[:, 2] + radius, self.bbox[:, 3] + radius, code)
+            feats = np.repeat(np.arange(len(rings), dtype=np.int64), ccounts)
             order = np.argsort(cells, kind="stable")
             cells, feats = cells[order], feats[order]
             self.ucells, starts = np.unique(cells, return_index=True)

@@ -71,15 +71,22 @@ def poly_cover_udf(radius: float, code: int):
 
     @F.pandas_udf(returnType=schema)
     def _cover(geom: pd.Series) -> pd.DataFrame:
-        rows = []
-        for g in geom:
+        n = len(geom)
+        bx0 = np.empty(n)
+        by0 = np.empty(n)
+        bx1 = np.empty(n)
+        by1 = np.empty(n)
+        for i, g in enumerate(geom):  # ragged ring parse only
             ring = np.asarray(g[0], dtype=np.float64).reshape(-1, 2)
-            xmin, ymin = float(ring[:, 0].min()), float(ring[:, 1].min())
-            xmax, ymax = float(ring[:, 0].max()), float(ring[:, 1].max())
-            cells = I.cover_bbox(xmin - radius, ymin - radius,
-                                 xmax + radius, ymax + radius, code)
-            rows.append((cells.tolist(), xmin, ymin, xmax, ymax))
-        return pd.DataFrame(rows, columns=["cells", "bxmin", "bymin", "bxmax", "bymax"])
+            bx0[i], by0[i] = ring[:, 0].min(), ring[:, 1].min()
+            bx1[i], by1[i] = ring[:, 0].max(), ring[:, 1].max()
+        cells, counts = I.cover_bbox_many(
+            bx0 - radius, by0 - radius, bx1 + radius, by1 + radius, code)
+        bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
+        return pd.DataFrame({
+            "cells": [cells[bounds[i]:bounds[i + 1]].tolist() for i in range(n)],
+            "bxmin": bx0, "bymin": by0, "bxmax": bx1, "bymax": by1,
+        })
     return _cover
 
 

@@ -590,14 +590,13 @@ def q_areadist_dissolve(spark, sf_dir):
              F.col("p_partkey") * 2 + 1)
     polys = a.unionByName(b)
     # dissolve left at its DEFAULT ("auto"): the overlap is detected
-    # and corrected with no caller hint — the point of this query.
-    # Coarse cells (edge ≈ maxdist): the probe side is small (pid%10)
-    # so raw join volume is cheap but the cover explode of 60k
-    # features+corrections is not — the opposite regime from the
-    # 2.4M-point flagship where divisor=4 wins.
-    out = areadist(pts, polys, temporal=False, age=False,
-                   validity_filter=False, broadcast_polys=True,
-                   cell_edge_divisor=2.0)
+    # and corrected with no caller hint — the point of this query. The
+    # fused single-stage plan (feature side ≪ broadcast envelope)
+    # skips pair materialization entirely; the join path's dissolve is
+    # exercised by tests/test_dissolve_exact.py on the same semantics.
+    from ..operators.areadist_fused import areadist_fused
+    out = areadist_fused(pts, polys, temporal=False, age=False,
+                         validity_filter=False)
     return out.select(
         "PKEY", F.round("NEAR_DIST", 4).alias("NEAR_DIST"),
         F.round("AREA150", 2).alias("AREA150"),
