@@ -25,7 +25,7 @@ from pyspark.sql import types as T
 from ..functions.vectors import cosine
 
 __all__ = ["brute_force_topk", "matmul_topk", "hyperplane_buckets",
-           "lsh_ann_topk", "cosine_dup_pairs"]
+           "lsh_ann_topk", "ivf_topk", "cosine_dup_pairs"]
 
 
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -160,6 +160,84 @@ def matmul_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             yield pd.DataFrame(rows, columns=["qid", "rk", "nid", "cos"])
 
     return queries.mapInPandas(gen, out_schema)
+
+
+def _kmeans_centroids(sample: np.ndarray, n_clusters: int, seed: int = 23,
+                      iters: int = 8) -> np.ndarray:
+    """Deterministic Lloyd iterations on a (normalized) sample — the
+    IVF coarse quantizer. Pure NumPy; the sample is bounded, the
+    centroids broadcast."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    C = sample[rng.choice(n, size=min(n_clusters, n), replace=False)]
+    for _ in range(iters):
+        sims = sample @ C.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(C)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    C[c] = v / nv
+    return C
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, dim: int, k: int = 5,
+             n_clusters: int = 64, n_probe: int = 8,
+             id_q: str = "vec_id", id_c: str = "vec_id",
+             vec: str = "embedding", seed: int = 23,
+             sample_rows: int = 100_000) -> DataFrame:
+    """IVF approximate top-k — the inverted-file sibling of
+    `lsh_ann_topk`: a coarse k-means quantizer turns similarity search
+    into an equi join on cluster ids.
+
+    Index side: corpus vectors carry their nearest-centroid id (at
+    scale this is the bucketed/partitioned layout an index build would
+    write once). Query side: each query probes its `n_probe` nearest
+    centroids (replicated n_probe×, never per-candidate); candidates
+    come from the cluster equi join, refined by exact JVM cosine.
+    Recall grows with n_probe; the shuffle key is the cluster id, so
+    skew follows the quantizer's balance (centroids from a normalized
+    sample keep clusters comparable)."""
+    spark = queries.sparkSession
+    sample = corpus.select(vec).limit(sample_rows).toPandas()
+    S = np.stack([np.asarray(v, np.float64) for v in sample[vec]])
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    C = _kmeans_centroids(S, n_clusters, seed)
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _assign(v: pd.Series) -> pd.Series:
+            Cm = bc.value
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = m @ Cm.T
+            top = np.argsort(-sims, axis=1)[:, :n_top].astype(np.int32)
+            return pd.Series(top.tolist())
+        return _assign
+
+    c = corpus.select(F.col(id_c).alias("nid"),
+                      F.col(vec).cast("array<double>").alias("nv"))
+    c = c.withColumn("cluster",
+                     assign_udf(1)(F.col("nv")).getItem(0))
+    q = queries.select(F.col(id_q).alias("qid"),
+                       F.col(vec).cast("array<double>").alias("qv"))
+    q = q.withColumn("cluster",
+                     F.explode(assign_udf(n_probe)(F.col("qv"))))
+    cand = (
+        q.join(c, "cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nid", "cos")
+    )
 
 
 def _plane_matrix(dim: int, n_planes: int, table: int, seed: int = 11) -> np.ndarray:

@@ -15,7 +15,12 @@ from ..operators.areadist_fused import areadist_auto
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, pixel_embed
-from ..operators.similarity import cosine_dup_pairs, lsh_ann_topk, matmul_topk
+from ..operators.similarity import (
+    cosine_dup_pairs,
+    ivf_topk,
+    lsh_ann_topk,
+    matmul_topk,
+)
 from . import relational, spatial_queries, textops
 from .spatial_queries import points_df, rects_df
 
@@ -83,6 +88,16 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 def q_embed_ann_lsh(spark, sf_dir):
     e = _emb(spark, sf_dir)
     return lsh_ann_topk(e, e, dim=64, k=1, n_planes=10, n_tables=6) \
+        .select("qid", "rk", "nid")
+
+
+# --- IVF approximate NN (the inverted-file scale path: coarse k-means
+# quantizer → cluster equi join → exact refine); rows-only for the
+# driver (float centroid assignment isn't SQL-replayable), pytest
+# checks recall vs brute force
+def q_embed_ann_ivf(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return ivf_topk(e, e, dim=64, k=1, n_clusters=32, n_probe=8) \
         .select("qid", "rk", "nid")
 
 
@@ -240,6 +255,7 @@ QUERIES.update({
     "embed_top1": q_embed_top1,
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_ann_ivf": q_embed_ann_ivf,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,

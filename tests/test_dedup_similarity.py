@@ -103,6 +103,21 @@ def test_matmul_topk_matches_jvm_brute_force(spark, vectors):
     assert ka == kb
 
 
+def test_ivf_ann_recall(spark, vectors):
+    """IVF (k-means quantizer + cluster equi join) recall vs brute
+    force — the inverted-file sibling of the LSH path."""
+    brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    ann = S.ivf_topk(vectors, vectors, dim=32, k=1,
+                     n_clusters=12, n_probe=4).toPandas()
+    bm = dict(zip(brute.qid, brute.nid))
+    am = dict(zip(ann.qid, ann.nid))
+    hits = sum(1 for q, n in bm.items() if am.get(q) == n)
+    recall = hits / len(bm)
+    assert recall >= 0.8, f"IVF recall too low: {recall:.2f}"
+    for i in range(15):  # planted twins (cos ≈ 1 → same cluster)
+        assert am.get(500 + i) == i
+
+
 def test_cosine_dup_pairs_exact(spark, vectors):
     """Embedding-cosine near-dup: planted twins (cos ≈ 1) must all be
     found, and every emitted pair must match the NumPy oracle."""
