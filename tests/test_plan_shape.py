@@ -143,13 +143,18 @@ def test_reproject_is_arrow_vectorized(spark):
     assert plan.count("+- Exchange") <= 1
 
 
-def test_dissolve_query_broadcasts_and_stays_vectorized(spark):
-    """The exact-dissolve query: correction pseudo-features ride a
-    BROADCAST join (not a shuffled one), and all Python is Arrow-
-    vectorized."""
+def test_dissolve_query_is_single_stage_fused(spark):
+    """The exact-dissolve query runs the fused broadcast plan: one
+    narrow mapInPandas, correction pseudo-features inside the
+    broadcast index — no join, no shuffle, no row-at-a-time Python.
+    (The join path's dissolve plan is exercised in
+    tests/test_dissolve_exact.py.)"""
     from extract_sf_r_parallel_spark.plans.spatial_queries import (
         q_areadist_dissolve,
     )
     plan = _plan(q_areadist_dissolve(spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+    assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+    # the only exchange is the deliberate single-file probe spread
+    assert plan.count("+- Exchange") <= 1
