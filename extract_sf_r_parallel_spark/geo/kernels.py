@@ -189,6 +189,23 @@ def circle_polygon_area(cx: float, cy: float, r: float, ring: np.ndarray) -> flo
     return abs(area)
 
 
+def circle_feature_area(cx: float, cy: float, r: float, parts) -> float:
+    """Exact area of circle((cx,cy), r) ∩ a (possibly holed) feature:
+    signed Green's-theorem sum with part 0 CCW and later closed parts
+    CW, so hole clips subtract. `parts` is a list of ring arrays (or a
+    single ring array). Open parts contribute nothing."""
+    if isinstance(parts, np.ndarray) and parts.ndim == 2:
+        parts = [parts]
+    total = 0.0
+    for i, raw in enumerate(parts):
+        raw = np.asarray(raw, np.float64).reshape(-1, 2)
+        if not ring_is_closed(raw):
+            continue
+        a = circle_polygon_area(cx, cy, r, raw)
+        total += a if i == 0 else -a
+    return max(total, 0.0)
+
+
 def pairs_circle_polygon_area(
     cx: np.ndarray, cy: np.ndarray, r: np.ndarray,
     rings: list[np.ndarray],
@@ -224,44 +241,50 @@ def pairs_circle_polygon_area(
 
 
 def pairs_point_polygon_distance(
-    px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]
+    px: np.ndarray, py: np.ndarray, rings: list
 ) -> np.ndarray:
     """Vectorized st_distance(point, geometry) (C_…R:117): 0 when the
-    point is inside a closed ring, else min distance to any edge. Open
-    polylines (first ≠ last vertex) measure to the open edge chain —
-    no closing edge, no inside."""
+    point is inside a closed feature (even-odd parity over ALL rings,
+    so points in a hole are outside), else min distance to any edge of
+    any part. Open polylines (first ≠ last vertex) measure to the open
+    edge chain — no closing edge, no inside. Elements of `rings` may
+    be single (n, 2) arrays or lists of part arrays (holes, multipart
+    lines) — one pair per feature. Implementation independent of the
+    packed batch kernel (this is the serial oracle's primitive)."""
     n = len(rings)
     out = np.full(n, np.inf, dtype=np.float64)
-    if n == 0:
-        return out
-    closed = np.array([ring_is_closed(rg) for rg in rings], dtype=bool)
-    opened = [_open_ring(rg) for rg in rings]
-    counts = np.array([len(o) for o in opened])
-    good = counts >= 2
-    if not good.any():
-        return np.where(counts > 0, 0.0, np.inf)
-    pair_idx = np.repeat(np.arange(n), counts)
-    pts = np.concatenate(opened, axis=0)
-    used = counts
-    pstops = np.cumsum(used)
-    pstarts = pstops - used
-    nxt = np.arange(len(pts)) + 1
-    nxt[pstops - 1] = np.where(closed, pstarts, pstops - 1)
-    p1, p2 = pts, pts[nxt]
-    ppx = np.repeat(np.asarray(px, dtype=np.float64), counts)
-    ppy = np.repeat(np.asarray(py, dtype=np.float64), counts)
-    d = point_segment_distance(ppx, ppy, p1[:, 0], p1[:, 1], p2[:, 0], p2[:, 1])
-    np.minimum.at(out, pair_idx, d)
-    # inside → 0: even-odd crossing count, vectorized over the same pair
-    # arrays (no per-row Python)
-    cond = (p1[:, 1] > ppy) != (p2[:, 1] > ppy)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = p1[:, 0] + (ppy - p1[:, 1]) * (p2[:, 0] - p1[:, 0]) / (p2[:, 1] - p1[:, 1])
-    crossing = cond & (ppx < xint)
-    ncross = np.zeros(n, dtype=np.int64)
-    np.add.at(ncross, pair_idx, crossing.astype(np.int64))
-    inside = (ncross % 2 == 1) & (counts >= 3) & closed
-    out[inside] = 0.0
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    for i in range(n):
+        f = rings[i]
+        parts = ([f] if isinstance(f, np.ndarray) and f.ndim == 2
+                 else [np.asarray(p, np.float64).reshape(-1, 2) for p in f])
+        best = np.inf
+        ncross = 0
+        areal = True
+        for raw in parts:
+            closed = ring_is_closed(raw)
+            areal &= closed
+            r = _open_ring(raw)
+            if len(r) < 2:
+                continue
+            a = r
+            b = np.roll(r, -1, axis=0) if closed else r[1:]
+            if not closed:
+                a = r[:-1]
+            d = point_segment_distance(
+                np.full(len(a), px[i]), np.full(len(a), py[i]),
+                a[:, 0], a[:, 1], b[:, 0], b[:, 1])
+            best = min(best, float(d.min()))
+            if closed and len(r) >= 3:
+                cond = (a[:, 1] > py[i]) != (b[:, 1] > py[i])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = a[:, 0] + (py[i] - a[:, 1]) * (b[:, 0] - a[:, 0]) \
+                        / (b[:, 1] - a[:, 1])
+                ncross += int((cond & (px[i] < xint)).sum())
+        if areal and ncross % 2 == 1:
+            best = 0.0
+        out[i] = best
     return out
 
 
@@ -269,33 +292,78 @@ def pairs_point_polygon_distance(
 # packed-ring batch kernel (the hot path inside the spatial-join UDF)
 # ---------------------------------------------------------------------------
 
-class PackedRings:
-    """Unique rings of one Arrow batch packed into flat arrays so the
-    per-pair kernel is pure vectorized gather — zero per-pair Python.
-    A candidate pair references its ring by index; the same feature
-    joined against many points is parsed exactly once per batch.
+def feature_parts(geom) -> list[np.ndarray]:
+    """A geometry column value (list of flat part arrays) → list of
+    (n, 2) part arrays. Part 0 is the outer ring; further CLOSED parts
+    are holes (multipolygons are separate features); open parts are
+    polyline segments."""
+    return [np.asarray(p, dtype=np.float64).reshape(-1, 2) for p in geom]
 
-    Open polylines (first ≠ last raw vertex, :func:`ring_is_closed`)
-    are first-class: their edge chain does NOT wrap around (the last
-    vertex's `nxt` is itself — a degenerate zero-length segment whose
-    distance is the vertex distance, already dominated by the real
-    segments), they have no inside, and their circle-clip area is 0."""
+
+def _orient_parts(parts: list[np.ndarray]) -> list[np.ndarray]:
+    """Enforce winding so the signed Green's-theorem sum is the holed
+    area directly: closed part 0 CCW (outer), closed parts 1+ CW
+    (holes). Open parts pass through untouched."""
+    out = []
+    for i, p in enumerate(parts):
+        if not ring_is_closed(p):
+            out.append(_open_ring(p))
+            continue
+        o = orient_ccw(p)
+        out.append(o if i == 0 else o[::-1])
+    return out
+
+
+class PackedRings:
+    """Unique features of one Arrow batch packed into flat arrays so
+    the per-pair kernel is pure vectorized gather — zero per-pair
+    Python. A candidate pair references its feature by index; the same
+    feature joined against many points is parsed exactly once per
+    batch.
+
+    Features may have MULTIPLE parts: part 0 is the outer ring, later
+    closed parts are interior holes (packed with opposite winding so
+    the signed edge sum subtracts them; the even-odd crossing parity
+    over all edges makes hole interiors "outside"). Open polylines
+    (first ≠ last raw vertex, :func:`ring_is_closed`) are first-class:
+    their edge chains do NOT wrap around (the last vertex's `nxt` is
+    itself — a degenerate zero-length segment whose distance is the
+    vertex distance, already dominated by the real segments), they
+    have no inside, and their circle-clip area is 0. A feature is
+    areal iff all its parts are closed."""
 
     __slots__ = ("V", "offsets", "counts", "nxt", "closed")
 
-    def __init__(self, rings: list[np.ndarray]):
-        self.closed = np.array([ring_is_closed(r) for r in rings], dtype=bool)
-        opened = [_open_ring(r) for r in rings]
-        self.counts = np.array([len(o) for o in opened], dtype=np.int64)
-        self.offsets = np.concatenate([[0], np.cumsum(self.counts)[:-1]]).astype(np.int64)
-        self.V = (np.concatenate(opened, axis=0) if opened
+    def __init__(self, features: list):
+        # normalize: a bare (n,2) array is a single-ring feature
+        feats = [[f] if isinstance(f, np.ndarray) and f.ndim == 2 else list(f)
+                 for f in features]
+        self.closed = np.array(
+            [all(ring_is_closed(np.asarray(p, np.float64).reshape(-1, 2))
+                 for p in f) for f in feats], dtype=bool)
+        n = len(feats)
+        part_lists = [
+            _orient_parts([np.asarray(p, np.float64).reshape(-1, 2)
+                           for p in f]) for f in feats
+        ]
+        self.counts = np.array(
+            [sum(len(p) for p in pl) for pl in part_lists], dtype=np.int64)
+        self.offsets = np.concatenate(
+            [[0], np.cumsum(self.counts)[:-1]]).astype(np.int64)
+        allp = [p for pl in part_lists for p in pl]
+        self.V = (np.concatenate(allp, axis=0) if allp
                   else np.zeros((0, 2), dtype=np.float64))
         nxt = np.arange(1, len(self.V) + 1, dtype=np.int64)
-        ends = self.offsets + self.counts - 1
-        wrap = self.closed & (self.counts > 0)
-        nxt[ends[wrap]] = self.offsets[wrap]
-        stay = ~self.closed & (self.counts > 0)
-        nxt[ends[stay]] = ends[stay]
+        pos = 0
+        for i in range(n):
+            for j, p in enumerate(part_lists[i]):
+                end = pos + len(p) - 1
+                raw = feats[i][j]
+                if ring_is_closed(np.asarray(raw, np.float64).reshape(-1, 2)):
+                    nxt[end] = pos  # ring wraps within its own part
+                else:
+                    nxt[end] = end  # open chain: degenerate stay-edge
+                pos += len(p)
         self.nxt = nxt
 
 
@@ -467,21 +535,32 @@ def overlap_corrections(
     polygon or the component explodes combinatorially.
 
     Open polylines carry no area, so only CLOSED rings participate —
-    a polyline layer yields no corrections.
+    a polyline layer yields no corrections. Multi-part (holed) areal
+    features are opaque: isolated ones need no correction; if one
+    overlaps anything the exact union would need a holed-polygon
+    boolean → DissolveFallback (raster path).
 
     `max_terms` bounds the subset count PER CONNECTED overlap
     component (a clique of k mutually-overlapping features can emit
     2^k−k−1 terms); the total across disjoint components is unbounded —
     that is ordinary linear work. Axis-aligned rectangles intersect in
     O(1) without the general clipping pass."""
-    areal = [i for i, r in enumerate(rings) if ring_is_closed(r)]
-    if len(areal) < len(rings):
-        rings = [rings[i] for i in areal]
+    feats = [[f] if isinstance(f, np.ndarray) and f.ndim == 2
+             else [np.asarray(p, np.float64).reshape(-1, 2) for p in f]
+             for f in rings]
+    areal = [i for i, f in enumerate(feats)
+             if f and all(ring_is_closed(p) for p in f)]
+    if len(areal) < len(feats):
+        feats = [feats[i] for i in areal]
         years = np.asarray(years)[areal]
-    n = len(rings)
-    opened = [orient_ccw(r) for r in rings]
-    bb = np.array([[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
-                   for r in opened]) if n else np.zeros((0, 4))
+    n = len(feats)
+    multi = np.array([len(f) > 1 for f in feats], dtype=bool)
+    opened = [orient_ccw(f[0]) for f in feats]
+    bb = np.array([
+        [min(p[:, 0].min() for p in f), min(p[:, 1].min() for p in f),
+         max(p[:, 0].max() for p in f), max(p[:, 1].max() for p in f)]
+        for f in feats
+    ]) if n else np.zeros((0, 4))
     # clip everything in a local frame to keep coordinates small
     # (coords ~4e5 in the fixture CRS would cost ~1e-8 area noise)
     origin = bb[:, :2].min(axis=0) if n else np.zeros(2)
@@ -519,6 +598,11 @@ def overlap_corrections(
             if ra != rb:
                 parent[ra] = rb
 
+    for i in range(n):
+        if multi[i] and adj[i]:
+            raise DissolveFallback(
+                f"multi-part (holed) feature {i} in an overlap component")
+
     rect = [_axis_rect_of(r) for r in local]
     comp_terms: dict[int, int] = {}
     out: list[tuple[np.ndarray, int, float]] = []
@@ -534,6 +618,9 @@ def overlap_corrections(
     def intersect(poly, k: int):
         """poly is a rect tuple or an open ndarray ring; returns same.
         None/empty → no overlap."""
+        if multi[k]:
+            raise DissolveFallback(
+                f"multi-part (holed) feature {k} in an overlap component")
         if isinstance(poly, tuple) and rect[k] is not None:
             x0 = max(poly[0], rect[k][0])
             y0 = max(poly[1], rect[k][1])
@@ -613,7 +700,7 @@ def union_circle_area(cx: float, cy: float, r: float,
         keep = years < point_year
     rs = [rg for rg, k in zip(rings, keep) if k]
     ys = years[keep]
-    total = sum(circle_polygon_area(cx, cy, r, rg) for rg in rs)
+    total = sum(circle_feature_area(cx, cy, r, rg) for rg in rs)
     for poly, _y, w in overlap_corrections(rs, ys):
         total += w * circle_polygon_area(cx, cy, r, poly)
     return float(total)

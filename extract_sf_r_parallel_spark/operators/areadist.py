@@ -73,8 +73,7 @@ def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer") -> DataF
         # layers would be caught by the broadcast uniqueness check
         base = -(int(pd.util.hash_pandas_object(
             pd.Series([layer])).iloc[0]) % (1 << 20) + 1) << 32
-        rings = [np.asarray(g[0], np.float64).reshape(-1, 2)
-                 for g in pdf["geom"]]
+        rings = [K.feature_parts(g) for g in pdf["geom"]]
         years = pdf["poly_year"].to_numpy(np.int64)
         try:
             corrs = K.overlap_corrections(rings, years)
@@ -95,14 +94,23 @@ def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer") -> DataF
 
 
 def _union_area_raster(px: float, py: float, radius: float,
-                       rings: list[np.ndarray], grid: int = 512) -> float:
+                       features: list, grid: int = 512) -> float:
+    """Supersampled area(circle ∩ ⋃ features); each feature is a ring
+    array or a list of parts — inside = even-odd parity over the
+    feature's rings (holes handled), union = OR across features."""
     g = np.linspace(px - radius, px + radius, grid)
     h = np.linspace(py - radius, py + radius, grid)
     gx, gy = np.meshgrid(g, h)
     inc = (gx - px) ** 2 + (gy - py) ** 2 <= radius * radius
     anyin = np.zeros_like(inc)
-    for r in rings:
-        anyin |= K.point_in_ring(gx.ravel(), gy.ravel(), r).reshape(gx.shape)
+    for f in features:
+        parts = ([f] if isinstance(f, np.ndarray) and f.ndim == 2
+                 else [np.asarray(p, np.float64).reshape(-1, 2) for p in f])
+        par = np.zeros_like(inc)
+        for r in parts:
+            if K.ring_is_closed(r):
+                par ^= K.point_in_ring(gx.ravel(), gy.ravel(), r).reshape(gx.shape)
+        anyin |= par
     cell = (g[1] - g[0]) * (h[1] - h[0])
     return float((inc & anyin).sum() * cell)
 
@@ -226,7 +234,7 @@ def areadist(
             rpairs = rpairs.filter(F.col("layer").isin(fallback_layers))
 
         def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
-            rings = [np.asarray(g[0], np.float64).reshape(-1, 2) for g in pdf["geom"]]
+            rings = [K.feature_parts(g) for g in pdf["geom"]]
             row = {k: [pdf[k].iloc[0]] for k in kcols}
             px, py = float(pdf["x"].iloc[0]), float(pdf["y"].iloc[0])
             for r in radii:

@@ -75,12 +75,14 @@ class _FeatureIndex:
     def __init__(self, pdf: pd.DataFrame, radius: float, code: int,
                  layer_col: str, validity_filter: bool,
                  dissolve: str = "auto"):
-        rings = [np.asarray(g[0], np.float64).reshape(-1, 2) for g in pdf["geom"]]
+        rings = [K.feature_parts(g) for g in pdf["geom"]]
         if validity_filter:
-            # polygon-ring validity (st_is_valid, C_…R:317) — polyline
-            # layers are ingested with validity_filter=False and
-            # checked by kernels.polyline_is_valid instead
-            keep = np.array([K.ring_is_valid(r) for r in rings])
+            # polygon-ring validity of every part (st_is_valid,
+            # C_…R:317) — polyline layers are ingested with
+            # validity_filter=False and checked by
+            # kernels.polyline_is_valid instead
+            keep = np.array([all(K.ring_is_valid(p) for p in f)
+                             for f in rings])
             pdf = pdf[keep].reset_index(drop=True)
             rings = [r for r, k in zip(rings, keep) if k]
         years = pdf["YEAR"].to_numpy(np.int64)
@@ -93,7 +95,7 @@ class _FeatureIndex:
             for li in range(len(self.layers)):
                 m = np.flatnonzero(lcodes == li)
                 lrings = [rings[int(i)] for i in m]
-                if not all(K.ring_is_closed(r) for r in lrings):
+                if not all(K.ring_is_closed(p) for f in lrings for p in f):
                     continue  # polyline layers have no area to dissolve
                 try:
                     corrs = K.overlap_corrections(lrings, years[m])
@@ -103,15 +105,16 @@ class _FeatureIndex:
                         f"dissolve fallback ({e}); use "
                         f"areadist(dissolve='raster')") from None
                 for ring, y, w in corrs:
-                    rings.append(ring)
+                    rings.append([ring])
                     years = np.append(years, y)
                     lcodes = np.append(lcodes, li)
                     weight = np.append(weight, w)
                     is_real = np.append(is_real, False)
         self.packed = K.PackedRings(rings)
         self.bbox = np.array([
-            [r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()]
-            for r in rings
+            [min(p[:, 0].min() for p in f), min(p[:, 1].min() for p in f),
+             max(p[:, 0].max() for p in f), max(p[:, 1].max() for p in f)]
+            for f in rings
         ], dtype=np.float64) if rings else np.zeros((0, 4))
         self.years = years
         self.lcodes = lcodes

@@ -77,9 +77,11 @@ def poly_cover_udf(radius: float, code: int):
         bx1 = np.empty(n)
         by1 = np.empty(n)
         for i, g in enumerate(geom):  # ragged ring parse only
-            ring = np.asarray(g[0], dtype=np.float64).reshape(-1, 2)
-            bx0[i], by0[i] = ring[:, 0].min(), ring[:, 1].min()
-            bx1[i], by1[i] = ring[:, 0].max(), ring[:, 1].max()
+            parts = K.feature_parts(g)
+            bx0[i] = min(p[:, 0].min() for p in parts)
+            by0[i] = min(p[:, 1].min() for p in parts)
+            bx1[i] = max(p[:, 0].max() for p in parts)
+            by1[i] = max(p[:, 1].max() for p in parts)
         cells, counts = I.cover_bbox_many(
             bx0 - radius, by0 - radius, bx1 + radius, by1 + radius, code)
         bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
@@ -99,8 +101,10 @@ def is_valid_udf():
     if _IS_VALID is None:
         @F.pandas_udf(T.BooleanType())
         def _valid(geom: pd.Series) -> pd.Series:
+            # every part must be a valid closed ring (outer + holes);
+            # polyline layers use kernels.polyline_is_valid instead
             return pd.Series([
-                K.ring_is_valid(np.asarray(g[0], dtype=np.float64).reshape(-1, 2))
+                all(K.ring_is_valid(p) for p in K.feature_parts(g))
                 for g in geom
             ])
         _IS_VALID = _valid
@@ -129,10 +133,7 @@ def pair_metrics_udf(radii: tuple[float, ...]):
                  geom: pd.Series) -> pd.DataFrame:
         codes, _uniq = pd.factorize(fid.to_numpy())
         _ucodes, first_pos = np.unique(codes, return_index=True)
-        rings = [
-            np.asarray(geom.iloc[int(i)][0], dtype=np.float64).reshape(-1, 2)
-            for i in first_pos
-        ]
+        rings = [K.feature_parts(geom.iloc[int(i)]) for i in first_pos]
         packed = K.PackedRings(rings)
         m = K.packed_pair_metrics(
             x.to_numpy(np.float64), y.to_numpy(np.float64),
@@ -157,10 +158,7 @@ def broadcast_pair_metrics_udf(spark, polys: DataFrame, radii: tuple[float, ...]
     if len(sorted_fids) > 1 and (np.diff(sorted_fids) == 0).any():
         raise ValueError("broadcast_pair_metrics_udf: duplicate "
                          "feature_id values in the broadcast poly side")
-    rings = [
-        np.asarray(gpdf["geom"].iloc[int(i)][0], dtype=np.float64).reshape(-1, 2)
-        for i in order
-    ]
+    rings = [K.feature_parts(gpdf["geom"].iloc[int(i)]) for i in order]
     packed = K.PackedRings(rings)
     bc = spark.sparkContext.broadcast((packed, sorted_fids))
     fields = [T.StructField("dist", T.DoubleType())] + [

@@ -38,12 +38,12 @@ def areadist_oracle(
     pl = polys
     if validity_filter:
         keep = [
-            K.ring_is_valid(np.asarray(g[0], np.float64).reshape(-1, 2))
+            all(K.ring_is_valid(p) for p in K.feature_parts(g))
             for g in pl["geom"]
         ]
         pl = pl[np.array(keep)]
     for layer, lp in pl.groupby(layer_col, sort=True):
-        rings = [np.asarray(g[0], np.float64).reshape(-1, 2) for g in lp["geom"]]
+        rings = [K.feature_parts(g) for g in lp["geom"]]
         pyears = lp["YEAR"].to_numpy()
         real = pyears[pyears > 0]
         oldest = int(real.min()) if len(real) else None  # C_…R:231
@@ -69,7 +69,7 @@ def areadist_oracle(
                 # dist ≥ r ⇒ exactly 0 (empty st_intersection), same
                 # clamp as the engine kernel
                 areas = np.array([
-                    K.circle_polygon_area(x, y, r, rg) if d[i] < r else 0.0
+                    K.circle_feature_area(x, y, r, rg) if d[i] < r else 0.0
                     for i, rg in enumerate(cand)
                 ]) if cand else np.zeros(0)
                 if dissolve == "raster":
