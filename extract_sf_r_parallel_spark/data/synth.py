@@ -27,6 +27,26 @@ LAYERS = ("seismic", "wells", "harvest")
 WETLAND_CLASSES = ("Bog", "Fen", "Marsh", "Open Water", "Swamp")
 
 
+# Pixel generator: closed-form Lehmer hash over (image seed, flat
+# index) with modulus 2^32−5 and L'Ecuyer's multiplier 279470273, an
+# xorshift to break the affine structure, then mod 256. Closed-form
+# (not an iterated stream) so the driver's DuckDB oracle re-derives
+# every pixel with the same 64-bit integer arithmetic and checks
+# mean_r/g/b exactly (plans/registry.py multimodal_stats oracle).
+_PIX_P = 4294967291   # 2^32 − 5 (prime)
+_PIX_A = 279470273    # Lehmer multiplier for that modulus (L'Ecuyer)
+_PIX_M = 2654435761   # Knuth's 2^32/φ multiplicative-hash constant
+
+
+def pixel_plane(base: int, n_vals: int) -> np.ndarray:
+    """Flat uint8 pixel stream for one image (row-major h×w×3)."""
+    idx = np.arange(n_vals, dtype=np.int64)
+    h1 = (base + idx * _PIX_M) % _PIX_P
+    h2 = (h1 * _PIX_A) % _PIX_P
+    h3 = (h2 ^ (h2 >> 16))
+    return (h3 % 256).astype(np.uint8)
+
+
 def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     """The image+caption subject table (FIXTURES.md §1)."""
     sizes = (32, 64, 96)
@@ -34,8 +54,7 @@ def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
     for i in range(n):
         w = sizes[i % 3]
         h = sizes[(i // 3) % 3]
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        img = pixel_plane(seed * 1_000_003 + i, h * w * 3).reshape(h, w, 3)
         fmt = "raw" if i % 17 == 0 else "png"
         rows.append({
             "image_id": f"img{i:08d}",

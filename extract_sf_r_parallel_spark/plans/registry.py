@@ -203,9 +203,15 @@ def q_knn_ring(spark, sf_dir):
 
 
 # --- multimodal decode/stat/embed over the synthetic image table
-# (generated in-session; deterministic, no external data)
+# (generated in-session; deterministic, no external data). Driver-
+# oracled since r03: the pixels are a closed-form integer Lehmer hash
+# (data/synth.pixel_plane), so DuckDB re-derives every pixel value with
+# the same 64-bit arithmetic and recomputes mean_r/g/b exactly — the
+# decode side exercises the real PNG codec round-trip (fmt="png" for
+# 16/17 of rows), so a codec bit-error breaks the means and the hash.
 def q_multimodal_stats(spark, sf_dir):
-    n = 120 if "0.001" in sf_dir else 240
+    n = 240  # constant: the table is generated in-session, and the
+    # static oracle SQL below re-derives the same 240 images
     images = spark.createDataFrame(synth.images_pdf(n))
     stats = decode_stats(images)
     emb = pixel_embed(images)
@@ -213,6 +219,35 @@ def q_multimodal_stats(spark, sf_dir):
         "image_id", "mean_r", "mean_g", "mean_b", "phash_ok",
         F.size("embedding").alias("embed_dim"),
     )
+
+
+# n=240 matches the driver's sf0.01 comparison run; per-channel sums
+# are exact integers (< 2^53) and the /(w*h) division is one IEEE op,
+# so both engines produce bit-identical doubles — no rounding needed.
+ORACLE["multimodal_stats"] = """
+WITH imgs AS (
+  SELECT i,
+    printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT image_id, w, h,
+    xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v,
+    j % 3 AS ch
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+)
+SELECT image_id,
+  SUM(CASE WHEN ch = 0 THEN v END)::DOUBLE / (w*h) AS mean_r,
+  SUM(CASE WHEN ch = 1 THEN v END)::DOUBLE / (w*h) AS mean_g,
+  SUM(CASE WHEN ch = 2 THEN v END)::DOUBLE / (w*h) AS mean_b,
+  TRUE AS phash_ok,
+  64 AS embed_dim
+FROM px GROUP BY image_id, w, h
+"""
 
 
 # --- per-user sessionization (gaps-and-islands): the batch twin of

@@ -68,19 +68,51 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
             order = ts.argsort(kind="stable")
             ts = ts[order]
             vals = rows["value"].to_numpy()[order]
-            st = list(state.get) if state.exists else None
-            for t, v in zip(ts, vals):
-                if st is None:
-                    st = [int(t), int(t), 0, 0.0]
-                elif t - st[1] > gap_us:
-                    close(st)  # gap exceeded → previous session done
-                    st = [int(t), int(t), 0, 0.0]
-                st[1] = max(st[1], int(t))
-                st[2] += 1
-                st[3] += float(v)
-            state.update(tuple(st))
-            # close when the watermark passes last + gap
-            state.setTimeoutTimestamp((st[1] + gap_us) // 1000)
+            # Arbitrary stateful ops do NOT drop late rows for us —
+            # an event older than the watermark (even older than the
+            # open session) can land here. Treat the open session as
+            # an interval [start, last] with aggregates and run
+            # gaps-and-islands over {state interval} ∪ {events},
+            # so late events extend session_start (min), merge, or
+            # form their own earlier island exactly as the sorted
+            # batch twin would. Residual divergence bound: a late
+            # event that would have bridged a session emitted in an
+            # EARLIER trigger is unrecoverable (that session is out
+            # the door); within-watermark in-order arrival never
+            # hits this.
+            items = []
+            if state.exists:
+                items.append(list(state.get))
+            items.extend([int(t), int(t), 1, float(v)]
+                         for t, v in zip(ts, vals))
+            items.sort(key=lambda x: (x[0], x[1]))
+            merged = [items[0]]
+            for it in items[1:]:
+                cur = merged[-1]
+                if it[0] - cur[1] <= gap_us:
+                    cur[0] = min(cur[0], it[0])
+                    cur[1] = max(cur[1], it[1])
+                    cur[2] += it[2]
+                    cur[3] += it[3]
+                else:
+                    merged.append(it)
+            # every island but the newest is separated by > gap from
+            # what follows → closed in batch order; emit now
+            for isl in merged[:-1]:
+                close(isl)
+            st = merged[-1]
+            wm_ms = state.getCurrentWatermarkMs()
+            if st[1] + gap_us <= wm_ms * 1000:
+                # the watermark already passed last + gap (late data
+                # whose session is over): emit immediately — setting
+                # a timeout in the past would kill the query
+                close(st)
+                if state.exists:
+                    state.remove()
+            else:
+                state.update(tuple(st))
+                state.setTimeoutTimestamp(
+                    max((st[1] + gap_us) // 1000, wm_ms + 1))
         if out:
             pdf = pd.DataFrame(
                 out, columns=["user_id", "s", "e", "n_events", "sum_value"])
