@@ -25,7 +25,9 @@ from pyspark.sql import types as T
 from ..functions.vectors import cosine
 
 __all__ = ["brute_force_topk", "matmul_topk", "hyperplane_buckets",
-           "lsh_ann_topk", "ivf_topk", "cosine_dup_pairs"]
+           "lsh_ann_topk", "ivf_topk", "cosine_dup_pairs",
+           "lsh_ann_topk_int", "ivf_topk_sampled",
+           "int_weight_tensor", "QUANT_SCALE"]
 
 
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
@@ -135,7 +137,11 @@ def matmul_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     def gen(batches):
         Cm, ids = bc.value
         n = len(ids)
-        kk = min(k, n - 1) if n > 1 else 1
+        # kk = min(k, n): -inf self entries sort last, so no -1 — a
+        # query absent from the corpus legitimately gets n neighbours
+        # (ADVICE r02: min(k, n-1) silently dropped the last one and
+        # disagreed with brute_force_topk on small corpora)
+        kk = min(k, n)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -155,7 +161,11 @@ def matmul_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 kth = np.partition(s, n - kk)[n - kk]
                 cand = np.flatnonzero(s >= kth)
                 order = cand[np.lexsort((ids[cand], -s[cand]))][:k]
-                for r, j in enumerate(order, 1):
+                r = 0
+                for j in order:
+                    if s[j] == -np.inf:
+                        continue  # the masked self entry
+                    r += 1
                     rows.append((qids[i], r, int(ids[j]), float(s[j])))
             yield pd.DataFrame(rows, columns=["qid", "rk", "nid", "cos"])
 
@@ -288,6 +298,150 @@ def lsh_ann_topk(queries: DataFrame, corpus: DataFrame, dim: int,
         .dropDuplicates(["qid", "nid"])
     )
     cand = cand.withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nid", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-replayable ANN variants (VERDICT r02 next-#2): same plan shapes as
+# lsh_ann_topk / ivf_topk, but every non-refine decision is exact 64-bit
+# integer arithmetic (LSH) or a corpus-derived quantizer (IVF), so the
+# driver's DuckDB oracle replays bucketing + candidates + ranking fully
+# in SQL — the way minhash_pairs is replayed.
+# ---------------------------------------------------------------------------
+
+QUANT_SCALE = 1_000_000
+# weight-hash constants — shared verbatim by the DuckDB oracle
+# (plans/registry.py embed_ann_lsh); two Lehmer rounds with moduli small
+# enough that every product fits signed-64 in both engines
+_WP1, _WP2 = 999983, 999979
+_WA1, _WA2 = 48271, 69621
+
+
+def int_weight_tensor(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """(n_tables, n_planes, dim) int64 hyperplane weights in
+    [-1000, 1000], derived from the flat index by two Lehmer rounds —
+    the exact arithmetic the oracle repeats in SQL."""
+    idx = np.arange(n_tables * n_planes * dim, dtype=np.int64)
+    h1 = (idx * _WA1 + 11) % _WP1
+    h2 = (h1 * _WA2 + 7) % _WP2
+    return ((h2 % 2001) - 1000).reshape(n_tables, n_planes, dim)
+
+
+def _quantize(m: np.ndarray) -> np.ndarray:
+    """floor(x·10⁶ + 0.5): one multiply, one add, one floor — all exact
+    IEEE ops, so NumPy and DuckDB produce identical int64 values."""
+    return np.floor(m * QUANT_SCALE + 0.5).astype(np.int64)
+
+
+def _int_buckets(df: DataFrame, W: np.ndarray, vec: str) -> DataFrame:
+    n_tables, n_planes, dim = W.shape
+    W2 = W.reshape(n_tables * n_planes, dim).T  # (dim, t·p)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _buckets(v: pd.Series) -> pd.Series:
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        proj = _quantize(m) @ W2          # int64 exact: |q|≤1e6·√d·1e3
+        bits = (proj > 0).reshape(len(m), n_tables, n_planes)
+        out = bits @ (1 << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(out.tolist())
+
+    b = df.withColumn("_bks", _buckets(F.col(vec)))
+    return b.select("*", F.posexplode("_bks").alias("table", "bucket")) \
+        .drop("_bks")
+
+
+def lsh_ann_topk_int(queries: DataFrame, corpus: DataFrame, dim: int,
+                     k: int = 5, n_planes: int = 12, n_tables: int = 4,
+                     id_q: str = "vec_id", id_c: str = "vec_id",
+                     vec: str = "embedding", max_bucket: int = 2000,
+                     round_dp: int = 5) -> DataFrame:
+    """`lsh_ann_topk` with integer-quantized projections: embedding
+    components quantize to int64 (floor(x·10⁶+0.5)), hyperplane weights
+    come from an integer Lehmer hash, and the bucket id is the sign
+    pattern of exact int64 dot products — bit-identical in any engine.
+    The refine step ranks by the round_dp-rounded float cosine (the
+    embed_top1 contract). Same scale shape as lsh_ann_topk: only
+    (id, table, bucket) rides the explode, candidates come from the
+    equi join, dense buckets are capped."""
+    W = int_weight_tensor(dim, n_planes, n_tables)
+    q = queries.select(F.col(id_q).alias("qid"),
+                       F.col(vec).cast("array<double>").alias("qv"))
+    c = corpus.select(F.col(id_c).alias("nid"),
+                      F.col(vec).cast("array<double>").alias("nv"))
+    qb = _int_buckets(q, W, "qv").select("qid", "table", "bucket")
+    cb = _int_buckets(c, W, "nv").select("nid", "table", "bucket")
+    cb = cb.withColumn(
+        "bsz", F.count(F.lit(1)).over(Window.partitionBy("table", "bucket")))
+    cb = cb.filter(F.col("bsz") <= max_bucket).drop("bsz")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .dropDuplicates(["qid", "nid"])
+        .join(q, "qid").join(c, "nid")
+    )
+    cand = cand.withColumn(
+        "cos", F.round(cosine(F.col("qv"), F.col("nv")), round_dp))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nid", "cos")
+    )
+
+
+def ivf_topk_sampled(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                     n_clusters: int = 32, n_probe: int = 8,
+                     id_q: str = "vec_id", id_c: str = "vec_id",
+                     vec: str = "embedding", round_dp: int = 5) -> DataFrame:
+    """`ivf_topk` with a corpus-sampled coarse quantizer: the centroids
+    are the corpus vectors with id < n_clusters (random-init IVF without
+    Lloyd refinement — a legitimate quantizer with slightly lower
+    recall), so an oracle can re-derive them from the same table.
+    Assignment ranks ROUND(cos(v, centroid), round_dp) with ties to the
+    smaller centroid id — deterministic across engines the same way
+    embed_top1's ranking is. Plan shape is identical to ivf_topk:
+    broadcast centroids, cluster equi join, exact JVM-cosine refine."""
+    spark = queries.sparkSession
+    cent = corpus.filter(F.col(id_c) < n_clusters) \
+        .select(F.col(id_c).alias("cid"),
+                F.col(vec).cast("array<double>").alias("cv")) \
+        .toPandas().sort_values("cid")
+    C = np.stack([np.asarray(v, np.float64) for v in cent["cv"]])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    cids = cent["cid"].to_numpy()
+    bc = spark.sparkContext.broadcast((C, cids))
+
+    def assign_udf(n_top: int):
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def _assign(v: pd.Series) -> pd.Series:
+            Cm, ids = bc.value
+            m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(m @ Cm.T, round_dp)
+            # order by (-cos, centroid id): lexsort is stable on ties
+            order = np.lexsort(
+                (np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, :n_top]
+            return pd.Series(ids[order].tolist())
+        return _assign
+
+    c = corpus.select(F.col(id_c).alias("nid"),
+                      F.col(vec).cast("array<double>").alias("nv"))
+    c = c.withColumn("cluster", assign_udf(1)(F.col("nv")).getItem(0))
+    q = queries.select(F.col(id_q).alias("qid"),
+                       F.col(vec).cast("array<double>").alias("qv"))
+    q = q.withColumn("cluster", F.explode(assign_udf(n_probe)(F.col("qv"))))
+    cand = (
+        q.join(c, "cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), round_dp))
+    )
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         cand.withColumn("rk", F.row_number().over(w))

@@ -17,8 +17,8 @@ from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, pixel_embed
 from ..operators.similarity import (
     cosine_dup_pairs,
-    ivf_topk,
-    lsh_ann_topk,
+    ivf_topk_sampled,
+    lsh_ann_topk_int,
     matmul_topk,
 )
 from . import relational, spatial_queries, textops
@@ -83,22 +83,106 @@ WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
-# --- LSH-bucketed approximate NN (the 10⁹-vector scale path); driver
-# records rows-only, pytest checks recall vs brute force
+# --- LSH-bucketed approximate NN (the 10⁹-vector scale path). Driver-
+# oracled since r03 via the integer-quantized variant: embedding
+# components quantize to int64 (floor(x·10⁶+0.5) — exact IEEE ops),
+# hyperplane weights come from a two-round Lehmer hash, bucket ids are
+# sign patterns of exact int64 dot products — so DuckDB replays the
+# bucketing, the capped equi join, and the rounded-cosine ranking in
+# full, the way minhash_pairs is replayed. The float-hyperplane
+# variant (lsh_ann_topk) stays the engine API; pytest checks recall.
 def q_embed_ann_lsh(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    return lsh_ann_topk(e, e, dim=64, k=1, n_planes=10, n_tables=6) \
-        .select("qid", "rk", "nid")
+    return lsh_ann_topk_int(e, e, dim=64, k=1, n_planes=10, n_tables=6)
 
 
-# --- IVF approximate NN (the inverted-file scale path: coarse k-means
-# quantizer → cluster equi join → exact refine); rows-only for the
-# driver (float centroid assignment isn't SQL-replayable), pytest
-# checks recall vs brute force
+ORACLE["embed_ann_lsh"] = """
+WITH qe AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+), wts AS (
+  SELECT t.t, p.p, d.d,
+    ((((((CAST((t.t * 10 + p.p) * 64 + d.d AS BIGINT)) * 48271 + 11)
+        % 999983) * 69621 + 7) % 999979) % 2001) - 1000 AS w
+  FROM range(6) t(t), range(10) p(p), range(64) d(d)
+), pr AS (
+  SELECT qe.vec_id, w.t, w.p, SUM(qe.q * w.w) AS proj
+  FROM qe JOIN wts w USING (d) GROUP BY 1, 2, 3
+), bk AS (
+  SELECT vec_id, t, SUM(CASE WHEN proj > 0 THEN 1 << p ELSE 0 END) AS bucket
+  FROM pr GROUP BY 1, 2
+), bsz AS (
+  SELECT t, bucket, COUNT(*) AS n FROM bk GROUP BY 1, 2
+), cb AS (
+  SELECT bk.* FROM bk JOIN bsz USING (t, bucket) WHERE bsz.n <= 2000
+), cand AS (
+  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+  FROM bk q JOIN cb c ON q.t = c.t AND q.bucket = c.bucket
+  WHERE q.vec_id <> c.vec_id
+), scored AS (
+  SELECT cand.qid, cand.nid,
+    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 5) AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.qid
+  JOIN embeddings b ON b.vec_id = cand.nid
+)
+SELECT qid, rk, nid, cos FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid) AS rk
+  FROM scored
+) WHERE rk <= 1
+"""
+
+
+# --- IVF approximate NN (the inverted-file scale path: coarse
+# quantizer → cluster equi join → exact refine). Driver-oracled since
+# r03 via the corpus-sampled quantizer (centroids = corpus vectors with
+# id < n_clusters; random-init IVF without Lloyd refinement), so the
+# oracle re-derives the centroids from the same table and replays
+# assignment + candidates + ranking. The k-means variant (ivf_topk)
+# stays the engine API; pytest checks its recall.
 def q_embed_ann_ivf(spark, sf_dir):
     e = _emb(spark, sf_dir)
-    return ivf_topk(e, e, dim=64, k=1, n_clusters=32, n_probe=8) \
-        .select("qid", "rk", "nid")
+    return ivf_topk_sampled(e, e, k=1, n_clusters=32, n_probe=8)
+
+
+ORACLE["embed_ann_ivf"] = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 32
+), asg AS (
+  SELECT e.vec_id, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), c.cv), 5) DESC,
+               c.cid) AS ar
+  FROM embeddings e CROSS JOIN cent c
+), ca AS (
+  SELECT vec_id AS nid, cid AS cluster FROM asg WHERE ar = 1
+), qa AS (
+  SELECT vec_id AS qid, cid AS cluster FROM asg WHERE ar <= 8
+), cand AS (
+  SELECT DISTINCT qa.qid, ca.nid FROM qa JOIN ca USING (cluster)
+  WHERE qa.qid <> ca.nid
+), scored AS (
+  SELECT cand.qid, cand.nid,
+    ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])), 5) AS cos
+  FROM cand
+  JOIN embeddings a ON a.vec_id = cand.qid
+  JOIN embeddings b ON b.vec_id = cand.nid
+)
+SELECT qid, rk, nid, cos FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, nid) AS rk
+  FROM scored
+) WHERE rk <= 1
+"""
 
 
 # --- MinHash+LSH near-dup pairs (rows-only; pytest oracle on planted dups)

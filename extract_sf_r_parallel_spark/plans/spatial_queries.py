@@ -494,20 +494,24 @@ SELECT fid, rxmin, rymin, rxmax, rymax, ryear FROM ({_RECTS_SQL})
 
 # --- G5: exact dissolved-union area (st_union, C_…R:99,154) on a
 # deliberately OVERLAPPING layer: every part key spawns a rect pair
-# (B = A shifted by half its width) inside a private 140 m slot, so
+# (B = A shifted by half its width) inside a private 100 m slot, so
 # the union has a closed form: area(circle∩A) + area(circle∩B) −
 # area(circle∩(A∩B)), and A∩B is itself an axis-aligned rect. The
 # Spark side runs dissolve="auto" DEFAULT — overlap detection +
 # inclusion–exclusion correction pseudo-features kick in with no
 # caller hint; the oracle evaluates the three-term closed form.
-_SLOT = 141
+# 200 slots/axis × 100 m = the 20 km window; rect extents stay ≤ 82 m
+# so every key's pair lives inside a private slot up to 40 000 parts
+# (sf ≤ 0.2 — covers the driver's sf0.01 and the bench's sf0.1;
+# ADVICE r02: 141²=19 881 slots collided at sf0.1)
+_SLOT = 200
 
 
 def _pair_rects_sql() -> str:
     k = f"(p_partkey % {_SLOT * _SLOT})"
     sx = f"({k} % {_SLOT})"
     sy = f"CAST(({k} - {sx}) / {_SLOT} AS BIGINT)"
-    ox, oy = f"({sx} * 140 + 10)", f"({sy} * 140 + 10)"
+    ox, oy = f"({sx} * 100 + 10)", f"({sy} * 100 + 10)"
     hw, hh = "(10 + p_partkey % 15)", "(8 + p_partkey % 11)"
     return f"""
   SELECT p_partkey AS fid, kind,
@@ -563,13 +567,23 @@ def q_areadist_dissolve(spark, sf_dir):
         F.col("pyear").alias("YEAR"), "x", "y",
     )
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    # The oracle's three-term closed form assumes p_partkey % _SLOT²
+    # is injective (each key owns a private 100 m slot). Past _SLOT²
+    # parts (sf > 0.2) distinct keys would share a slot:
+    # the engine still subtracts the cross-key overlaps but the
+    # per-key oracle would not, so fail loudly instead of
+    # hash-mismatching mysteriously (ADVICE r02).
+    n_parts = p.count()
+    assert n_parts <= _SLOT * _SLOT, (
+        f"areadist_dissolve fixture needs ≤ {_SLOT * _SLOT} parts for "
+        f"slot privacy; got {n_parts} — enlarge _SLOT for this sf")
     # single small file → 1 split; spread so the cover/correction UDFs
     # parallelize (a real layer scan arrives pre-split)
     p = p.repartition(spark.sparkContext.defaultParallelism)
     k = F.pmod(F.col("p_partkey"), F.lit(_SLOT * _SLOT))
     sx, sy = F.pmod(k, F.lit(_SLOT)), F.floor(k / _SLOT)
-    ox = (sx * 140 + 10).cast("double")
-    oy = (sy * 140 + 10).cast("double")
+    ox = (sx * 100 + 10).cast("double")
+    oy = (sy * 100 + 10).cast("double")
     hw = (F.lit(10) + F.pmod("p_partkey", F.lit(15))).cast("double")
     hh = (F.lit(8) + F.pmod("p_partkey", F.lit(11))).cast("double")
     base = p.select("p_partkey", ox.alias("ox"), oy.alias("oy"),

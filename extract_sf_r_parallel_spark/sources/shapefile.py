@@ -99,7 +99,11 @@ def write_shapefile(base: str, geoms: list[list[np.ndarray]],
         if attrs[col].dtype.kind in "iuf":
             fields.append((col[:10], b"N", 18, 0 if attrs[col].dtype.kind in "iu" else 6))
         else:
-            width = max(1, min(254, int(attrs[col].astype(str).str.len().max() or 1)))
+            # width is a BYTE width: the reader walks fixed record_size
+            # offsets, so measure encoded length (ADVICE r02 — a char
+            # count under-sizes non-ASCII values and desyncs the file)
+            blen = attrs[col].astype(str).map(lambda v: len(v.encode()))
+            width = max(1, min(254, int(blen.max() or 1)))
             fields.append((col[:10], b"C", width, 0))
     header_size = 32 + 32 * len(fields) + 1
     record_size = 1 + sum(w for _, _, w, _ in fields)
@@ -118,9 +122,12 @@ def write_shapefile(base: str, geoms: list[list[np.ndarray]],
                 v = row[col]
                 if ftype == b"N":
                     s = (f"{v:.{dec}f}" if dec else str(int(v))).rjust(width)
-                else:
-                    s = str(v).ljust(width)
-                f.write(s[:width].encode())
+                    f.write(s[:width].encode())
+                    continue
+                # encode FIRST, then slice/pad bytes: slicing chars
+                # before encoding can emit more than `width` bytes for
+                # non-ASCII values and desync every later record
+                f.write(str(v).encode()[:width].ljust(width, b" "))
         f.write(b"\x1a")
 
 
@@ -177,7 +184,9 @@ def _parse_dbf(blob: bytes) -> pd.DataFrame:
         rpos += 1
         row = {}
         for name, ftype, width, dec in fields:
-            raw = blob[rpos:rpos + width].decode().strip()
+            # errors="replace": a byte-truncated multi-byte char at the
+            # field boundary must not kill the whole file read
+            raw = blob[rpos:rpos + width].decode(errors="replace").strip()
             if ftype == "N":
                 row[name] = (float(raw) if dec else int(raw)) if raw else None
             else:

@@ -151,3 +151,53 @@ def test_lsh_ann_recall(spark, vectors):
     # with overwhelming probability across 8 tables)
     for i in range(15):
         assert am.get(500 + i) == i
+
+
+def test_int_lsh_ann_recall(spark, vectors):
+    """The SQL-replayable integer-quantized LSH variant must keep the
+    same recall contract as the float-hyperplane one."""
+    brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    ann = S.lsh_ann_topk_int(vectors, vectors, dim=32, k=1,
+                             n_planes=8, n_tables=8).toPandas()
+    bm = dict(zip(brute.qid, brute.nid))
+    am = dict(zip(ann.qid, ann.nid))
+    recall = sum(1 for q, n in bm.items() if am.get(q) == n) / len(bm)
+    assert recall >= 0.8, f"int-LSH recall too low: {recall:.2f}"
+    for i in range(15):
+        assert am.get(500 + i) == i
+
+
+def test_sampled_ivf_recall(spark, vectors):
+    """Corpus-sampled-centroid IVF (the oracled driver variant) keeps
+    useful recall without Lloyd refinement."""
+    brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    ann = S.ivf_topk_sampled(vectors, vectors, k=1,
+                             n_clusters=16, n_probe=6).toPandas()
+    bm = dict(zip(brute.qid, brute.nid))
+    am = dict(zip(ann.qid, ann.nid))
+    recall = sum(1 for q, n in bm.items() if am.get(q) == n) / len(bm)
+    assert recall >= 0.8, f"sampled-IVF recall too low: {recall:.2f}"
+
+
+def test_matmul_topk_small_corpus_absent_query(spark):
+    """ADVICE r02: with corpus size n <= k and the query id absent from
+    the corpus, matmul_topk must return all n neighbours exactly like
+    brute_force_topk (the old kk=min(k,n-1) dropped the last one)."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(3)],
+        "vec_id: long, embedding: array<float>")
+    queries = spark.createDataFrame(
+        [(99, [1.0, 0.5, 0.0, 0.0])], "vec_id: long, embedding: array<float>")
+    a = S.brute_force_topk(queries, corpus, k=5, round_dp=5).toPandas()
+    b = S.matmul_topk(queries, corpus, k=5, round_dp=5).toPandas()
+    assert len(a) == len(b) == 3
+    sa = a.sort_values("rk").reset_index(drop=True)
+    sb = b.sort_values("rk").reset_index(drop=True)
+    assert (sa.nid.to_numpy() == sb.nid.to_numpy()).all()
+    # and with the query PRESENT in the corpus, self is excluded: n-1 rows
+    qp = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.0, 0.0])], "vec_id: long, embedding: array<float>")
+    c = S.matmul_topk(qp, corpus, k=5, round_dp=5).toPandas()
+    d = S.brute_force_topk(qp, corpus, k=5, round_dp=5).toPandas()
+    assert len(c) == len(d) == 2
+    assert 1 not in set(c.nid)
