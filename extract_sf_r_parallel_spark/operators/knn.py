@@ -43,7 +43,9 @@ def knn_join(
         )
         w = Window.partitionBy(point_id).orderBy(F.col("dist"), F.col(feature_id))
         ranked = (
-            pairs.withColumn("rk", F.row_number().over(w))
+            # prune before the rank shuffle: 3 columns, not the pair row
+            pairs.select(point_id, feature_id, "dist")
+            .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
             .select(point_id, "rk", feature_id, "dist")
         )

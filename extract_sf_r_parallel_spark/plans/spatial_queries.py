@@ -216,7 +216,16 @@ FROM ({_PTS_SQL}) LEFT JOIN agg ON pid = jpid
 # --- kNN (k=3) per point within maxdist: the ranking generalization of
 # NEAR.DIST (SURVEY.md §2.5 window note)
 def q_knn3(spark, sf_dir):
-    pairs = rect_pairs(spark, sf_dir).filter(F.col("dist") < MAXDIST)
+    # prune to (pid, fid, dist) BEFORE the window so the rank shuffle
+    # moves 3 columns, not the full pair row (bbox etc). Alternatives
+    # measured at sf0.1/local[32] and rejected: collect_list+array_sort
+    # partial agg 3× slower (object-hash agg on wide arrays); ring
+    # expansion (250→1000) 2× slower (3 join rounds + semi/anti joins
+    # dominate at this density). The 25M-row window after the broadcast
+    # cell join is the honest cost; at 100× the same plan holds because
+    # the shuffle is hash(pid) with bounded per-pid candidate counts.
+    pairs = rect_pairs(spark, sf_dir).filter(F.col("dist") < MAXDIST) \
+        .select("pid", "fid", "dist")
     w = W.partitionBy("pid").orderBy(F.col("dist"), F.col("fid"))
     return (
         pairs.withColumn("rk", F.row_number().over(w))
@@ -691,6 +700,84 @@ def q_polyline_knn(spark, sf_dir):
     return out.select("PKEY", "rk", "feature_id",
                       F.round("dist", 6).alias("dist"))
 
+
+# --- P4: the reference's class-partitioned wetland extraction
+# (areadist.wet, D_…R:20-66,107-114): NO temporal filter, no age — one
+# row per (point, CWCS_Class), distance + per-class footprint amount,
+# classes acting as the layer/partition column straight through the
+# SAME areadist pipeline (layer_col="CWCS_Class"; the engine never
+# physically splits classes). Closes SURVEY §2 P4's driver gap.
+_WET_CLASSES = ("Bog", "Fen", "Marsh", "Open Water", "Swamp")
+
+
+def q_areadist_wet(spark, sf_dir):
+    from ..operators.areadist import areadist
+    pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
+        F.col("pid").cast("string").alias("PKEY"),
+        (F.col("pid") % 97).cast("string").alias("SS"),
+        F.col("pyear").alias("YEAR"), "x", "y",
+    )
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in _WET_CLASSES]),
+        (F.pmod(F.col("fid"), F.lit(5)) + 1).cast("int"))
+    polys = rects_df(spark, sf_dir).select(
+        F.col("fid").alias("feature_id"), cls.alias("CWCS_Class"),
+        F.lit(0).cast("int").alias("YEAR"), "geom")
+    out = areadist(pts, polys, temporal=False, age=False,
+                   layer_col="CWCS_Class", validity_filter=False,
+                   dissolve="sum", broadcast_polys=True)
+    d = FLAGSHIP_ROUND
+    cols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"),
+            F.col("layer").alias("CWCS_Class"),
+            F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        cols.append(F.round(F.col(f"AREA{r}"), d["AREA"]).alias(f"AREA{r}"))
+        cols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+    return out.select(*cols)
+
+
+ORACLE["areadist_wet"] = f"""
+WITH fpts AS (
+  SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0
+), wrects AS (
+  SELECT *, CASE fid % 5 WHEN 0 THEN 'Bog' WHEN 1 THEN 'Fen'
+            WHEN 2 THEN 'Marsh' WHEN 3 THEN 'Open Water'
+            ELSE 'Swamp' END AS cls
+  FROM ({_RECTS_SQL})
+), wpairs AS (
+  SELECT pid, cls, dist,
+         CASE WHEN dist < 150.0 THEN {_sql_circle_rect_area(150.0)}
+              ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {_sql_circle_rect_area(565.0)}
+              ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, r.*,
+           SQRT(GREATEST(rxmin - x, x - rxmax, 0.0)
+                * GREATEST(rxmin - x, x - rxmax, 0.0)
+              + GREATEST(rymin - y, y - rymax, 0.0)
+                * GREATEST(rymin - y, y - rymax, 0.0)) AS dist
+    FROM fpts p CROSS JOIN wrects r
+  )
+), agg AS (
+  SELECT pid AS jpid, cls AS jcls,
+         MIN(dist) AS near,
+         SUM(ca150) AS area150, SUM(ca565) AS area565
+  FROM wpairs GROUP BY pid, cls
+)
+SELECT CAST(pid AS VARCHAR) AS PKEY,
+       CAST(pid % 97 AS VARCHAR) AS SS,
+       pyear AS YEAR,
+       cls AS CWCS_Class,
+       ROUND(LEAST(COALESCE(near, {MAXDIST}), {MAXDIST}), 4) AS NEAR_DIST,
+       ROUND(COALESCE(area150, 0.0), 2) AS AREA150,
+       ROUND(COALESCE(area150, 0.0) / (3.14 * 150 * 150), 6) AS PROP150,
+       ROUND(COALESCE(area565, 0.0), 2) AS AREA565,
+       ROUND(COALESCE(area565, 0.0) / (3.14 * 565 * 565), 6) AS PROP565
+FROM fpts CROSS JOIN (SELECT UNNEST(['Bog', 'Fen', 'Marsh', 'Open Water',
+                                     'Swamp']) AS cls)
+LEFT JOIN agg ON pid = jpid AND cls = jcls
+"""
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "range_near": q_range_near,
@@ -701,4 +788,5 @@ QUERIES = {
     "shapefile_scan": q_shapefile_scan,
     "polyline_knn": q_polyline_knn,
     "areadist_dissolve": q_areadist_dissolve,
+    "areadist_wet": q_areadist_wet,
 }

@@ -201,3 +201,35 @@ def test_matmul_topk_small_corpus_absent_query(spark):
     d = S.brute_force_topk(qp, corpus, k=5, round_dp=5).toPandas()
     assert len(c) == len(d) == 2
     assert 1 not in set(c.nid)
+
+
+def test_block_topk_exact_no_cartesian(spark, vectors):
+    """The oversize exact path (block-partitioned matmul) must agree
+    with brute force and contain no CartesianProduct node (VERDICT r02
+    wrong-#3)."""
+    a = S.brute_force_topk(vectors, vectors, k=3, round_dp=5).toPandas()
+    # force the oversize route through matmul_topk's gate
+    b_df = S.matmul_topk(vectors, vectors, k=3, round_dp=5,
+                         max_broadcast_rows=10)
+    plan = b_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    b = b_df.toPandas()
+    sa = a.sort_values(["qid", "rk"]).reset_index(drop=True)
+    sb = b.sort_values(["qid", "rk"]).reset_index(drop=True)
+    assert len(sa) == len(sb)
+    assert (sa.nid.to_numpy() == sb.nid.to_numpy()).all()
+    assert (sa.qid.to_numpy() == sb.qid.to_numpy()).all()
+    np.testing.assert_allclose(sa.cos.to_numpy(), sb.cos.to_numpy())
+
+
+def test_dup_pairs_oversize_path_no_cartesian(spark, vectors):
+    """cosine_dup_pairs past the broadcast envelope routes to LSH
+    candidates + exact verify — an equi join, never a cross join."""
+    d = S.cosine_dup_pairs(vectors, threshold=0.9, max_broadcast_rows=10)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = d.toPandas()
+    # the 15 planted twins (cos ≈ 1) are exactly the expected pairs
+    pairs = set(zip(got.id_a, got.id_b))
+    for i in range(15):
+        assert (i, 500 + i) in pairs
