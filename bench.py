@@ -28,6 +28,7 @@ HEADLINE = [
     "areadist_circle",   # circle kernels via Arrow pandas UDFs
     "knn3",              # ranked spatial join
     "areadist_dissolve",  # exact union via I-E correction features
+    "areadist_wet",      # class-partitioned wetland extraction (P4)
     "tile_counts",       # fishnet assignment
     "pricing_summary",   # relational agg
     "multi_join",        # 4-way join

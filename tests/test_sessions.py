@@ -40,7 +40,22 @@ def staged(spark, tmp_path):
     fpdf["ts"] = fpdf["ts"] + pd.Timedelta(days=400 + 30)
     pq.write_table(pa.Table.from_pandas(fpdf, schema=t.schema),
                    d / "part-zz-flush.parquet")
+    _stamp_mtimes(d)
     return str(d)
+
+
+def _stamp_mtimes(d):
+    """FileStreamSource orders files by MODIFICATION TIME, not name;
+    files written within the same millisecond tie and the trigger order
+    becomes nondeterministic (the flush file could be processed
+    mid-stream — the documented out-of-order divergence, and the cause
+    of the old flaky failure). Stamp strictly increasing mtimes so the
+    staged order is the event-time order, deterministically."""
+    import os
+    import time
+    base = time.time() - 3600
+    for i, f in enumerate(sorted(d.iterdir())):
+        os.utime(f, (base + 10 * i, base + 10 * i))
 
 
 def test_stream_sessions_match_batch(spark, tmp_path, staged):
@@ -87,6 +102,7 @@ def test_stale_events_after_watermark_advance(spark, tmp_path):
     # part-001: ALL real events — delivered in trigger 2, when the
     # watermark already sits far past last + gap for every session.
     pq.write_table(t, d / "part-001.parquet")
+    _stamp_mtimes(d)
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 1).parquet(str(d))
     sess = sessionize_stream(stream, gap_minutes=GAP_MIN, watermark="1 hour")
@@ -132,6 +148,7 @@ def test_out_of_order_across_triggers(spark, tmp_path):
         f["ts"] = f["ts"].astype("datetime64[us]")
         pq.write_table(pa.Table.from_pandas(f, schema=schema),
                        d / f"part-{i:03d}.parquet")
+    _stamp_mtimes(d)
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 1).parquet(str(d))
     sess = sessionize_stream(stream, gap_minutes=30, watermark="6 hours")
