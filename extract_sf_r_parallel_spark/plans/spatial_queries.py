@@ -711,7 +711,7 @@ _WET_CLASSES = ("Bog", "Fen", "Marsh", "Open Water", "Swamp")
 
 
 def q_areadist_wet(spark, sf_dir):
-    from ..operators.areadist import areadist
+    from ..operators.areadist_fused import areadist_auto
     pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
         F.col("pid").cast("string").alias("PKEY"),
         (F.col("pid") % 97).cast("string").alias("SS"),
@@ -723,9 +723,12 @@ def q_areadist_wet(spark, sf_dir):
     polys = rects_df(spark, sf_dir).select(
         F.col("fid").alias("feature_id"), cls.alias("CWCS_Class"),
         F.lit(0).cast("int").alias("YEAR"), "geom")
-    out = areadist(pts, polys, temporal=False, age=False,
-                   layer_col="CWCS_Class", validity_filter=False,
-                   dissolve="sum", broadcast_polys=True)
+    # auto plan selection like the flagship: fused single-stage
+    # mapInPandas when the 5-class feature side broadcasts, else the
+    # generic shuffle join — result-identical
+    out = areadist_auto(pts, polys, temporal=False, age=False,
+                        layer_col="CWCS_Class", validity_filter=False,
+                        dissolve="sum")
     d = FLAGSHIP_ROUND
     cols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"),
             F.col("layer").alias("CWCS_Class"),
