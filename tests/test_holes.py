@@ -103,3 +103,91 @@ def test_holes_survive_shapefile_roundtrip(spark, donut_frames, tmp_path):
                                want["AREA565"].to_numpy(float), atol=1e-9)
     np.testing.assert_allclose(got["NEAR_DIST"].to_numpy(float),
                                want["NEAR_DIST"].to_numpy(float), atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# r03: holed features in OVERLAP components stay exact (hole-bridged
+# triangulation), no raster fallback
+# ---------------------------------------------------------------------------
+
+def test_triangulate_with_holes_donut():
+    parts = [np.asarray(p, float).reshape(-1, 2) for p in _donut(0.0, 0.0)]
+    tris = K.triangulate_with_holes(parts)
+    want = 40.0 * 40.0 - 20.0 * 20.0
+    got = sum(abs(K.ring_area(t)) for t in tris)
+    assert got == pytest.approx(want, rel=1e-12)
+    # random points classify identically to (outer XOR hole)
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-25, 25, (300, 2))
+    inside = np.zeros(len(pts), dtype=bool)
+    for p in parts:
+        inside ^= K.point_in_ring(pts[:, 0], pts[:, 1], p)
+    cnt = np.zeros(len(pts), dtype=int)
+    for t in tris:
+        cnt += K.point_in_ring(pts[:, 0], pts[:, 1],
+                               np.vstack([t, t[:1]])).astype(int)
+    assert (cnt == inside.astype(int)).mean() > 0.97
+
+
+def test_overlapping_donuts_exact_dissolve(spark):
+    """Two overlapping donuts: the union area within a circle must come
+    out EXACT (1e-8) from the correction machinery — the r02 engine
+    forced these onto the ~1% raster fallback."""
+    ox, oy = synth.X_LO + 500.0, synth.Y_LO + 500.0
+    d1 = _donut(ox, oy)                      # ring [-20,20]², hole [-10,10]²
+    d2 = _donut(ox + 15.0, oy)               # shifted: overlaps d1's ring
+    layer = pd.DataFrame([
+        {"feature_id": i, "layer": "dd", "YEAR": 2000,
+         "geom": g, "is_valid_truth": True}
+        for i, g in enumerate((d1, d2))])
+    px, py, r = ox + 7.5, oy + 30.0, 150.0
+    pts = spark.createDataFrame(
+        pd.DataFrame([("0", "0", 2015, px, py)],
+                     columns=["PKEY", "SS", "YEAR", "x", "y"]), PTS_SCHEMA)
+    pls = spark.createDataFrame(layer, LAYER_SCHEMA)
+
+    # no fallback: the correction build emits exact pieces
+    from extract_sf_r_parallel_spark.operators.areadist import (
+        dissolve_corrections_df,
+    )
+    from pyspark.sql import functions as F
+    polys = pls.select("feature_id", "layer",
+                       F.col("YEAR").alias("poly_year"), "geom")
+    corr = dissolve_corrections_df(polys).toPandas()
+    assert not corr["layer"].str.startswith("__dissolve").any()
+
+    # independent oracle: both donuts fan-decomposed by hand into the 8
+    # rectangles of their rings, pairwise rectangle intersections
+    def rects_of(cx, cy):
+        # the square ring [-20,20]² minus [-10,10]² as 4 rectangles
+        return [
+            (cx - 20, cy - 20, cx + 20, cy - 10),   # bottom
+            (cx - 20, cy + 10, cx + 20, cy + 20),   # top
+            (cx - 20, cy - 10, cx - 10, cy + 10),   # left
+            (cx + 10, cy - 10, cx + 20, cy + 10),   # right
+        ]
+
+    def rect_ring(b):
+        x0, y0, x1, y1 = b
+        return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]])
+
+    A = rects_of(ox, oy)
+    B = rects_of(ox + 15.0, oy)
+    a1 = sum(K.circle_polygon_area(px, py, r, rect_ring(b)) for b in A)
+    a2 = sum(K.circle_polygon_area(px, py, r, rect_ring(b)) for b in B)
+    inter = 0.0
+    for ra in A:
+        for rb in B:
+            x0, y0 = max(ra[0], rb[0]), max(ra[1], rb[1])
+            x1, y1 = min(ra[2], rb[2]), min(ra[3], rb[3])
+            if x0 < x1 and y0 < y1:
+                inter += K.circle_polygon_area(px, py, r,
+                                               rect_ring((x0, y0, x1, y1)))
+    want = a1 + a2 - inter
+
+    for plan in (
+        areadist(pts, pls, temporal=False, age=False, broadcast_polys=True),
+        areadist_fused(pts, pls, temporal=False, age=False),
+    ):
+        got = plan.toPandas()
+        assert got["AREA150"].iloc[0] == pytest.approx(want, abs=1e-8)
