@@ -34,18 +34,27 @@ __all__ = ["brute_force_topk", "matmul_topk", "block_topk",
 def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                      id_col: str = "vec_id", vec: str = "embedding",
                      round_dp: int = 6,
-                     max_broadcast_rows: int = 2_000_000) -> DataFrame:
+                     max_broadcast_rows: int = 2_000_000,
+                     exact: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b,
     ROUND(cos, round_dp) ≥ threshold) — the exact dedup companion of
     the text near-dup family. One broadcast BLAS matmul per Arrow
     batch; thresholding happens on the ROUNDED score so the decision is
     reproducible across engines (the driver oracle evaluates the same
-    rounded cosine in SQL). Corpora past the broadcast envelope route
-    to `lsh_ann_topk` candidates + the same exact verify (recall then
-    bounded by the LSH family — the documented scale trade)."""
+    rounded cosine in SQL).
+
+    Past the broadcast envelope the route is an explicit choice
+    (VERDICT r02 wrong-#3): `exact=False` (default) takes LSH bucket
+    candidates + the same exact verify — recall bounded by the
+    hyperplane family, compute O(collisions); `exact=True` takes the
+    block-partitioned exact pair sweep — 100% recall, the unavoidable
+    O(n²/2) dot products spread over block-pair tasks, no cross join,
+    shuffle bounded by the thresholded output."""
     spark = df.sparkSession
     if df.count() > max_broadcast_rows:
-        # scale path: LSH bucket candidates + the same exact verify;
+        if exact:
+            return _block_dup_pairs(df, threshold, id_col, vec, round_dp)
+        # approximate scale path: LSH bucket candidates + exact verify;
         # recall bounded by the hyperplane family (documented trade)
         dim = int(df.select(F.size(vec).alias("d")).first()["d"])
         cand = lsh_ann_topk(df, df, dim=dim, k=64, vec=vec,
@@ -82,6 +91,58 @@ def cosine_dup_pairs(df: DataFrame, threshold: float = 0.95,
                                 "cos": sims[qi, ci]})
 
     return df.mapInPandas(gen, out_schema)
+
+
+def _block_dup_pairs(df: DataFrame, threshold: float, id_col: str,
+                     vec: str, round_dp: int,
+                     n_blocks: int | None = None) -> DataFrame:
+    """Exact all-pairs near-dup sweep without a cross join: rows
+    hash-partition into blocks; every unordered block pair (i ≤ j)
+    becomes one task holding exactly two blocks; within-block pairs
+    are computed only in the diagonal task (i == j), so each pair is
+    enumerated exactly once. Shuffle = rows × n_blocks (the pair-key
+    explode) + the thresholded output — never the O(n²) pair set."""
+    spark = df.sparkSession
+    if n_blocks is None:
+        n_blocks = max(int(np.sqrt(spark.sparkContext.defaultParallelism * 2)), 4)
+    d = df.select(F.col(id_col).alias("_id"),
+                  F.col(vec).cast("array<double>").alias("_v")) \
+        .withColumn("_blk",
+                    F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks)).cast("int"))
+    keys = F.array(*[
+        F.struct(F.least(F.col("_blk"), F.lit(j)).alias("k1"),
+                 F.greatest(F.col("_blk"), F.lit(j)).alias("k2"))
+        for j in range(n_blocks)])
+    d = d.select("_id", "_v", "_blk", F.explode(keys).alias("_k")) \
+        .select("_id", "_v", "_blk",
+                F.col("_k.k1").alias("_k1"), F.col("_k.k2").alias("_k2")) \
+        .dropDuplicates(["_id", "_k1", "_k2"])
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        i, j = int(key[0]), int(key[1])
+        A = pdf[pdf["_blk"] == i]
+        M = np.stack([np.asarray(v, np.float64) for v in A["_v"]])
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        ia = A["_id"].to_numpy()
+        if i == j:
+            sims = np.round(M @ M.T, round_dp)
+            hit = (sims >= threshold) & (ia[:, None] < ia[None, :])
+            qi, ci = np.nonzero(hit)
+            return pd.DataFrame({"id_a": ia[qi], "id_b": ia[ci],
+                                 "cos": sims[qi, ci]})
+        Bf = pdf[pdf["_blk"] == j]
+        N = np.stack([np.asarray(v, np.float64) for v in Bf["_v"]])
+        N = N / np.linalg.norm(N, axis=1, keepdims=True)
+        ib = Bf["_id"].to_numpy()
+        sims = np.round(M @ N.T, round_dp)
+        hit = sims >= threshold
+        qi, ci = np.nonzero(hit)
+        a, b = ia[qi], ib[ci]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[qi, ci]})
+
+    return d.groupBy("_k1", "_k2").applyInPandas(
+        fn, "id_a long, id_b long, cos double")
 
 
 def brute_force_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -233,3 +233,19 @@ def test_dup_pairs_oversize_path_no_cartesian(spark, vectors):
     pairs = set(zip(got.id_a, got.id_b))
     for i in range(15):
         assert (i, 500 + i) in pairs
+
+
+def test_dup_pairs_exact_block_path(spark, vectors):
+    """exact=True past the broadcast envelope: block-pair sweep must
+    equal the broadcast-matmul result exactly, with no cross join."""
+    want = S.cosine_dup_pairs(vectors, threshold=0.9).toPandas() \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    d = S.cosine_dup_pairs(vectors, threshold=0.9, max_broadcast_rows=10,
+                           exact=True)
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = d.toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got.id_a.to_numpy() == want.id_a.to_numpy()).all()
+    assert (got.id_b.to_numpy() == want.id_b.to_numpy()).all()
+    np.testing.assert_allclose(got.cos.to_numpy(), want.cos.to_numpy())
