@@ -13,9 +13,12 @@ shared formula. Since round 2 the circle-kernel flagship (closed-form
 circular-segment SQL), exact dissolve (inclusion–exclusion SQL), kNN
 ring expansion, polylines, the shapefile round-trip, tmerc
 reprojection, and the whole text/hash family (FNV/SimHash/MinHash
-replayed in DuckDB integer arithmetic) are driver-oracled too; only
-embed_ann_lsh (float-sign bucketing) and multimodal_stats (PNG codec)
-remain rows-only, value-checked by pytest oracles.
+replayed in DuckDB integer arithmetic) are driver-oracled too. Since
+round 3 EVERY query is oracled (zero rows-only entries): both ANN
+paths run SQL-replayable variants (integer-quantized LSH buckets;
+corpus-sampled IVF centroids), and multimodal_stats pixels are a
+closed-form Lehmer hash DuckDB re-derives value-for-value through the
+PNG codec round-trip.
 """
 
 from __future__ import annotations
