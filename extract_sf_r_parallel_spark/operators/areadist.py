@@ -190,12 +190,14 @@ def areadist(
     join_side = pl.withColumn("weight", F.lit(1.0)) \
                   .withColumn("is_real", F.lit(True))
     if dissolve == "auto":
-        # persisted: the marker collect below, the join-side union, and
-        # (if broadcasting) the geometry-index build all read it — one
-        # grouped computation, not three (checkpoint instead at 100 TB)
-        from pyspark import StorageLevel
-        corr = dissolve_corrections_df(pl) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint (not persist): the marker collect below, the
+        # join-side union, and (if broadcasting) the geometry-index
+        # build all read it — one grouped computation, not three — and
+        # the blocks are released by the ContextCleaner when the plan
+        # is dropped, where persist() would park them in the
+        # CacheManager forever (the ADVICE r02 minhash leak pattern;
+        # checkpoint to reliable storage instead at 100 TB)
+        corr = dissolve_corrections_df(pl).localCheckpoint(eager=True)
         marks = corr.filter(F.col("layer").startswith(_CORR_MARK)) \
                     .select("layer").distinct().collect()
         fallback_layers = [r[0][len(_CORR_MARK):] for r in marks]
