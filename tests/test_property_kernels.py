@@ -121,3 +121,37 @@ def test_cell_id_is_stable_under_center_roundtrip(x, y, code):
     cx, cy = I.cell_to_center(c)
     c2 = I.xy_to_cell(cx, cy, code)
     assert c2[0] == c[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(coord, coord, st.floats(8.0, 30.0),
+                          st.integers(5, 9), st.integers(0, 10**6)),
+                min_size=2, max_size=5),
+       coord, coord)
+def test_union_circle_area_nonconvex_vs_raster(stars, px, py):
+    """r03: NON-CONVEX members must stay on the exact path (ear-clip
+    pieces) and agree with the raster estimate within its resolution."""
+    rng_rings = []
+    for cx, cy, rad, k, seed in stars:
+        g = np.random.default_rng(seed)
+        ang = (np.arange(k) + 0.8 * g.random(k)) * (2 * np.pi / k)
+        rr = rad * (0.4 + 0.6 * g.random(k))
+        ring = np.stack([cx + rr * np.cos(ang), cy + rr * np.sin(ang)], 1)
+        rng_rings.append(np.vstack([ring, ring[:1]]))
+    years = np.zeros(len(rng_rings), dtype=np.int64)
+    r = 250.0
+    try:
+        exact = K.union_circle_area(px, py, r, rng_rings, years)
+    except K.DissolveFallback:
+        return  # degenerate star (self-intersecting jitter): raster path
+    total = sum(K.circle_polygon_area(px, py, r, rg) for rg in rng_rings)
+    assert exact <= total + 1e-7
+    biggest = max(K.circle_polygon_area(px, py, r, rg) for rg in rng_rings)
+    assert exact >= biggest - 1e-7
+    from extract_sf_r_parallel_spark.operators.areadist import (
+        _union_area_raster,
+    )
+    approx = _union_area_raster(px, py, r, rng_rings, grid=400)
+    cell = 2.0 * r / 400
+    perim = sum(2 * np.pi * 30.0 for _ in rng_rings) + 2 * np.pi * r
+    assert abs(exact - approx) < perim * cell * 3
