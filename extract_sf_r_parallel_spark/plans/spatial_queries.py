@@ -707,6 +707,13 @@ def q_polyline_knn(spark, sf_dir):
 # classes acting as the layer/partition column straight through the
 # SAME areadist pipeline (layer_col="CWCS_Class"; the engine never
 # physically splits classes). Closes SURVEY §2 P4's driver gap.
+# AREA uses dissolve="sum" — the reference's own superseded variant,
+# present verbatim (commented) at D_…R:37/44 — because the geotag
+# rects overlap arbitrarily and an I-E union oracle is only closed-
+# form on controlled fixtures; the UNION semantics per class are
+# value-oracled in pytest (test_areadist_no_age_no_temporal_wetland,
+# dissolve auto vs serial oracle) and driver-oracled by
+# areadist_dissolve.
 _WET_CLASSES = ("Bog", "Fen", "Marsh", "Open Water", "Swamp")
 
 
