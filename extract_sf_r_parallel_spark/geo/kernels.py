@@ -28,6 +28,10 @@ __all__ = [
     "PackedRings",
     "packed_pair_metrics",
     "ring_is_valid",
+    "ear_clip_triangulate",
+    "triangulate_with_holes",
+    "overlap_corrections",
+    "union_circle_area",
     "tmerc_forward",
     "tmerc_inverse",
     "rasterize",
