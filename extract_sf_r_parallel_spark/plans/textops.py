@@ -211,7 +211,7 @@ def _minhash_perms_values() -> str:
 # bucket equi-join (on the raw band signature; Spark buckets its
 # xxhash64, identical modulo 2^-64 collisions) → max_bucket=200 cap →
 # exact shingle-set Jaccard ≥ 0.5.
-ORACLE["minhash_pairs"] = f"""
+_MINHASH_SQL = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES} AS shingles FROM ({_TOKS_CTE})
 ), perms(perm, pa, pb) AS (VALUES {{PERMS}}),
@@ -243,6 +243,7 @@ mins AS (
 )
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
 """.replace("{PERMS}", _minhash_perms_values())
+ORACLE["minhash_pairs"] = _MINHASH_SQL
 
 
 # --- blocked exact n-gram Jaccard pairs (block key = lang, the same
@@ -315,10 +316,47 @@ SELECT doc_id,
 FROM documents
 """
 
+
+# --- near-dup clustering + canonical-representative selection (the
+# pipeline step AFTER pair mining): MinHash pairs → connected
+# components (min-label propagation) → keep the min-id doc per
+# cluster. Oracle: the full minhash SQL replay feeds a RECURSIVE
+# transitive-closure CTE — DuckDB recomputes the clusters
+# independently, so a hash match proves the distributed propagation
+# reaches the same fixpoint.
+def q_dedup_canonical(spark, sf_dir):
+    from ..operators.dedup import dedup_canonical, minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_canonical(docs, pairs)
+
+
+ORACLE["dedup_canonical"] = f"""
+WITH RECURSIVE pairs AS (
+  SELECT id_a, id_b FROM ({_MINHASH_SQL})
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS jdoc, LEAST(src, MIN(dst)) AS canon
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       COALESCE(c.canon, d.doc_id) AS canonical_id,
+       COALESCE(c.canon, d.doc_id) <> d.doc_id AS is_dup
+FROM documents d LEFT JOIN comp c ON c.jdoc = d.doc_id
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_bucket": q_dedup_bucket,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
     "lang_markers": q_lang_markers,
+    "dedup_canonical": q_dedup_canonical,
 }

@@ -249,3 +249,27 @@ def test_dup_pairs_exact_block_path(spark, vectors):
     assert (got.id_a.to_numpy() == want.id_a.to_numpy()).all()
     assert (got.id_b.to_numpy() == want.id_b.to_numpy()).all()
     np.testing.assert_allclose(got.cos.to_numpy(), want.cos.to_numpy())
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, pair, and an isolated doc: min-label
+    propagation must reach the exact component minima."""
+    from extract_sf_r_parallel_spark.operators.dedup import (
+        connected_components,
+        dedup_canonical,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain → comp 1
+         (10, 11), (11, 12), (10, 12),  # triangle → comp 10
+         (20, 21)],                     # pair → comp 20
+        "id_a: long, id_b: long")
+    got = dict(connected_components(pairs).collect())
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12,
+                                                 20, 21, 99]],
+                                 "doc_id: long")
+    canon = dedup_canonical(docs, pairs).toPandas()
+    keep = canon[~canon.is_dup].doc_id.tolist()
+    assert sorted(keep) == [1, 10, 20, 99]
+    assert canon[canon.doc_id == 99].canonical_id.iloc[0] == 99
