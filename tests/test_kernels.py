@@ -202,3 +202,32 @@ def test_ear_clip_concave_L():
     assert sum(abs(K.ring_area(t)) for t in tris) == pytest.approx(
         abs(K.ring_area(L)), rel=1e-12)
     assert len(tris) == 4
+
+
+def test_triangulate_with_holes_random():
+    import numpy as np
+    from extract_sf_r_parallel_spark.geo import kernels as K
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        W, H = rng.uniform(40, 80), rng.uniform(40, 80)
+        outer = np.array([[0, 0], [W, 0], [W, H], [0, H], [0, 0]], float)
+        holes, occupied = [], []
+        for _ in range(int(rng.integers(1, 3))):
+            for _attempt in range(20):
+                w, h = rng.uniform(4, 12), rng.uniform(4, 12)
+                x = rng.uniform(2, W - w - 2)
+                y = rng.uniform(2, H - h - 2)
+                box = (x, y, x + w, y + h)
+                if all(box[2] + 2 < o[0] or box[0] > o[2] + 2
+                       or box[3] + 2 < o[1] or box[1] > o[3] + 2
+                       for o in occupied):
+                    occupied.append(box)
+                    holes.append(np.array(
+                        [[x, y], [x + w, y], [x + w, y + h], [x, y + h],
+                         [x, y]], float))
+                    break
+        parts = [outer, *holes]
+        tris = K.triangulate_with_holes(parts)
+        want = W * H - sum((b[2] - b[0]) * (b[3] - b[1]) for b in occupied)
+        got = sum(abs(K.ring_area(t)) for t in tris)
+        assert got == pytest.approx(want, rel=1e-10), trial
