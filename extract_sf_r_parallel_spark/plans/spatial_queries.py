@@ -788,6 +788,107 @@ FROM fpts CROSS JOIN (SELECT UNNEST(['Bog', 'Fen', 'Marsh', 'Open Water',
 LEFT JOIN agg ON pid = jpid AND cls = jcls
 """
 
+
+# --- P5/G10: validity filter as a DRIVER-ORACLED query (was
+# pytest-only). Every 50th part key gets its rect ring bowtied
+# (two adjacent corners swapped → self-intersecting), exactly the
+# fixture generator's invalidation trick; the engine runs the real
+# Arrow validity kernel (segment-pair proper-intersection sweep) while
+# the oracle predicts validity BY CONSTRUCTION — a hash match proves
+# the geometric test, not a shared formula.
+def q_validity_filter(spark, sf_dir):
+    from ..operators.range_join import is_valid_udf
+    r = rects_df(spark, sf_dir)
+    ok_ring = F.array(
+        F.col("rxmin"), F.col("rymin"), F.col("rxmax"), F.col("rymin"),
+        F.col("rxmax"), F.col("rymax"), F.col("rxmin"), F.col("rymax"),
+        F.col("rxmin"), F.col("rymin"))
+    bow_ring = F.array(
+        F.col("rxmin"), F.col("rymin"), F.col("rxmax"), F.col("rymax"),
+        F.col("rxmax"), F.col("rymin"), F.col("rxmin"), F.col("rymax"),
+        F.col("rxmin"), F.col("rymin"))
+    geom = F.when(F.pmod("fid", F.lit(50)) == 0, F.array(bow_ring))             .otherwise(F.array(ok_ring))
+    return (r.withColumn("geom", geom)
+            .select("fid", is_valid_udf()(F.col("geom")).alias("valid")))
+
+
+ORACLE["validity_filter"] = """
+SELECT p_partkey AS fid, (p_partkey % 50 <> 0) AS valid FROM part
+"""
+
+
+# --- G9: raster↔vector round-trip as a DRIVER-ORACLED query (was
+# pytest-only). Integer-cornered rects rasterize onto a 1 m grid
+# anchored at their own bbox and vectorize back; the traced ring's
+# bbox and shoelace area must equal the original exactly — the oracle
+# derives them from pure SQL arithmetic, so a hash match proves
+# rasterize + the boundary-chaining tracer are mutually inverse on
+# the real distributed path (mapInPandas over the feature table).
+def q_raster_roundtrip(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ..geo import kernels as K
+    r = rects_df(spark, sf_dir).filter(F.pmod("fid", F.lit(20)) == 0)         .select("fid", "rxmin", "rymin", "rxmax", "rymax")
+    schema = ("fid long, rxmin2 double, rymin2 double, "
+              "rxmax2 double, rymax2 double, area2 double")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for t in pdf.itertuples():
+                ring = np.array([[t.rxmin, t.rymin], [t.rxmax, t.rymin],
+                                 [t.rxmax, t.rymax], [t.rxmin, t.rymax],
+                                 [t.rxmin, t.rymin]])
+                nx = int(t.rxmax - t.rxmin)
+                ny = int(t.rymax - t.rymin)
+                mask = K.rasterize(ring, t.rxmin, t.rymin, 1.0, nx, ny)
+                parts = K.vectorize_mask(mask, t.rxmin, t.rymin, 1.0)
+                v = np.vstack(parts)
+                area = sum(abs(K.ring_area(p)) for p in parts)
+                rows.append((t.fid, v[:, 0].min(), v[:, 1].min(),
+                             v[:, 0].max(), v[:, 1].max(), float(area)))
+            yield pd.DataFrame(rows, columns=[
+                "fid", "rxmin2", "rymin2", "rxmax2", "rymax2", "area2"])
+
+    return r.mapInPandas(gen, schema)
+
+
+ORACLE["raster_roundtrip"] = f"""
+SELECT fid, rxmin AS rxmin2, rymin AS rymin2,
+       rxmax AS rxmax2, rymax AS rymax2,
+       (rxmax - rxmin) * (rymax - rymin) AS area2
+FROM ({_RECTS_SQL}) WHERE fid % 20 = 0
+"""
+
+
+# --- S2/S5/S6: per-cell shard sink + glob scan as a DRIVER-ORACLED
+# round trip (was pytest-only): points write partitioned by an explicit
+# bucket key, read back through the shard-glob scan, and aggregate —
+# the oracle recomputes the per-bucket counts and EXACT integer-valued
+# coordinate sums from the LCG, so a hash mismatch would catch rows
+# lost or duplicated by the sink/scan cycle.
+def q_shard_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+    pts = points_df(spark, sf_dir).withColumn(
+        "bucket", F.pmod("pid", F.lit(8)).cast("int"))
+    d = os.path.join(tempfile.gettempdir(),
+                     "shardrt_" + sf_dir.strip("/").replace("/", "_"))
+    pts.write.mode("overwrite").partitionBy("bucket").parquet(d)
+    back = spark.read.parquet(d)  # glob scan over bucket= dirs
+    return (back.groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sum_x"),   # integer-valued doubles →
+                 F.sum("y").alias("sum_y")))  # exact, order-free
+
+
+ORACLE["shard_roundtrip"] = f"""
+SELECT CAST(pid % 8 AS INT) AS bucket, COUNT(*) AS n,
+       SUM(x) AS sum_x, SUM(y) AS sum_y
+FROM ({_PTS_SQL}) GROUP BY 1
+"""
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "range_near": q_range_near,
@@ -799,4 +900,7 @@ QUERIES = {
     "polyline_knn": q_polyline_knn,
     "areadist_dissolve": q_areadist_dissolve,
     "areadist_wet": q_areadist_wet,
+    "validity_filter": q_validity_filter,
+    "raster_roundtrip": q_raster_roundtrip,
+    "shard_roundtrip": q_shard_roundtrip,
 }
