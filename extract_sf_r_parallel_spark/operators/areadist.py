@@ -81,10 +81,13 @@ def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer",
     def _fn(pdf: pd.DataFrame) -> pd.DataFrame:
         layer = pdf[layer_col].iloc[0]
         tx, ty = int(pdf["_tx"].iloc[0]), int(pdf["_ty"].iloc[0])
-        # synthetic negative ids, (layer, tile)-salted; a collision
-        # would be caught by the broadcast uniqueness check
-        base = -(int(pd.util.hash_pandas_object(
-            pd.Series([f"{layer}|{tx}|{ty}"])).iloc[0]) % (1 << 20) + 1) << 32
+        # synthetic negative ids: 42-bit (layer, tile) salt × 2^20 slot
+        # space per tile. ADVICE r03: the old 20-bit salt hit birthday
+        # collisions (~50% at ~1200 groups) on mega-layers; 42 bits put
+        # 50% at ~2.5M (layer, tile) groups, and the id-uniqueness
+        # check in `areadist` (both join paths) catches the residue.
+        base = -((int(pd.util.hash_pandas_object(
+            pd.Series([f"{layer}|{tx}|{ty}"])).iloc[0]) % (1 << 42) + 1) << 20)
         rings = [K.feature_parts(g) for g in pdf["geom"]]
         years = pdf["poly_year"].to_numpy(np.int64)
         try:
@@ -99,6 +102,10 @@ def dissolve_corrections_df(polys: DataFrame, layer_col: str = "layer",
         for ring, y, w, (ox, oy) in corrs:
             if int(np.floor(ox / ts)) != tx or int(np.floor(oy / ts)) != ty:
                 continue  # another replica owns this subset
+            if i >= (1 << 20):  # would run into the next salt's id range
+                raise ValueError(
+                    f"dissolve_corrections_df: > 2^20 correction terms in "
+                    f"tile ({layer!r}, {tx}, {ty}) — shrink tile_size")
             rows.append((base - 1 - i, layer, int(y),
                          [ring.ravel().tolist()], float(w)))
             i += 1
@@ -207,6 +214,20 @@ def areadist(
             # one tile's fallback sends the WHOLE layer to the raster
             # path — drop the corrections its other tiles produced
             corr = corr.filter(~F.col("layer").isin(fallback_layers))
+        if not broadcast_polys:
+            # ADVICE r03: the broadcast path's geometry index raises on
+            # duplicate feature_id, but the shuffle-join path factorizes
+            # fid inside pair_metrics_udf and would silently refine
+            # against the wrong correction ring on a salt collision.
+            # One tiny agg over the checkpointed ids keeps both paths
+            # fail-loud (negligible vs the join it protects).
+            dup = (corr.groupBy("feature_id").count()
+                   .filter(F.col("count") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "dissolve_corrections_df: correction feature_id salt "
+                    "collision across (layer, tile) groups — rerun with a "
+                    "different tile_size")
         join_side = join_side.unionByName(corr)
 
     need_geom = dissolve == "raster" or bool(fallback_layers)

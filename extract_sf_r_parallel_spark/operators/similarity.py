@@ -118,9 +118,17 @@ def _block_dup_pairs(df: DataFrame, threshold: float, id_col: str,
                 F.col("_k.k1").alias("_k1"), F.col("_k.k2").alias("_k2")) \
         .dropDuplicates(["_id", "_k1", "_k2"])
 
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "cos": pd.Series([], dtype=np.float64)})
+
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         i, j = int(key[0]), int(key[1])
         A = pdf[pdf["_blk"] == i]
+        # a (i, j) group exists whenever EITHER block has rows; an empty
+        # side means no cross pairs (ADVICE r03: np.stack([]) raised)
+        if len(A) == 0:
+            return empty
         M = np.stack([np.asarray(v, np.float64) for v in A["_v"]])
         M = M / np.linalg.norm(M, axis=1, keepdims=True)
         ia = A["_id"].to_numpy()
@@ -131,6 +139,8 @@ def _block_dup_pairs(df: DataFrame, threshold: float, id_col: str,
             return pd.DataFrame({"id_a": ia[qi], "id_b": ia[ci],
                                  "cos": sims[qi, ci]})
         Bf = pdf[pdf["_blk"] == j]
+        if len(Bf) == 0:
+            return empty
         N = np.stack([np.asarray(v, np.float64) for v in Bf["_v"]])
         N = N / np.linalg.norm(N, axis=1, keepdims=True)
         ib = Bf["_id"].to_numpy()
@@ -542,6 +552,20 @@ def ivf_topk_sampled(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .select(F.col(id_c).alias("cid"),
                 F.col(vec).cast("array<double>").alias("cv")) \
         .toPandas().sort_values("cid")
+    # the id-prefix centroid convention requires corpus ids 0..k-1 to
+    # exist; fail with a message instead of an opaque np.stack error,
+    # and surface a silently-degraded quantizer (ADVICE r03)
+    if len(cent) == 0:
+        raise ValueError(
+            "ivf_topk_sampled: no corpus vectors with id < n_clusters "
+            f"({n_clusters}) — the corpus-sampled quantizer takes its "
+            "centroids from the id prefix; use ivf_topk for arbitrary ids")
+    if len(cent) < n_clusters:
+        import warnings
+        warnings.warn(
+            f"ivf_topk_sampled: only {len(cent)}/{n_clusters} centroid ids "
+            "present in the corpus — quantizer runs below the advertised "
+            "cluster count", RuntimeWarning, stacklevel=2)
     C = np.stack([np.asarray(v, np.float64) for v in cent["cv"]])
     C = C / np.linalg.norm(C, axis=1, keepdims=True)
     cids = cent["cid"].to_numpy()

@@ -39,7 +39,8 @@ SESSION_SCHEMA = T.StructType([
     T.StructField("sum_value", T.DoubleType()),
 ])
 
-_STATE_SCHEMA = "start long, last long, n long, s double"
+_STATE_SCHEMA = ("starts array<long>, lasts array<long>, "
+                 "ns array<long>, ss array<double>")
 
 
 def _micros(ts: pd.Series) -> pd.Series:
@@ -55,64 +56,69 @@ def sessionize_stream(stream: DataFrame, gap_minutes: int = 30,
            state: GroupState) -> Iterator[pd.DataFrame]:
         (user,) = key
         out = []
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_us = wm_ms * 1000
 
-        def close(st):
-            out.append((user, st[0], st[1], st[2], st[3]))
+        # state = EVERY island not yet provably closed, as parallel
+        # arrays [start, last, n, Σvalue] sorted by start. Keeping the
+        # non-newest islands in state (instead of emitting them the
+        # trigger they appear, the pre-r04 behaviour) means a
+        # within-watermark late event can still bridge two islands
+        # that surfaced in the SAME trigger — the ADVICE r03 same-
+        # trigger divergence. An island is emitted only once the
+        # watermark passes island.last + gap, exactly the closure rule
+        # event-time semantics promise.
+        islands: list[list] = []
+        if state.exists:
+            st = state.get
+            islands = [list(t) for t in zip(st[0], st[1], st[2], st[3])]
 
-        if state.hasTimedOut:
-            close(state.get)
-            state.remove()
-        else:
+        if not state.hasTimedOut:
             rows = pd.concat(list(pdfs))
             ts = _micros(rows["ts"].dt.as_unit("us")).to_numpy()
             order = ts.argsort(kind="stable")
             ts = ts[order]
             vals = rows["value"].to_numpy()[order]
-            # Arbitrary stateful ops do NOT drop late rows for us —
-            # an event older than the watermark (even older than the
-            # open session) can land here. Treat the open session as
-            # an interval [start, last] with aggregates and run
-            # gaps-and-islands over {state interval} ∪ {events},
-            # so late events extend session_start (min), merge, or
-            # form their own earlier island exactly as the sorted
-            # batch twin would. Residual divergence bound: a late
-            # event that would have bridged a session emitted in an
-            # EARLIER trigger is unrecoverable (that session is out
-            # the door); within-watermark in-order arrival never
-            # hits this.
-            items = []
-            if state.exists:
-                items.append(list(state.get))
-            items.extend([int(t), int(t), 1, float(v)]
-                         for t, v in zip(ts, vals))
+            # Arbitrary stateful ops do NOT drop late rows for us — an
+            # event older than the watermark (even older than every
+            # kept island) can land here. Run gaps-and-islands over
+            # {kept islands} ∪ {events}: late events extend starts,
+            # merge islands, or form their own island exactly as the
+            # sorted batch twin would. Residual divergence bound: only
+            # an event that would have bridged a session ALREADY
+            # emitted in an earlier trigger (watermark past its close)
+            # diverges — inherent to append-mode streaming.
+            items = islands + [[int(t), int(t), 1, float(v)]
+                               for t, v in zip(ts, vals)]
             items.sort(key=lambda x: (x[0], x[1]))
-            merged = [items[0]]
+            islands = [items[0]]
             for it in items[1:]:
-                cur = merged[-1]
+                cur = islands[-1]
                 if it[0] - cur[1] <= gap_us:
                     cur[0] = min(cur[0], it[0])
                     cur[1] = max(cur[1], it[1])
                     cur[2] += it[2]
                     cur[3] += it[3]
                 else:
-                    merged.append(it)
-            # every island but the newest is separated by > gap from
-            # what follows → closed in batch order; emit now
-            for isl in merged[:-1]:
-                close(isl)
-            st = merged[-1]
-            wm_ms = state.getCurrentWatermarkMs()
-            if st[1] + gap_us <= wm_ms * 1000:
-                # the watermark already passed last + gap (late data
-                # whose session is over): emit immediately — setting
-                # a timeout in the past would kill the query
-                close(st)
-                if state.exists:
-                    state.remove()
+                    islands.append(it)
+
+        keep = []
+        for isl in islands:
+            if isl[1] + gap_us <= wm_us:
+                out.append((user, isl[0], isl[1], isl[2], isl[3]))
             else:
-                state.update(tuple(st))
-                state.setTimeoutTimestamp(
-                    max((st[1] + gap_us) // 1000, wm_ms + 1))
+                keep.append(isl)
+        if keep:
+            state.update((
+                [k[0] for k in keep], [k[1] for k in keep],
+                [k[2] for k in keep], [k[3] for k in keep]))
+            # wake when the EARLIEST kept island becomes closable;
+            # clamp to wm+1 — a timeout at/before the watermark kills
+            # the query (INVALID_TIMEOUT_TIMESTAMP)
+            earliest = min(k[1] for k in keep) + gap_us
+            state.setTimeoutTimestamp(max(earliest // 1000, wm_ms + 1))
+        elif state.exists:
+            state.remove()
         if out:
             pdf = pd.DataFrame(
                 out, columns=["user_id", "s", "e", "n_events", "sum_value"])

@@ -273,3 +273,33 @@ def test_connected_components_shapes(spark):
     keep = canon[~canon.is_dup].doc_id.tolist()
     assert sorted(keep) == [1, 10, 20, 99]
     assert canon[canon.doc_id == 99].canonical_id.iloc[0] == 99
+
+
+def test_block_dup_pairs_empty_block_guard(spark):
+    """ADVICE r03: a hash block with zero rows used to crash the exact
+    block sweep with np.stack ValueError. 3 rows over ≥8 blocks leaves
+    most blocks empty — every (i, j) group with an empty side must
+    yield no pairs, not an exception."""
+    rows = [(1, [1.0, 0.0]), (2, [1.0, 0.01]), (3, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    got = S.cosine_dup_pairs(df, threshold=0.9, max_broadcast_rows=1,
+                             exact=True).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(1, 2)}
+
+
+def test_ivf_sampled_validates_centroid_ids(spark):
+    """ADVICE r03: ids ≥ n_clusters only → explicit error (not an
+    opaque np.stack crash); a partial id prefix → RuntimeWarning."""
+    import warnings
+
+    rows = [(100 + i, np.eye(4)[i % 4].tolist()) for i in range(8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="id prefix"):
+        S.ivf_topk_sampled(df, df, k=1, n_clusters=4, n_probe=2)
+    rows2 = [(i, np.eye(4)[i % 4].tolist()) for i in range(2)] + rows
+    df2 = spark.createDataFrame(rows2, "vec_id: long, embedding: array<double>")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = S.ivf_topk_sampled(df2, df2, k=1, n_clusters=4, n_probe=2)
+        out.count()
+        assert any("2/4" in str(x.message) for x in w)

@@ -167,6 +167,51 @@ def test_out_of_order_across_triggers(spark, tmp_path):
             == want["session_end"].to_numpy()).all()
 
 
+def test_same_trigger_islands_bridged_by_later_event(spark, tmp_path):
+    """ADVICE r03: two islands surfacing in the SAME trigger, neither
+    past the watermark, must stay in state so a later within-watermark
+    event can bridge them into ONE session (the pre-r04 code emitted
+    every non-newest island immediately → two sessions vs batch's one)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2025-06-01 12:00:00")
+    mk = lambda eid, uid, mins, v: dict(
+        event_id=eid, ts=base + pd.Timedelta(minutes=mins), user_id=uid,
+        event_type="x", value=float(v), props="")
+    # trigger 1: u1 at t=0 and t=60 → two islands (gap 30 < 60 apart);
+    # watermark delay 6h keeps BOTH unclosed after the trigger
+    f1 = pd.DataFrame([mk(1, 1, 0, 1), mk(2, 1, 60, 1)])
+    # trigger 2: u1 at t=30 → bridges: 30-0 ≤ 30 and 60-30 ≤ 30
+    f2 = pd.DataFrame([mk(3, 1, 30, 1)])
+    # trigger 3: flush far future
+    f3 = pd.DataFrame([mk(9, -1, 60 * 24 * 400, 0)])
+    d = tmp_path / "src"
+    d.mkdir()
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string())])
+    for i, f in enumerate([f1, f2, f3]):
+        f["ts"] = f["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(f, schema=schema),
+                       d / f"part-{i:03d}.parquet")
+    _stamp_mtimes(d)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(str(d))
+    sess = sessionize_stream(stream, gap_minutes=30, watermark="6 hours")
+    SE.run_available_now(sess, "sessions_bridge", str(tmp_path / "ck"))
+    got = spark.table("sessions_bridge").filter(F.col("user_id") >= 0) \
+        .toPandas().sort_values(["user_id", "session_start"]) \
+        .reset_index(drop=True)
+    all_events = spark.createDataFrame(pd.concat([f1, f2]))
+    want = sessionize_batch(all_events, gap_minutes=30).toPandas()
+    assert len(got) == len(want) == 1
+    assert got["n_events"].iloc[0] == 3
+    assert got["session_start"].iloc[0] == want["session_start"].iloc[0]
+    assert got["session_end"].iloc[0] == want["session_end"].iloc[0]
+
+
 def test_session_state_is_bounded(spark, tmp_path, staged):
     """After the flush file, every real user's state has been timed out
     and emitted — nothing rides indefinitely in the state store."""
