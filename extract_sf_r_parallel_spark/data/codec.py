@@ -20,7 +20,9 @@ import zlib
 import numpy as np
 
 __all__ = ["png_encode", "png_decode", "raw_encode", "raw_decode",
-           "encode_image", "decode_image", "phash64", "psnr", "resize_block"]
+           "encode_image", "decode_image", "phash64", "psnr", "resize_block",
+           "cpnv_encode", "cpnv_decode", "cpnv_frame_count",
+           "cpnv_iter_frames"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -123,6 +125,58 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     if fmt == "raw":
         return raw_decode(bytes(data), w, h)
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# CPNV: a trivial from-scratch video container (VERDICT r03 next-#4).
+# No video codec ships in this sandbox, so "video" = concatenated PNG
+# frames behind a length-prefixed header:
+#   b"CPNV" | uint32 n_frames | n × (uint32 frame_len | PNG bytes)
+# (big-endian, matching the PNG chunk convention above). Intra-only —
+# every frame is independently decodable, so frame SAMPLING never has
+# to decode the frames it skips, exactly the property a distributed
+# frame sampler wants.
+# ---------------------------------------------------------------------------
+
+_CPNV_SIG = b"CPNV"
+
+
+def cpnv_encode(frames: list[np.ndarray]) -> bytes:
+    """Encode a list of (h, w, 3) uint8 frames as one CPNV byte string."""
+    parts = [_CPNV_SIG, struct.pack(">I", len(frames))]
+    for f in frames:
+        png = png_encode(f)
+        parts.append(struct.pack(">I", len(png)))
+        parts.append(png)
+    return b"".join(parts)
+
+
+def _cpnv_offsets(data: bytes) -> list[tuple[int, int]]:
+    assert data[:4] == _CPNV_SIG, "not a CPNV container"
+    (n,) = struct.unpack(">I", data[4:8])
+    pos, out = 8, []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        out.append((pos + 4, ln))
+        pos += 4 + ln
+    return out
+
+
+def cpnv_frame_count(data: bytes) -> int:
+    assert data[:4] == _CPNV_SIG, "not a CPNV container"
+    return struct.unpack(">I", data[4:8])[0]
+
+
+def cpnv_iter_frames(data: bytes, every_n: int = 1):
+    """Yield (frame_idx, png_bytes) for frames with idx % every_n == 0
+    — skipped frames are never decompressed (header walk only)."""
+    for idx, (off, ln) in enumerate(_cpnv_offsets(data)):
+        if idx % every_n == 0:
+            yield idx, data[off:off + ln]
+
+
+def cpnv_decode(data: bytes) -> list[np.ndarray]:
+    return [png_decode(png) for _, png in cpnv_iter_frames(data)]
 
 
 # ---------------------------------------------------------------------------

@@ -20,7 +20,8 @@ from .geotag import WINDOW, X_LO, Y_LO, geotag_xy, geotag_year, splitmix64
 
 __all__ = [
     "images_pdf", "geotag_images_pdf", "footprint_layers_pdf",
-    "wetland_pdf", "overlap_layer_pdf", "LAYERS", "WETLAND_CLASSES",
+    "wetland_pdf", "overlap_layer_pdf", "videos_pdf",
+    "LAYERS", "WETLAND_CLASSES",
 ]
 
 LAYERS = ("seismic", "wells", "harvest")
@@ -64,6 +65,41 @@ def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
             "fmt": fmt,
             "caption": f"A caption for image {i:08d} in tone {i % 7} about subject {i % 13}.",
             "phash": np.int64(codec.phash64(img)),
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    pdf["phash"] = pdf["phash"].astype("int64")
+    return pdf
+
+
+def videos_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Synthetic video table in the same opaque-binary model as
+    `images_pdf` (input_hint columns), fmt="cpnv" (codec.cpnv_encode:
+    length-prefixed concatenated PNG frames). Deterministic and
+    SQL-replayable: frame j of video i draws its pixels from
+    pixel_plane(seed·1000003 + 500000 + i·64 + j) — the same Lehmer
+    closed form the multimodal_stats oracle re-derives — with the
+    500000 offset keeping video bases disjoint from every image base.
+    n_frames = 3 + i % 5; w = 32; h = 32 or 48 by parity of i."""
+    rows = []
+    for i in range(n):
+        w = 32
+        h = 32 if i % 2 == 0 else 48
+        n_frames = 3 + i % 5
+        frames = [
+            pixel_plane(seed * 1_000_003 + 500_000 + i * 64 + j,
+                        h * w * 3).reshape(h, w, 3)
+            for j in range(n_frames)
+        ]
+        rows.append({
+            "image_id": f"vid{i:08d}",
+            "bytes": codec.cpnv_encode(frames),
+            "w": np.int32(w),
+            "h": np.int32(h),
+            "fmt": "cpnv",
+            "caption": f"A clip {i:08d} with {n_frames} frames.",
+            "phash": np.int64(codec.phash64(frames[0])),
         })
     pdf = pd.DataFrame(rows)
     pdf["w"] = pdf["w"].astype("int32")

@@ -11,11 +11,15 @@ with the from-scratch codec (data/codec.py) doing decode. Operators:
                   grayscale (a stand-in for a vision encoder — the
                   container has no image/NN libs; the Spark-side
                   shape, batching and schema are the real thing);
-- frame_sample:   video frame sampling — STUB: raises
-                  NotImplementedError for video formats (no video
-                  codec in this container), wired with the real
-                  mapInPandas signature so a codec drop-in needs no
-                  plan changes.
+- frame_sample:   video frame sampling over the from-scratch CPNV
+                  container (data/codec.py: length-prefixed
+                  concatenated PNG frames — intra-only, so skipped
+                  frames are never decompressed). Unknown/compressed
+                  video formats (mp4/webm…) still raise
+                  NotImplementedError: no inter-frame codec ships in
+                  this sandbox, and the CPNV path already exercises
+                  the real plan (row-exploding mapInPandas, per-frame
+                  schema, every_n selection).
 
 mapInPandas (not a scalar UDF) so each Arrow batch amortizes codec
 setup and output rows can differ in count (frame explosion)."""
@@ -115,23 +119,35 @@ _FRAME_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
     T.StructField("frame_idx", T.IntegerType()),
     T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("fmt", T.StringType()),
 ])
 
 
 def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling. The container ships no video codec, so
-    video formats raise NotImplementedError (clearly-marked stub);
-    still images pass through as frame 0 — the plan, schema and batch
-    shape are production-real."""
+    """Sample every `every_n`-th frame of each video row into its own
+    output row (frame explosion — mapInPandas, not a scalar UDF,
+    because output row counts differ from input). CPNV videos walk the
+    length-prefix header and slice only the selected frames (skipped
+    frames stay compressed); still images pass through as frame 0;
+    inter-frame-compressed formats raise NotImplementedError (no such
+    codec ships in this sandbox — plug one into data/codec.py).
+    Emitted frames are PNG rows decodable by decode_stats/pixel_embed,
+    so sampling composes with the rest of the multimodal family."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                if r.fmt in ("png", "raw"):
-                    rows.append((r.image_id, 0, r.bytes))
+                if r.fmt == "cpnv":
+                    for idx, png in codec.cpnv_iter_frames(
+                            bytes(r.bytes), every_n):
+                        rows.append((r.image_id, idx, png, r.w, r.h, "png"))
+                elif r.fmt in ("png", "raw"):
+                    rows.append((r.image_id, 0, r.bytes, r.w, r.h, r.fmt))
                 else:
                     raise NotImplementedError(
                         f"video codec for fmt={r.fmt!r} not available in this "
                         "container; plug a decoder into data/codec.py")
-            yield pd.DataFrame(rows, columns=["image_id", "frame_idx", "bytes"])
+            yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
     return media.mapInPandas(gen, _FRAME_SCHEMA)

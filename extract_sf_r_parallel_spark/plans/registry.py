@@ -14,7 +14,7 @@ from ..operators.areadist import areadist
 from ..operators.areadist_fused import areadist_auto
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
-from ..operators.multimodal import decode_stats, pixel_embed
+from ..operators.multimodal import decode_stats, frame_sample, pixel_embed
 from ..operators.similarity import (
     cosine_dup_pairs,
     ivf_topk_sampled,
@@ -334,6 +334,76 @@ FROM px GROUP BY image_id, w, h
 """
 
 
+# --- video frame sampling over the from-scratch CPNV container
+# (VERDICT r03 next-#4 — the stub is gone): every_n=2 selection over
+# 48 synthetic videos (3..7 frames each), sampled frames decoded
+# through the real PNG codec to per-channel means. The oracle
+# re-derives the frame COUNT per video (3 + i%5, j%2=0), the sampling
+# rule, and every pixel of every sampled frame from the same Lehmer
+# closed form (base = 42·1000003 + 500000 + i·64 + j) — so a container
+# mis-slice, an off-by-one in every_n, or a codec bit-error all break
+# the hash.
+def q_frame_sample(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ..data import codec
+
+    n = 48  # constant: generated in-session, mirrored by the static SQL
+    videos = spark.createDataFrame(synth.videos_pdf(n))
+    frames = frame_sample(videos, every_n=2)
+    schema = ("image_id string, frame_idx int, "
+              "mean_r double, mean_g double, mean_b double")
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+                px = img.astype(np.float64)
+                rows.append((r.image_id, r.frame_idx,
+                             float(px[..., 0].mean()),
+                             float(px[..., 1].mean()),
+                             float(px[..., 2].mean())))
+            yield pd.DataFrame(rows, columns=[
+                "image_id", "frame_idx", "mean_r", "mean_g", "mean_b"])
+
+    return frames.mapInPandas(gen, schema)
+
+
+# per-channel sums are exact integers (< 2^53) and /(w·h) is one IEEE
+# op → bit-identical doubles, no rounding (the multimodal_stats
+# contract).
+ORACLE["frame_sample"] = """
+WITH vids AS (
+  SELECT i,
+    printf('vid%08d', i) AS image_id,
+    32 AS w,
+    CASE i % 2 WHEN 0 THEN 32 ELSE 48 END AS h,
+    3 + i % 5 AS nf
+  FROM range(48) t(i)
+), sel AS (
+  SELECT image_id, w, h, i, j
+  FROM vids, LATERAL (SELECT UNNEST(range(nf)) AS j)
+  WHERE j % 2 = 0
+), px AS (
+  SELECT image_id, j, w, h,
+    xor((((base + k * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + k * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v,
+    k % 3 AS ch
+  FROM (SELECT *, 42 * 1000003 + 500000 + i * 64 + j AS base FROM sel),
+       LATERAL (SELECT UNNEST(range(w*h*3)) AS k)
+)
+SELECT image_id,
+  CAST(j AS INT) AS frame_idx,
+  SUM(CASE WHEN ch = 0 THEN v END)::DOUBLE / (w*h) AS mean_r,
+  SUM(CASE WHEN ch = 1 THEN v END)::DOUBLE / (w*h) AS mean_g,
+  SUM(CASE WHEN ch = 2 THEN v END)::DOUBLE / (w*h) AS mean_b
+FROM px GROUP BY image_id, j, w, h
+"""
+
+
 # --- per-user sessionization (gaps-and-islands): the batch twin of
 # the applyInPandasWithState custom stateful operator
 # (streaming/sessions.py; stream ≡ batch proven in pytest). Oracle:
@@ -383,4 +453,5 @@ QUERIES.update({
     "areadist_circle_join": q_areadist_circle_join,
     "knn_ring": q_knn_ring,
     "multimodal_stats": q_multimodal_stats,
+    "frame_sample": q_frame_sample,
 })

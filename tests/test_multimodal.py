@@ -44,9 +44,52 @@ def test_pixel_embed_feeds_similarity(spark, images):
     assert len(nn) == 60
 
 
-def test_frame_sample_stub_and_passthrough(spark, images):
+def test_frame_sample_passthrough_and_unknown_fmt(spark, images):
     ok = M.frame_sample(images).toPandas()
     assert len(ok) == 60 and (ok["frame_idx"] == 0).all()
     vid = images.withColumn("fmt", F.lit("mp4"))
     with pytest.raises(Exception, match="NotImplementedError|video codec"):
         M.frame_sample(vid).collect()
+
+
+def test_cpnv_container_roundtrip():
+    """CPNV encode → decode is lossless per frame, and the header walk
+    selects exactly idx % every_n == 0 without touching other frames."""
+    frames = [synth.pixel_plane(1000 + j, 24 * 16 * 3).reshape(16, 24, 3)
+              for j in range(5)]
+    data = codec.cpnv_encode(frames)
+    assert codec.cpnv_frame_count(data) == 5
+    back = codec.cpnv_decode(data)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert (a == b).all()
+    picks = list(codec.cpnv_iter_frames(data, every_n=2))
+    assert [i for i, _ in picks] == [0, 2, 4]
+    for i, png in picks:
+        assert (codec.png_decode(png) == frames[i]).all()
+
+
+def test_frame_sample_cpnv_videos(spark):
+    """Real video frame sampling: every_n=2 over videos with 3..7
+    frames must emit ⌈nf/2⌉ decodable PNG rows per video, pixels equal
+    to the generator's closed form."""
+    vids = synth.videos_pdf(10)
+    df = spark.createDataFrame(vids)
+    out = M.frame_sample(df, every_n=2).toPandas()
+    for i in range(10):
+        nf = 3 + i % 5
+        sel = out[out.image_id == f"vid{i:08d}"].sort_values("frame_idx")
+        assert sel.frame_idx.tolist() == list(range(0, nf, 2))
+        h = 32 if i % 2 == 0 else 48
+        for r in sel.itertuples():
+            img = codec.png_decode(bytes(r.bytes))
+            want = synth.pixel_plane(
+                42 * 1_000_003 + 500_000 + i * 64 + r.frame_idx,
+                h * 32 * 3).reshape(h, 32, 3)
+            assert (img == want).all()
+    # sampled frames feed the rest of the multimodal family unchanged
+    stats = M.pixel_embed(
+        M.frame_sample(df, every_n=3)
+        .withColumn("image_id",
+                    F.concat_ws("#", "image_id", "frame_idx"))).toPandas()
+    assert all(len(v) == 64 for v in stats.embedding)
