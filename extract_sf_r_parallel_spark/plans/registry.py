@@ -436,6 +436,186 @@ FROM s GROUP BY user_id, sid
 """
 
 
+# --- the reference's CAPSTONE artifact (VERDICT r03 next-#1): the
+# multi-layer wide-merged extraction table. The reference runs
+# areadist per footprint layer (14-way merge, C_…R:1194-1208) and
+# areadist.wet per wetland class (5-way, D_…R:595-608), suffix-renames
+# each layer's metric columns, and inner-merges everything on
+# (PKEY, SS, YEAR). Here: ONE areadist_auto call over all 14 footprint
+# layers (temporal + age — the areadist.age variant), one over the 5
+# wetland classes (no temporal, no age — areadist.wet), each pivoted
+# by areadist_wide into <layer>_<METRIC> columns, inner-joined on the
+# keys — 19 layers × metrics = 123 metric columns in one DataFrame,
+# the reference's "give me the output table" answer in one call.
+# Both sides emit every point densely (LEFT semantics), so the inner
+# merge preserves the point count — the reference's 83,439-row
+# invariant (C_…R:707-709), asserted in tests/test_wide_merge.py.
+_WM_LAYERS = [f"L{i:02d}" for i in range(14)]
+_WM_CLASSES = ["Bog", "Fen", "Marsh", "Open_Water", "Swamp"]
+
+
+def q_wide_merge(spark, sf_dir):
+    from ..operators.areadist import areadist_wide
+    from ..operators.areadist_fused import areadist_auto
+    from .spatial_queries import _keyed_points
+    d = spatial_queries.FLAGSHIP_ROUND
+    pts = _keyed_points(spark, sf_dir)
+
+    lay = F.format_string("L%02d", F.pmod(F.col("fid"), F.lit(14)).cast("int"))
+    fpolys = rects_df(spark, sf_dir).select(
+        F.col("fid").alias("feature_id"), lay.alias("layer"),
+        F.col("ryear").alias("YEAR"), "geom")
+    foot = areadist_auto(pts, fpolys, validity_filter=False, dissolve="sum")
+    fcols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"), F.col("layer"),
+             F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        area = F.round(F.col(f"AREA{r}"), d["AREA"])
+        fcols.append(area.alias(f"AREA{r}"))
+        fcols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+        fcols.append(F.when(area > 0, F.round(F.col(f"MEANAGE_{r}"),
+                                              d["MEANAGE"]))
+                      .alias(f"MEANAGE_{r}"))
+    wide_f = areadist_wide(foot.select(*fcols))
+
+    cls = F.element_at(
+        F.array(*[F.lit(c) for c in _WM_CLASSES]),
+        (F.pmod(F.col("fid"), F.lit(5)) + 1).cast("int"))
+    wpolys = rects_df(spark, sf_dir).select(
+        F.col("fid").alias("feature_id"), cls.alias("CWCS_Class"),
+        F.lit(0).cast("int").alias("YEAR"), "geom")
+    wet = areadist_auto(pts, wpolys, temporal=False, age=False,
+                        layer_col="CWCS_Class", validity_filter=False,
+                        dissolve="sum")
+    wcols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"), F.col("layer"),
+             F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        wcols.append(F.round(F.col(f"AREA{r}"), d["AREA"]).alias(f"AREA{r}"))
+        wcols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+    wide_w = areadist_wide(wet.select(*wcols))
+
+    # the reference's final inner merge on the point keys
+    # (C_…R:1194-1208); both sides are dense → row count preserved
+    return wide_f.join(wide_w, ["PKEY", "SS", "YEAR"], "inner")
+
+
+def _wide_merge_oracle() -> str:
+    """Programmatically composed DuckDB oracle: the same closed-form
+    circular-segment area + per-layer conditional-aggregation pivot,
+    14 temporal+age footprint blocks and 5 wetland blocks, merged on
+    pid. Column names match the Spark pivot's <layer>_<METRIC>."""
+    ca150 = spatial_queries._sql_circle_rect_area(150.0)
+    ca565 = spatial_queries._sql_circle_rect_area(565.0)
+    R = spatial_queries._R
+    rects = f"""
+  SELECT p_partkey AS fid,
+         printf('L%02d', CAST(p_partkey % 14 AS INT)) AS layer,
+         CASE p_partkey % 5 WHEN 0 THEN 'Bog' WHEN 1 THEN 'Fen'
+              WHEN 2 THEN 'Marsh' WHEN 3 THEN 'Open_Water'
+              ELSE 'Swamp' END AS cls,
+         {R['rxmin']} AS rxmin, {R['rymin']} AS rymin,
+         {R['rxmax']} AS rxmax, {R['rymax']} AS rymax,
+         {R['ryear']} AS ryear
+  FROM part
+"""
+    dist = """SQRT(GREATEST(rxmin - x, x - rxmax, 0.0)
+                * GREATEST(rxmin - x, x - rxmax, 0.0)
+              + GREATEST(rymin - y, y - rymax, 0.0)
+                * GREATEST(rymin - y, y - rymax, 0.0))"""
+    # footprint pivot: per (pid, layer) aggregates → MAX(CASE) pivot
+    fpiv_cols, fsel_cols = [], []
+    for L in _WM_LAYERS:
+        for m in ("near", "a150", "a565", "n150", "d150", "n565", "d565"):
+            fpiv_cols.append(
+                f"MAX(CASE WHEN layer = '{L}' THEN {m} END) AS {m}_{L}")
+        fsel_cols.append(
+            f"ROUND(LEAST(COALESCE(near_{L}, 1000.0), 1000.0), 4) "
+            f"AS {L}_NEAR_DIST")
+        for r in (150, 565):
+            fsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{L}, 0.0), 2) AS {L}_AREA{r}")
+            fsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{L}, 0.0) / (3.14 * {r} * {r}), 6) "
+                f"AS {L}_PROP{r}")
+            fsel_cols.append(
+                f"CASE WHEN ROUND(COALESCE(a{r}_{L}, 0.0), 2) > 0 "
+                f"THEN ROUND(n{r}_{L} / d{r}_{L}, 4) END "
+                f"AS {L}_MEANAGE_{r}")
+    wpiv_cols, wsel_cols = [], []
+    for C in _WM_CLASSES:
+        for m in ("near", "a150", "a565"):
+            wpiv_cols.append(
+                f"MAX(CASE WHEN cls = '{C}' THEN {m} END) AS {m}_{C}")
+        wsel_cols.append(
+            f"ROUND(LEAST(COALESCE(near_{C}, 1000.0), 1000.0), 4) "
+            f"AS {C}_NEAR_DIST")
+        for r in (150, 565):
+            wsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{C}, 0.0), 2) AS {C}_AREA{r}")
+            wsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{C}, 0.0) / (3.14 * {r} * {r}), 6) "
+                f"AS {C}_PROP{r}")
+    return f"""
+WITH mpts AS (
+  SELECT * FROM ({spatial_queries._PTS_SQL}) WHERE pid % 10 = 0
+), mrects AS ({rects}),
+oldest AS (
+  SELECT layer, MIN(ryear) AS oldestyear FROM mrects
+  WHERE ryear > 0 GROUP BY layer
+), fpairs AS (
+  SELECT pid, layer, ryear, pyear, oldestyear, dist,
+         CASE WHEN dist < 150.0 THEN {ca150} ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {ca565} ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, p.pyear, r.*, o.oldestyear, {dist} AS dist
+    FROM mpts p CROSS JOIN mrects r
+    LEFT JOIN oldest o ON r.layer = o.layer
+    WHERE r.ryear < p.pyear
+  )
+), fagg AS (
+  SELECT pid, layer, MIN(dist) AS near,
+         SUM(ca150) AS a150, SUM(ca565) AS a565,
+         SUM(CASE WHEN ca150 > 0 AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN (pyear - CASE WHEN ryear = 0 THEN oldestyear
+                                  ELSE ryear END) * ca150 END) AS n150,
+         SUM(CASE WHEN ca150 > 0 AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN ca150 END) AS d150,
+         SUM(CASE WHEN ca565 > 0 AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN (pyear - CASE WHEN ryear = 0 THEN oldestyear
+                                  ELSE ryear END) * ca565 END) AS n565,
+         SUM(CASE WHEN ca565 > 0 AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN ca565 END) AS d565
+  FROM fpairs GROUP BY pid, layer
+), fpiv AS (
+  SELECT pid, {', '.join(fpiv_cols)} FROM fagg GROUP BY pid
+), wpairs AS (
+  SELECT pid, cls, dist,
+         CASE WHEN dist < 150.0 THEN {ca150} ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {ca565} ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, r.*, {dist} AS dist
+    FROM mpts p CROSS JOIN mrects r
+  )
+), wagg AS (
+  SELECT pid, cls, MIN(dist) AS near,
+         SUM(ca150) AS a150, SUM(ca565) AS a565
+  FROM wpairs GROUP BY pid, cls
+), wpiv AS (
+  SELECT pid, {', '.join(wpiv_cols)} FROM wagg GROUP BY pid
+)
+SELECT CAST(p.pid AS VARCHAR) AS PKEY,
+       CAST(p.pid % 97 AS VARCHAR) AS SS,
+       p.pyear AS YEAR,
+       {', '.join(fsel_cols)},
+       {', '.join(wsel_cols)}
+FROM mpts p
+LEFT JOIN fpiv ON p.pid = fpiv.pid
+LEFT JOIN wpiv ON p.pid = wpiv.pid
+"""
+
+
+ORACLE["wide_merge"] = _wide_merge_oracle()
+
+
 QUERIES = {"sessions": q_sessions}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
@@ -454,4 +634,5 @@ QUERIES.update({
     "knn_ring": q_knn_ring,
     "multimodal_stats": q_multimodal_stats,
     "frame_sample": q_frame_sample,
+    "wide_merge": q_wide_merge,
 })

@@ -522,8 +522,11 @@ def _pair_rects_sql() -> str:
     sy = f"CAST(({k} - {sx}) / {_SLOT} AS BIGINT)"
     ox, oy = f"({sx} * 100 + 10)", f"({sy} * 100 + 10)"
     hw, hh = "(10 + p_partkey % 15)", "(8 + p_partkey % 11)"
+    cls = ("CASE p_partkey % 5 WHEN 0 THEN 'Bog' WHEN 1 THEN 'Fen' "
+           "WHEN 2 THEN 'Marsh' WHEN 3 THEN 'Open Water' "
+           "ELSE 'Swamp' END")
     return f"""
-  SELECT p_partkey AS fid, kind,
+  SELECT p_partkey AS fid, kind, {cls} AS cls,
          CAST({ox} + CASE WHEN kind = 1 THEN {hw}
                           WHEN kind = 2 THEN {hw} ELSE 0 END AS DOUBLE) AS rxmin,
          CAST({oy} AS DOUBLE) AS rymin,
@@ -568,13 +571,22 @@ FROM dpts LEFT JOIN agg ON pid = jpid
 """
 
 
-def q_areadist_dissolve(spark, sf_dir):
-    from ..operators.areadist import areadist
-    pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
+def _keyed_points(spark, sf_dir):
+    return points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
         F.col("pid").cast("string").alias("PKEY"),
         (F.col("pid") % 97).cast("string").alias("SS"),
         F.col("pyear").alias("YEAR"), "x", "y",
     )
+
+
+def _pair_rect_polys(spark, sf_dir, layer_col: str = "layer",
+                     with_class: bool = False) -> DataFrame:
+    """The controlled-overlap feature table behind the union-dissolve
+    oracles: per part key, rect A and rect B = A shifted +hw, both in
+    the key's private 100 m slot, so union = A + B − (A∩B) in closed
+    form. `with_class` tags each pair with one of the 5 wetland
+    classes (fid % 5) — classes partition the keys, so slot privacy
+    holds within every class too."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     # The oracle's three-term closed form assumes p_partkey % _SLOT²
     # is injective (each key owns a private 100 m slot). Past _SLOT²
@@ -584,7 +596,7 @@ def q_areadist_dissolve(spark, sf_dir):
     # hash-mismatching mysteriously (ADVICE r02).
     n_parts = p.count()
     assert n_parts <= _SLOT * _SLOT, (
-        f"areadist_dissolve fixture needs ≤ {_SLOT * _SLOT} parts for "
+        f"pair-rect fixture needs ≤ {_SLOT * _SLOT} parts for "
         f"slot privacy; got {n_parts} — enlarge _SLOT for this sf")
     # single small file → 1 split; spread so the cover/correction UDFs
     # parallelize (a real layer scan arrives pre-split)
@@ -595,13 +607,19 @@ def q_areadist_dissolve(spark, sf_dir):
     oy = (sy * 100 + 10).cast("double")
     hw = (F.lit(10) + F.pmod("p_partkey", F.lit(15))).cast("double")
     hh = (F.lit(8) + F.pmod("p_partkey", F.lit(11))).cast("double")
+    if with_class:
+        lay = F.element_at(
+            F.array(*[F.lit(c) for c in _WET_CLASSES]),
+            (F.pmod(F.col("p_partkey"), F.lit(5)) + 1).cast("int"))
+    else:
+        lay = F.lit("pairs")
     base = p.select("p_partkey", ox.alias("ox"), oy.alias("oy"),
-                    hw.alias("hw"), hh.alias("hh"))
+                    hw.alias("hw"), hh.alias("hh"), lay.alias("_lay"))
 
     def rect(df, x0, y0, x1, y1, fid):
         ring = F.array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
         return df.select(fid.alias("feature_id"),
-                         F.lit("pairs").alias("layer"),
+                         F.col("_lay").alias(layer_col),
                          F.lit(0).cast("int").alias("YEAR"),
                          F.array(ring).alias("geom"))
 
@@ -611,7 +629,12 @@ def q_areadist_dissolve(spark, sf_dir):
     b = rect(base, F.col("ox") + F.col("hw"), F.col("oy"),
              F.col("ox") + 3 * F.col("hw"), F.col("oy") + 2 * F.col("hh"),
              F.col("p_partkey") * 2 + 1)
-    polys = a.unionByName(b)
+    return a.unionByName(b)
+
+
+def q_areadist_dissolve(spark, sf_dir):
+    pts = _keyed_points(spark, sf_dir)
+    polys = _pair_rect_polys(spark, sf_dir)
     # dissolve left at its DEFAULT ("auto"): the overlap is detected
     # and corrected with no caller hint — the point of this query. The
     # fused single-stage plan (feature side ≪ broadcast envelope)
@@ -706,24 +729,85 @@ def q_polyline_knn(spark, sf_dir):
 # row per (point, CWCS_Class), distance + per-class footprint amount,
 # classes acting as the layer/partition column straight through the
 # SAME areadist pipeline (layer_col="CWCS_Class"; the engine never
-# physically splits classes). Closes SURVEY §2 P4's driver gap.
-# AREA uses dissolve="sum" — the reference's own superseded variant,
-# present verbatim (commented) at D_…R:37/44 — because the geotag
-# rects overlap arbitrarily and an I-E union oracle is only closed-
-# form on controlled fixtures; the UNION semantics per class are
-# value-oracled in pytest (test_areadist_no_age_no_temporal_wetland,
-# dissolve auto vs serial oracle) and driver-oracled by
-# areadist_dissolve.
+# physically splits classes). Two driver rows since r04 (VERDICT r03
+# next-#2):
+# - areadist_wet: the reference's PRIMARY path — st_union per class
+#   before st_area (D_…R:35,42) — on the controlled-overlap pair-rect
+#   fixture (slot privacy holds per class), dissolve left at its
+#   "auto" default against a three-term inclusion–exclusion SQL
+#   oracle;
+# - areadist_wet_sum: the superseded Σ-of-clips variant the reference
+#   kept commented at D_…R:37/44, on the arbitrary-overlap geotag
+#   rects (where no closed-form union oracle exists).
 _WET_CLASSES = ("Bog", "Fen", "Marsh", "Open Water", "Swamp")
+
+
+def _wet_select(out):
+    d = FLAGSHIP_ROUND
+    cols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"),
+            F.col("layer").alias("CWCS_Class"),
+            F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        cols.append(F.round(F.col(f"AREA{r}"), d["AREA"]).alias(f"AREA{r}"))
+        cols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+    return out.select(*cols)
 
 
 def q_areadist_wet(spark, sf_dir):
     from ..operators.areadist_fused import areadist_auto
-    pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
-        F.col("pid").cast("string").alias("PKEY"),
-        (F.col("pid") % 97).cast("string").alias("SS"),
-        F.col("pyear").alias("YEAR"), "x", "y",
-    )
+    pts = _keyed_points(spark, sf_dir)
+    polys = _pair_rect_polys(spark, sf_dir, layer_col="CWCS_Class",
+                             with_class=True)
+    # dissolve at its DEFAULT ("auto"): per-class st_union semantics
+    # with no caller hint — the reference's primary wetland path
+    out = areadist_auto(pts, polys, temporal=False, age=False,
+                        layer_col="CWCS_Class", validity_filter=False)
+    return _wet_select(out)
+
+
+ORACLE["areadist_wet"] = f"""
+WITH wpts AS (
+  SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0
+), wrects AS ({_pair_rects_sql()}),
+wpairs AS (
+  SELECT pid, cls, kind, w, dist,
+         CASE WHEN dist < 150.0 THEN {_sql_circle_rect_area(150.0)}
+              ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {_sql_circle_rect_area(565.0)}
+              ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, r.*,
+           SQRT(GREATEST(rxmin - x, x - rxmax, 0.0)
+                * GREATEST(rxmin - x, x - rxmax, 0.0)
+              + GREATEST(rymin - y, y - rymax, 0.0)
+                * GREATEST(rymin - y, y - rymax, 0.0)) AS dist
+    FROM wpts p CROSS JOIN wrects r
+  )
+), agg AS (
+  SELECT pid AS jpid, cls AS jcls,
+         MIN(CASE WHEN kind <> 2 THEN dist END) AS near,
+         SUM(w * ca150) AS area150,
+         SUM(w * ca565) AS area565
+  FROM wpairs GROUP BY pid, cls
+)
+SELECT CAST(pid AS VARCHAR) AS PKEY,
+       CAST(pid % 97 AS VARCHAR) AS SS,
+       pyear AS YEAR,
+       cls AS CWCS_Class,
+       ROUND(LEAST(COALESCE(near, {MAXDIST}), {MAXDIST}), 4) AS NEAR_DIST,
+       ROUND(COALESCE(area150, 0.0), 2) AS AREA150,
+       ROUND(COALESCE(area150, 0.0) / (3.14 * 150 * 150), 6) AS PROP150,
+       ROUND(COALESCE(area565, 0.0), 2) AS AREA565,
+       ROUND(COALESCE(area565, 0.0) / (3.14 * 565 * 565), 6) AS PROP565
+FROM wpts CROSS JOIN (SELECT UNNEST(['Bog', 'Fen', 'Marsh', 'Open Water',
+                                     'Swamp']) AS cls)
+LEFT JOIN agg ON pid = jpid AND cls = jcls
+"""
+
+
+def q_areadist_wet_sum(spark, sf_dir):
+    from ..operators.areadist_fused import areadist_auto
+    pts = _keyed_points(spark, sf_dir)
     cls = F.element_at(
         F.array(*[F.lit(c) for c in _WET_CLASSES]),
         (F.pmod(F.col("fid"), F.lit(5)) + 1).cast("int"))
@@ -736,17 +820,10 @@ def q_areadist_wet(spark, sf_dir):
     out = areadist_auto(pts, polys, temporal=False, age=False,
                         layer_col="CWCS_Class", validity_filter=False,
                         dissolve="sum")
-    d = FLAGSHIP_ROUND
-    cols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"),
-            F.col("layer").alias("CWCS_Class"),
-            F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
-    for r in (150, 565):
-        cols.append(F.round(F.col(f"AREA{r}"), d["AREA"]).alias(f"AREA{r}"))
-        cols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
-    return out.select(*cols)
+    return _wet_select(out)
 
 
-ORACLE["areadist_wet"] = f"""
+ORACLE["areadist_wet_sum"] = f"""
 WITH fpts AS (
   SELECT * FROM ({_PTS_SQL}) WHERE pid % 10 = 0
 ), wrects AS (
@@ -900,6 +977,7 @@ QUERIES = {
     "polyline_knn": q_polyline_knn,
     "areadist_dissolve": q_areadist_dissolve,
     "areadist_wet": q_areadist_wet,
+    "areadist_wet_sum": q_areadist_wet_sum,
     "validity_filter": q_validity_filter,
     "raster_roundtrip": q_raster_roundtrip,
     "shard_roundtrip": q_shard_roundtrip,
