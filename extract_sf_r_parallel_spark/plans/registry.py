@@ -435,6 +435,8 @@ SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
 FROM s GROUP BY user_id, sid
 """
 
+ORACLE["sessions_stream"] = ORACLE["sessions"]
+
 
 # --- the reference's CAPSTONE artifact (VERDICT r03 next-#1): the
 # multi-layer wide-merged extraction table. The reference runs
@@ -616,7 +618,64 @@ LEFT JOIN wpiv ON p.pid = wpiv.pid
 ORACLE["wide_merge"] = _wide_merge_oracle()
 
 
-QUERIES = {"sessions": q_sessions}
+# --- the LIVE streaming sessionizer as a driver-oracled query
+# (VERDICT r03 next-#5 — stream correctness no longer rests on pytest
+# alone): stage the events table as 6 time-ordered files + a
+# far-future flush sentinel (strictly increasing mtimes = trigger
+# order), run the REAL applyInPandasWithState query with
+# Trigger.AvailableNow over the staged sequence, and return the
+# drained memory sink. Every real session closes (the sentinel pushes
+# the watermark past last+gap for all of them), so the output is the
+# batch twin's session set — oracled by the SAME gaps-and-islands SQL
+# as `sessions`.
+def q_sessions_stream(spark, sf_dir):
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming import events as SE
+    from ..streaming.sessions import sessionize_stream
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    d = tempfile.mkdtemp(prefix="sess_stream_src_")
+    import numpy as np
+    cuts = np.linspace(0, t.num_rows, 7).astype(int)
+    for i in range(6):
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       os.path.join(d, f"part-{i:03d}.parquet"))
+    import pandas as pd
+    fpdf = t.slice(0, 1).to_pandas()
+    fpdf["event_id"] = 999_999_999
+    fpdf["user_id"] = -1
+    fpdf["ts"] = fpdf["ts"] + pd.Timedelta(days=430)
+    pq.write_table(pa.Table.from_pandas(fpdf, schema=t.schema),
+                   os.path.join(d, "part-zz-flush.parquet"))
+    # FileStreamSource orders files by MODIFICATION TIME; same-ms
+    # writes tie nondeterministically — stamp strictly increasing
+    # mtimes so trigger order is event-time order
+    import time
+    base = time.time() - 3600
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
+
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(d)
+    sess = sessionize_stream(stream, gap_minutes=600, watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="sess_stream_ck_")
+    SE.run_available_now(sess, "sessions_stream_sink", ck)
+    return (
+        spark.table("sessions_stream_sink")
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events",
+                F.round("sum_value", 4).alias("sum_value"))
+    )
+
+
+# stream ≡ batch: sessions_stream answers to the identical SQL oracle
+# (ORACLE["sessions_stream"] aliased right after ORACLE["sessions"])
+QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
