@@ -105,3 +105,39 @@ def test_extract_with_resume(spark, tmp_path):
     assert len(recs) == 4
     assert sum(r["rows_in"] for r in recs.values()) == 60
     assert all(r["rows_out"] == r["rows_in"] * 3 for r in recs.values())
+
+def test_icelite_schema_evolution_add_column_with_default(spark, tmp_path):
+    """Iceberg-v3-style add-column-with-default (VERDICT r03 next-#8):
+    a metadata-only commit — v1 files are never rewritten; reads after
+    the evolution fill the default for pre-existing rows; time-travel
+    to before the evolution never sees the column."""
+    t = IceLiteTable(str(tmp_path / "evo"))
+    v1 = spark.range(5).withColumn("score", F.col("id") * 2.0)
+    s0 = t.append(v1)
+    files_before = set(t._current_snapshot()["files"])
+
+    s1 = t.add_column("lang", "string", default="und")
+    assert s1["operation"] == "evolve"
+    assert set(t._current_snapshot()["files"]) == files_before  # no rewrite
+
+    got = t.read(spark).orderBy("id").toPandas()
+    assert list(got.columns) == ["id", "score", "lang"]
+    assert (got["lang"] == "und").all()
+
+    # new writes carry the column physically; old files keep the default
+    v2 = spark.range(5, 8).withColumn("score", F.col("id") * 2.0) \
+        .withColumn("lang", F.lit("en"))
+    t.append(v2)
+    got = t.read(spark).orderBy("id").toPandas()
+    assert got["lang"].tolist() == ["und"] * 5 + ["en"] * 3
+
+    # time-travel to v1: the old schema, untouched
+    old = t.read(spark, snapshot_id=s0["snapshot_id"])
+    assert old.columns == ["id", "score"] and old.count() == 5
+
+    # a second evolution with a null default stacks cleanly
+    t.add_column("quality", "double")
+    got = t.read(spark).orderBy("id").toPandas()
+    assert got["quality"].isna().all()
+    with __import__("pytest").raises(ValueError, match="already exists"):
+        t.add_column("lang", "string")
