@@ -2,22 +2,31 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "sf": ..., "rows_per_sec": ...}
+ "runs": {...}, "sf": ..., "rows_per_sec": ..., "skew": {...}}
 
 The headline is the BASELINE.json metric: spatial-join rows/sec
 (distance + buffered footprint-amount extraction). Queries are
 materialized with a noop-format write so every output column is
 computed (count() would let Catalyst prune the geometry kernels away).
+
+Methodology (VERDICT r03 next-#7): MEDIAN of N=5 timed runs per query,
+with every per-run time recorded in "runs" — the sandbox is a shared
+microVM where pure-JVM queries measure ±3× run-to-run, and best-of-2
+made sub-30% deltas unreadable. Heavy multi-minute queries (wide_merge)
+run N=2 and report their median of those (flagged in "runs" by length).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
 
 from extract_sf_r_parallel_spark.plans import registry, spatial_queries  # noqa: E402
 from extract_sf_r_parallel_spark.session import get_spark  # noqa: E402
@@ -28,7 +37,8 @@ HEADLINE = [
     "areadist_circle",   # circle kernels via Arrow pandas UDFs
     "knn3",              # ranked spatial join
     "areadist_dissolve",  # exact union via I-E correction features
-    "areadist_wet",      # class-partitioned wetland extraction (P4)
+    "areadist_wet",      # wetland per-class UNION dissolve (r04: primary path)
+    "areadist_wet_sum",  # the r03 sum-variant — like-for-like history row
     "tile_counts",       # fishnet assignment
     "pricing_summary",   # relational agg
     "multi_join",        # 4-way join
@@ -36,10 +46,74 @@ HEADLINE = [
     "minhash_pairs",     # LSH dedup
 ]
 
+HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs
+
 
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def _timed_runs(df, n: int) -> list[float]:
+    out = []
+    for _ in range(n):
+        t0 = time.time()
+        _materialize(df)
+        out.append(round(time.time() - t0, 3))
+    return out
+
+
+def _skew_bench(spark, sf_dir: str, repeats: int) -> dict:
+    """Deliberate extreme skew (north-rule row in SURVEY §4): every
+    point collapses into ONE hex cell, so the shuffle join lands all
+    candidate pairs on a single hot key. Three result-identical legs:
+    - skewed_raw:   shuffle join, AQE skew splitting OFF — the naive
+                    cost a hot key charges one task;
+    - skewed_aqe:   AQE skew-join ON (the engine default) — runtime
+                    partition splitting recovers parallelism without
+                    plan changes;
+    - salted:       explicit salt=8 (polys replicated 8×, points
+                    routed by hash) — the deterministic pre-shuffle
+                    spread for when AQE can't see the skew (e.g. the
+                    UDF stage after a broadcast-less join).
+    autoBroadcastJoinThreshold is disabled for all three legs so the
+    join actually shuffles — emulating the mega-layer case where the
+    feature side cannot broadcast, which is exactly when salting
+    matters. Confs are restored afterwards."""
+    from extract_sf_r_parallel_spark.operators.range_join import (
+        range_join_pairs,
+    )
+    pts = spatial_queries.points_df(spark, sf_dir) \
+        .filter(F.pmod("pid", F.lit(5)) == 0).select(
+            "pid",
+            (F.lit(10000.0) + F.pmod("pid", F.lit(40)) / 10.0).alias("x"),
+            (F.lit(10000.0) + F.pmod("pid", F.lit(37)) / 10.0).alias("y"),
+        )
+    polys = spatial_queries.rects_df(spark, sf_dir).select(
+        F.col("fid").alias("feature_id"), "geom")
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    out = {}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        legs = (("skewed_raw", 0, "false"),
+                ("skewed_aqe", 0, "true"),
+                ("salted", 8, "true"))
+        for label, salt, skewjoin in legs:
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewjoin)
+            pairs = range_join_pairs(pts, polys, 1000.0, (), salt=salt)
+            runs = []
+            for _ in range(repeats):
+                t0 = time.time()
+                out["n_pairs"] = pairs.count()
+                runs.append(round(time.time() - t0, 3))
+            out[f"{label}_s"] = statistics.median(runs)
+            out[f"{label}_runs"] = runs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved_skew)
+    out["salt"] = 8
+    return out
 
 
 def main() -> None:
@@ -57,32 +131,29 @@ def main() -> None:
     registry.QUERIES["areadist_circle"](spark, sf_dir).limit(200) \
         .write.format("noop").mode("overwrite").save()
 
-    # best of N timed runs per query: the sandbox is a shared microVM
-    # and pure-JVM queries measure ±3× run-to-run under host noise —
-    # min is the steady-state signal
-    repeats = int(os.environ.get("BENCH_REPEATS", "2"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    all_runs: dict[str, list[float]] = {}
+    for name in HEADLINE + list(HEAVY):
         fn = registry.QUERIES[name]
         df = fn(spark, sf_dir)
-        best = None
-        for _ in range(repeats):
-            t0 = time.time()
-            _materialize(df)
-            w = time.time() - t0
-            best = w if best is None else min(best, w)
-        timings[name] = round(best, 3)
+        n = min(repeats, HEAVY.get(name, repeats))
+        runs = _timed_runs(df, n)
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
 
     # spatial-join throughput: joined candidate-pair rows/sec of the
     # flagship range join (the BASELINE.md comparable)
     pairs = spatial_queries.rect_pairs(spark, sf_dir).filter("dist < 1000")
-    join_wall = None
+    join_runs = []
     for _ in range(repeats):
         t0 = time.time()
         n_pairs = pairs.count()
-        w = time.time() - t0
-        join_wall = w if join_wall is None else min(join_wall, w)
+        join_runs.append(time.time() - t0)
+    join_wall = statistics.median(join_runs)
     n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    skew = _skew_bench(spark, sf_dir, min(repeats, 3))
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -90,11 +161,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "sf": sf,
         "spatial_pairs": n_pairs,
         "spatial_join_wall_s": round(join_wall, 3),
+        "spatial_join_runs": [round(r, 3) for r in join_runs],
         "rows_per_sec": round(n_pairs / join_wall, 1) if join_wall > 0 else None,
         "points_per_sec": round(n_points / join_wall, 1) if join_wall > 0 else None,
+        "skew": skew,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -158,3 +158,26 @@ def test_dissolve_query_is_single_stage_fused(spark):
     assert "BatchEvalPython" not in plan
     # the only exchange is the deliberate single-file probe spread
     assert plan.count("+- Exchange") <= 1
+
+
+def test_salted_join_key_in_plan_and_result_identical(spark):
+    """Skew salting (north-rule row, SURVEY §4): with salt=k the
+    shuffle join key must include the _salt column (polys replicated
+    k ways, points routed by hash) and the pair set must be identical
+    to the unsalted join."""
+    from extract_sf_r_parallel_spark.operators.range_join import (
+        range_join_pairs,
+    )
+    sf = "/root/testdata/sf0.001"
+    pts = spatial_queries.points_df(spark, sf)
+    polys = spatial_queries.rects_df(spark, sf).select(
+        F.col("fid").alias("feature_id"), "geom")
+    salted = range_join_pairs(pts, polys, 1000.0, (), salt=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan, "salted join key missing from the physical plan"
+    unsalted = range_join_pairs(pts, polys, 1000.0, (), salt=0)
+    a = {(r.pid, r.feature_id) for r in
+         salted.select("pid", "feature_id").collect()}
+    b = {(r.pid, r.feature_id) for r in
+         unsalted.select("pid", "feature_id").collect()}
+    assert a == b and len(a) > 0
