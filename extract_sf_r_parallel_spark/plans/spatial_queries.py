@@ -966,6 +966,38 @@ SELECT CAST(pid % 8 AS INT) AS bucket, COUNT(*) AS n,
 FROM ({_PTS_SQL}) GROUP BY 1
 """
 
+# --- S1 table layer end-to-end (r04): IceLite append → metadata-only
+# add-column-with-default → append with the evolved schema → read →
+# aggregate. Even-pid rows land BEFORE the evolution (flag filled from
+# the recorded default), odd-pid rows after (flag written physically);
+# the oracle re-derives the per-flag counts and exact integer
+# coordinate sums from the LCG — lost default fills, dropped files, or
+# wrong-snapshot reads all break the hash.
+def q_icelite_evolution(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_drv_"))
+    pts = points_df(spark, sf_dir)
+    t.append(pts.filter(F.pmod("pid", F.lit(2)) == 0).select("pid", "x", "y"))
+    t.add_column("flag", "string", default="old")
+    t.append(pts.filter(F.pmod("pid", F.lit(2)) == 1)
+             .select("pid", "x", "y").withColumn("flag", F.lit("new")))
+    back = t.read(spark)
+    return (back.groupBy("flag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sum_x"),   # integer-valued doubles →
+                 F.sum("y").alias("sum_y")))  # exact, order-free
+
+
+ORACLE["icelite_evolution"] = f"""
+SELECT CASE WHEN pid % 2 = 0 THEN 'old' ELSE 'new' END AS flag,
+       COUNT(*) AS n, SUM(x) AS sum_x, SUM(y) AS sum_y
+FROM ({_PTS_SQL}) GROUP BY 1
+"""
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "range_near": q_range_near,
@@ -981,4 +1013,5 @@ QUERIES = {
     "validity_filter": q_validity_filter,
     "raster_roundtrip": q_raster_roundtrip,
     "shard_roundtrip": q_shard_roundtrip,
+    "icelite_evolution": q_icelite_evolution,
 }

@@ -331,6 +331,17 @@ def q_dedup_canonical(spark, sf_dir):
     return dedup_canonical(docs, pairs)
 
 
+# the large-star/small-star path (r04): identical semantics, the
+# O(log n)-round contraction engine — answers the same recursive
+# transitive-closure oracle, so the star algorithm itself is
+# driver-oracled, not just pytest-checked
+def q_dedup_canonical_star(spark, sf_dir):
+    from ..operators.dedup import dedup_canonical, minhash_lsh_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup_canonical(docs, pairs, method="star")
+
+
 ORACLE["dedup_canonical"] = f"""
 WITH RECURSIVE pairs AS (
   SELECT id_a, id_b FROM ({_MINHASH_SQL})
@@ -352,6 +363,8 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON c.jdoc = d.doc_id
 """
 
+ORACLE["dedup_canonical_star"] = ORACLE["dedup_canonical"]
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_bucket": q_dedup_bucket,
@@ -359,4 +372,5 @@ QUERIES = {
     "text_quality": q_text_quality,
     "lang_markers": q_lang_markers,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_canonical_star": q_dedup_canonical_star,
 }
