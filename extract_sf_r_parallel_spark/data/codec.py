@@ -20,6 +20,7 @@ import zlib
 import numpy as np
 
 __all__ = ["png_encode", "png_decode", "raw_encode", "raw_decode",
+           "cjpg_encode", "cjpg_decode",
            "encode_image", "decode_image", "phash64", "psnr", "resize_block",
            "cpnv_encode", "cpnv_decode", "cpnv_frame_count",
            "cpnv_iter_frames"]
@@ -116,6 +117,8 @@ def encode_image(img: np.ndarray, fmt: str) -> bytes:
         return png_encode(img)
     if fmt == "raw":
         return raw_encode(img)
+    if fmt == "cjpg":
+        return cjpg_encode(img)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -124,7 +127,70 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return png_decode(bytes(data))
     if fmt == "raw":
         return raw_decode(bytes(data), w, h)
+    if fmt == "cjpg":
+        return cjpg_decode(bytes(data))
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# CJPG: a from-scratch LOSSY codec (BASELINE.json input_hint names the
+# lossy invariant "decoded pixels PSNR ≥ 40 dB"; png/raw are lossless,
+# so until r04 that bound was only met trivially). 8×8 orthonormal
+# block DCT per channel, uniform quantization with step `step`,
+# zlib-compressed int16 coefficients. Because the DCT basis is
+# orthonormal, pixel-domain MSE == coefficient-domain quantization MSE
+# ≤ step²/12, so PSNR ≥ 10·log10(255²·12/step²) — ≥ 43.9 dB at the
+# default step=6 for ANY input, clipping aside. Not entropy-optimal
+# (no zigzag/Huffman) — the lossy *path* and its provable quality
+# bound are the point, not rate.
+# ---------------------------------------------------------------------------
+
+_CJPG_SIG = b"CJPG"
+
+
+def _pad_to8(ch: np.ndarray) -> np.ndarray:
+    h, w = ch.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    return np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+
+
+def _blocks(ch: np.ndarray) -> np.ndarray:
+    """(H, W) → (H//8, W//8, 8, 8) block view (H, W multiples of 8)."""
+    H, W = ch.shape
+    return ch.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _unblocks(b: np.ndarray) -> np.ndarray:
+    nby, nbx = b.shape[:2]
+    return b.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+
+def cjpg_encode(img: np.ndarray, step: int = 6) -> bytes:
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    assert c == 3 and 1 <= step <= 255
+    m = _dct_matrix(8)
+    chans = []
+    for ci in range(3):
+        ch = _pad_to8(img[..., ci].astype(np.float64) - 128.0)
+        d = np.einsum("ij,nmjk,lk->nmil", m, _blocks(ch), m)
+        chans.append(np.rint(d / step).astype(np.int16))
+    payload = zlib.compress(np.stack(chans).tobytes(), 6)
+    return (_CJPG_SIG + struct.pack(">HHB", w, h, step) + payload)
+
+
+def cjpg_decode(data: bytes) -> np.ndarray:
+    assert data[:4] == _CJPG_SIG, "not a CJPG stream"
+    w, h, step = struct.unpack(">HHB", data[4:9])
+    ph, pw = h + ((-h) % 8), w + ((-w) % 8)
+    q = np.frombuffer(zlib.decompress(data[9:]), dtype=np.int16) \
+        .reshape(3, ph // 8, pw // 8, 8, 8).astype(np.float64) * step
+    m = _dct_matrix(8)
+    out = np.empty((ph, pw, 3), dtype=np.float64)
+    for ci in range(3):
+        blk = np.einsum("ji,nmjk,kl->nmil", m, q[ci], m)
+        out[..., ci] = _unblocks(blk)
+    return np.clip(np.rint(out[:h, :w] + 128.0), 0, 255).astype(np.uint8)
 
 
 # ---------------------------------------------------------------------------
@@ -200,18 +266,20 @@ def resize_block(gray: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return total / area
 
 
-_DCT32 = None
+_DCT_CACHE: dict[int, np.ndarray] = {}
 
 
 def _dct_matrix(n: int = 32) -> np.ndarray:
-    global _DCT32
-    if _DCT32 is None:
+    """Orthonormal DCT-II basis (size-keyed cache): M @ M.T = I, so
+    quantization MSE in coefficient space equals pixel-space MSE —
+    the property the cjpg PSNR bound rests on."""
+    if n not in _DCT_CACHE:
         k = np.arange(n)[:, None]
         i = np.arange(n)[None, :]
         m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
         m[0] /= np.sqrt(2.0)
-        _DCT32 = m
-    return _DCT32
+        _DCT_CACHE[n] = m
+    return _DCT_CACHE[n]
 
 
 def phash64(img: np.ndarray) -> int:

@@ -338,14 +338,15 @@ def areadist(
 
 
 def areadist_wide(result: DataFrame, keys: tuple[str, ...] = ("PKEY", "SS", "YEAR"),
-                  passthrough: tuple[str, ...] = ()) -> DataFrame:
+                  passthrough: tuple[str, ...] = (),
+                  values: tuple[str, ...] | None = None) -> DataFrame:
     """The reference's 14-way suffix-rename + inner merge (C_…R:923-1208)
-    collapsed into one pivot: metric columns become <METRIC>_<layer>."""
+    collapsed into one pivot: metric columns become <METRIC>_<layer>.
+    Pass `values` (the layer names) when known — pivot() otherwise runs
+    an extra distinct-values job over the whole result first."""
     metric_cols = [c for c in result.columns
                    if c not in keys and c != "layer" and c not in passthrough]
     agg = [F.first(c).alias(c) for c in metric_cols]
-    return (
-        result.groupBy(*keys, *passthrough)
-        .pivot("layer")
-        .agg(*agg)
-    )
+    g = result.groupBy(*keys, *passthrough)
+    p = g.pivot("layer", list(values)) if values else g.pivot("layer")
+    return p.agg(*agg)

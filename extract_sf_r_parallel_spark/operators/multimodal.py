@@ -143,7 +143,7 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                     for idx, png in codec.cpnv_iter_frames(
                             bytes(r.bytes), every_n):
                         rows.append((r.image_id, idx, png, r.w, r.h, "png"))
-                elif r.fmt in ("png", "raw"):
+                elif r.fmt in ("png", "raw", "cjpg"):
                     rows.append((r.image_id, 0, r.bytes, r.w, r.h, r.fmt))
                 else:
                     raise NotImplementedError(

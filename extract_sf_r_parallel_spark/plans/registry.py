@@ -477,7 +477,7 @@ def q_wide_merge(spark, sf_dir):
         fcols.append(F.when(area > 0, F.round(F.col(f"MEANAGE_{r}"),
                                               d["MEANAGE"]))
                       .alias(f"MEANAGE_{r}"))
-    wide_f = areadist_wide(foot.select(*fcols))
+    wide_f = areadist_wide(foot.select(*fcols), values=tuple(_WM_LAYERS))
 
     cls = F.element_at(
         F.array(*[F.lit(c) for c in _WM_CLASSES]),
@@ -493,7 +493,7 @@ def q_wide_merge(spark, sf_dir):
     for r in (150, 565):
         wcols.append(F.round(F.col(f"AREA{r}"), d["AREA"]).alias(f"AREA{r}"))
         wcols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
-    wide_w = areadist_wide(wet.select(*wcols))
+    wide_w = areadist_wide(wet.select(*wcols), values=tuple(_WM_CLASSES))
 
     # the reference's final inner merge on the point keys
     # (C_…R:1194-1208); both sides are dense → row count preserved

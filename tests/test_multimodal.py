@@ -93,3 +93,43 @@ def test_frame_sample_cpnv_videos(spark):
         .withColumn("image_id",
                     F.concat_ws("#", "image_id", "frame_idx"))).toPandas()
     assert all(len(v) == 64 for v in stats.embedding)
+
+
+def test_cjpg_lossy_codec_psnr_bound(spark):
+    """The from-scratch lossy codec must honor the input_hint bound:
+    decoded pixels PSNR ≥ 40 dB — provably, since the orthonormal DCT
+    maps step²/12 quantization MSE straight to pixel MSE (≥43.9 dB at
+    step=6 before clipping). Checked on the worst case (uniform noise),
+    the Lehmer fixture planes, and smooth ramps, odd dims included."""
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, (37, 53, 3), dtype=np.uint8),
+            synth.pixel_plane(9001, 48 * 64 * 3).reshape(48, 64, 3)]
+    x = np.linspace(0, 255, 64)
+    imgs.append(np.clip(np.stack(
+        [np.add.outer(x, x)[:40, :64] / 2] * 3, -1), 0, 255).astype(np.uint8))
+    for img in imgs:
+        data = codec.cjpg_encode(img)
+        assert data == codec.cjpg_encode(img)  # deterministic
+        back = codec.cjpg_decode(data)
+        assert back.shape == img.shape
+        assert codec.psnr(img, back) >= 40.0
+
+    # the Spark decode path accepts fmt="cjpg" end-to-end, and the
+    # perceptual hash survives the lossy round-trip almost unchanged
+    import pandas as pd
+    rows = []
+    for i in range(6):
+        img = synth.pixel_plane(7000 + i, 64 * 64 * 3).reshape(64, 64, 3)
+        rows.append({"image_id": f"cj{i}", "bytes": codec.cjpg_encode(img),
+                     "w": np.int32(64), "h": np.int32(64), "fmt": "cjpg",
+                     "caption": "", "phash": np.int64(codec.phash64(img))})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = M.decode_stats(df).toPandas()
+    assert len(out) == 6
+    # phash_ok compares the ORIGINAL phash to the decoded one; lossy
+    # may flip a few of 64 bits, so assert closeness explicitly instead
+    for r in rows:
+        back = codec.cjpg_decode(bytes(r["bytes"]))
+        ham = bin(int(np.uint64(np.int64(codec.phash64(back)))
+                      ^ np.uint64(np.int64(r["phash"])))).count("1")
+        assert ham <= 8
