@@ -570,6 +570,10 @@ SELECT CAST(pid AS VARCHAR) AS PKEY,
 FROM dpts LEFT JOIN agg ON pid = jpid
 """
 
+# both engine plans (fused single-stage / cell-explode join) answer to
+# the same inclusion–exclusion closed form
+ORACLE["areadist_dissolve_join"] = ORACLE["areadist_dissolve"]
+
 
 def _keyed_points(spark, sf_dir):
     return points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
@@ -632,21 +636,37 @@ def _pair_rect_polys(spark, sf_dir, layer_col: str = "layer",
     return a.unionByName(b)
 
 
+def _dissolve_select(out):
+    return out.select(
+        "PKEY", F.round("NEAR_DIST", 4).alias("NEAR_DIST"),
+        F.round("AREA150", 2).alias("AREA150"),
+        F.round("AREA565", 2).alias("AREA565"))
+
+
 def q_areadist_dissolve(spark, sf_dir):
     pts = _keyed_points(spark, sf_dir)
     polys = _pair_rect_polys(spark, sf_dir)
     # dissolve left at its DEFAULT ("auto"): the overlap is detected
     # and corrected with no caller hint — the point of this query. The
     # fused single-stage plan (feature side ≪ broadcast envelope)
-    # skips pair materialization entirely; the join path's dissolve is
-    # exercised by tests/test_dissolve_exact.py on the same semantics.
+    # skips pair materialization entirely.
     from ..operators.areadist_fused import areadist_fused
     out = areadist_fused(pts, polys, temporal=False, age=False,
                          validity_filter=False)
-    return out.select(
-        "PKEY", F.round("NEAR_DIST", 4).alias("NEAR_DIST"),
-        F.round("AREA150", 2).alias("AREA150"),
-        F.round("AREA565", 2).alias("AREA565"))
+    return _dissolve_select(out)
+
+
+def q_areadist_dissolve_join(spark, sf_dir):
+    # the cell-explode equi-JOIN plan through the same dissolve="auto"
+    # default — the SMJ-capable path a too-big-to-broadcast layer takes
+    # at 100 TB. Same oracle as the fused row (r04: both engine plans
+    # driver-oracled, mirroring the areadist_circle/_join pairing).
+    from ..operators.areadist import areadist
+    pts = _keyed_points(spark, sf_dir)
+    polys = _pair_rect_polys(spark, sf_dir)
+    out = areadist(pts, polys, temporal=False, age=False,
+                   validity_filter=False, broadcast_polys=True)
+    return _dissolve_select(out)
 
 
 # --- open polylines (the reference's seismic-line layers): kNN over
@@ -1008,6 +1028,7 @@ QUERIES = {
     "shapefile_scan": q_shapefile_scan,
     "polyline_knn": q_polyline_knn,
     "areadist_dissolve": q_areadist_dissolve,
+    "areadist_dissolve_join": q_areadist_dissolve_join,
     "areadist_wet": q_areadist_wet,
     "areadist_wet_sum": q_areadist_wet_sum,
     "validity_filter": q_validity_filter,
