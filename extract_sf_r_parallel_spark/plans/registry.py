@@ -618,6 +618,75 @@ LEFT JOIN wpiv ON p.pid = wpiv.pid
 ORACLE["wide_merge"] = _wide_merge_oracle()
 
 
+# --- resize as a driver-oracled query (r04 — was pytest-only): decode
+# → area-resize 16×16 → PNG re-encode → decode → exact per-channel
+# integer SUMS. The oracle replays the block-mean resize in integer
+# SQL, including NumPy's round-HALF-TO-EVEN on exact .5 block means
+# (2·(s mod k²) vs k² comparisons — no float division, so the k=6
+# blocks of 96-px images can't drift). Sums are integers < 2^53 →
+# bit-identical, no rounding contract needed.
+def q_resize_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ..data import codec
+    from ..operators.multimodal import resize_images
+
+    n = 240  # matches the multimodal_stats fixture and the SQL below
+    images = spark.createDataFrame(synth.images_pdf(n))
+    rs = resize_images(images, 16, 16)
+    schema = "image_id string, sum_r long, sum_g long, sum_b long"
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+                s = img.astype(np.int64).sum(axis=(0, 1))
+                rows.append((r.image_id, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(rows, columns=["image_id", "sum_r",
+                                              "sum_g", "sum_b"])
+
+    return rs.mapInPandas(gen, schema)
+
+
+ORACLE["resize_stats"] = """
+WITH imgs AS (
+  SELECT i,
+    printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT image_id, w, h, j,
+    xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v,
+    j % 3 AS ch,
+    (j // 3) // w AS py,
+    (j // 3) % w AS pxx
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+), blk AS (
+  SELECT image_id, ch,
+    SUM(v) AS s, (h // 16) * (w // 16) AS k2
+  FROM px
+  GROUP BY image_id, ch, h, w, py // (h // 16), pxx // (w // 16)
+), rb AS (
+  SELECT image_id, ch,
+    s // k2 + CASE WHEN 2 * (s % k2) > k2 THEN 1
+                   WHEN 2 * (s % k2) = k2 AND (s // k2) % 2 = 1 THEN 1
+                   ELSE 0 END AS rv
+  FROM blk
+)
+SELECT image_id,
+  SUM(CASE WHEN ch = 0 THEN rv END) AS sum_r,
+  SUM(CASE WHEN ch = 1 THEN rv END) AS sum_g,
+  SUM(CASE WHEN ch = 2 THEN rv END) AS sum_b
+FROM rb GROUP BY image_id
+"""
+
+
 # --- the LIVE streaming sessionizer as a driver-oracled query
 # (VERDICT r03 next-#5 — stream correctness no longer rests on pytest
 # alone): stage the events table as 6 time-ordered files + a
@@ -693,5 +762,6 @@ QUERIES.update({
     "knn_ring": q_knn_ring,
     "multimodal_stats": q_multimodal_stats,
     "frame_sample": q_frame_sample,
+    "resize_stats": q_resize_stats,
     "wide_merge": q_wide_merge,
 })
