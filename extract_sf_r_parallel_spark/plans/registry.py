@@ -680,9 +680,9 @@ WITH imgs AS (
   FROM blk
 )
 SELECT image_id,
-  SUM(CASE WHEN ch = 0 THEN rv END) AS sum_r,
-  SUM(CASE WHEN ch = 1 THEN rv END) AS sum_g,
-  SUM(CASE WHEN ch = 2 THEN rv END) AS sum_b
+  CAST(SUM(CASE WHEN ch = 0 THEN rv END) AS BIGINT) AS sum_r,
+  CAST(SUM(CASE WHEN ch = 1 THEN rv END) AS BIGINT) AS sum_g,
+  CAST(SUM(CASE WHEN ch = 2 THEN rv END) AS BIGINT) AS sum_b
 FROM rb GROUP BY image_id
 """
 
