@@ -61,16 +61,20 @@ class IceLiteTable:
         return out
 
     def _commit(self, files: list[str], schema_json: str, parent: dict | None,
-                op: str, defaults: dict | None = None) -> dict:
+                op: str, defaults: dict | None = None,
+                dropped: list[str] | None = None) -> dict:
         sid = (parent["snapshot_id"] + 1) if parent else 0
         if defaults is None:
             defaults = dict(parent.get("defaults", {})) if parent else {}
+        if dropped is None:
+            dropped = list(parent.get("dropped", [])) if parent else []
         snap = {
             "snapshot_id": sid,
             "operation": op,
             "schema": schema_json,
             "files": files,
             "defaults": defaults,
+            "dropped": dropped,
             "parent": parent["snapshot_id"] if parent else None,
         }
         name = f"snap-{sid:06d}.json"
@@ -116,11 +120,36 @@ class IceLiteTable:
         schema = T.StructType.fromJson(json.loads(parent["schema"]))
         if name in schema.fieldNames():
             raise ValueError(f"column {name!r} already exists")
+        if name in parent.get("dropped", []):
+            # this layer maps columns by NAME (no Iceberg field ids):
+            # re-adding a dropped name would resurrect stale values
+            # from pre-drop data files instead of the new default
+            raise ValueError(
+                f"column {name!r} was previously dropped; name-based "
+                "projection cannot re-add it without field ids — pick a "
+                "new name")
         schema = schema.add(name, sql_type, True)
         defaults = dict(parent.get("defaults", {}))
         defaults[name] = default
         return self._commit(parent["files"], schema.json(), parent,
                             "evolve", defaults)
+
+    def drop_column(self, name: str) -> dict:
+        """Metadata-only column drop: data files keep the physical
+        column; reads at or after this snapshot never project it, and
+        time-travel to earlier snapshots still sees it."""
+        parent = self._current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+        if name not in schema.fieldNames():
+            raise ValueError(f"column {name!r} does not exist")
+        schema = T.StructType([f for f in schema.fields if f.name != name])
+        defaults = {k: v for k, v in parent.get("defaults", {}).items()
+                    if k != name}
+        dropped = sorted(set(parent.get("dropped", [])) | {name})
+        return self._commit(parent["files"], schema.json(), parent,
+                            "evolve", defaults, dropped)
 
     # -- read -------------------------------------------------------------
     def read(self, spark: SparkSession, snapshot_id: int | None = None) -> DataFrame:

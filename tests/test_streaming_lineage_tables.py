@@ -141,3 +141,26 @@ def test_icelite_schema_evolution_add_column_with_default(spark, tmp_path):
     assert got["quality"].isna().all()
     with __import__("pytest").raises(ValueError, match="already exists"):
         t.add_column("lang", "string")
+
+def test_icelite_drop_column_metadata_only(spark, tmp_path):
+    """drop_column: reads stop projecting the column (files untouched),
+    time-travel before the drop still sees it, and re-adding a dropped
+    NAME is rejected (name-based projection has no field ids to keep
+    old values from resurrecting)."""
+    t = IceLiteTable(str(tmp_path / "drop"))
+    v1 = spark.range(4).withColumn("score", F.col("id") * 2.0) \
+        .withColumn("tag", F.lit("x"))
+    s0 = t.append(v1)
+    files_before = set(t._current_snapshot()["files"])
+    t.drop_column("tag")
+    assert set(t._current_snapshot()["files"]) == files_before
+    assert t.read(spark).columns == ["id", "score"]
+    assert t.read(spark, snapshot_id=s0["snapshot_id"]).columns \
+        == ["id", "score", "tag"]
+    # the dropped-name ledger survives later commits
+    t.append(spark.range(4, 6).withColumn("score", F.col("id") * 2.0))
+    assert t.read(spark).count() == 6
+    with __import__("pytest").raises(ValueError, match="previously dropped"):
+        t.add_column("tag", "string", default="y")
+    with __import__("pytest").raises(ValueError, match="does not exist"):
+        t.drop_column("nope")
