@@ -199,6 +199,54 @@ FROM v
 """
 
 
+# --- SimHash banded-hamming near-dup PAIRS (r04 — the docstring-
+# promised blocking join): 4 × 16-bit slices; pigeonhole ⇒ any pair
+# with hamming ≤ 3 collides on ≥ 1 slice. The oracle replays the
+# signature derivation (same CTEs as `simhash`), the slicing, the
+# bucket cap, the equi join, and the xor-popcount verify.
+def q_simhash_pairs(spark, sf_dir):
+    from ..operators.dedup import simhash_pairs
+    d = _docs(spark, sf_dir)
+    return simhash_pairs(d).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+ORACLE["simhash_pairs"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(th) AS th FROM ({_TOKS_CTE})
+), bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (CAST(th AS UBIGINT) >> b.bit) & 1 = 1
+                  THEN 1 ELSE -1 END) AS score
+  FROM toks CROSS JOIN (SELECT unnest(range(64)) AS bit) b
+  GROUP BY doc_id, b.bit
+), v AS (
+  SELECT doc_id,
+         SUM(CASE WHEN score > 0
+                  THEN CAST(CAST(1 AS UBIGINT) << bit AS HUGEINT)
+                  ELSE 0 END) AS hv
+  FROM bits GROUP BY doc_id
+), u AS (
+  SELECT doc_id, CAST(hv AS UBIGINT) AS us FROM v
+), bande AS (
+  SELECT doc_id, us, b.band, (us >> (16 * b.band)) & 65535 AS key
+  FROM u CROSS JOIN (SELECT unnest(range(4)) AS band) b
+), sized AS (
+  SELECT band, key, COUNT(*) AS n FROM bande GROUP BY 1, 2
+), kept AS (
+  SELECT bande.* FROM bande JOIN sized USING (band, key)
+  WHERE sized.n <= 1000
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                  a.us AS ua, b.us AS ub
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ua, ub)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ua, ub)) <= 3
+"""
+
+
 def _minhash_perms_values() -> str:
     """The MinHash (a, b) parameters as literal SQL VALUES — the same
     rng(7) stream the engine uses (functions/hashing._minhash_params)."""
@@ -373,4 +421,5 @@ QUERIES = {
     "lang_markers": q_lang_markers,
     "dedup_canonical": q_dedup_canonical,
     "dedup_canonical_star": q_dedup_canonical_star,
+    "simhash_pairs": q_simhash_pairs,
 }

@@ -303,3 +303,24 @@ def test_ivf_sampled_validates_centroid_ids(spark):
         out = S.ivf_topk_sampled(df2, df2, k=1, n_clusters=4, n_probe=2)
         out.count()
         assert any("2/4" in str(x.message) for x in w)
+
+
+def test_simhash_pairs_banded_blocking(spark, docs):
+    """Pigeonhole guarantee: a pair within hamming ≤ 3 MUST surface
+    through the 4×16-bit band join. Near-identical planted docs (one
+    token changed out of ~40) have tiny hamming distances; the banded
+    result must equal the brute-force xor-popcount filter exactly."""
+    from extract_sf_r_parallel_spark.functions.hashing import simhash64
+    got = D.simhash_pairs(docs, max_hamming=3).toPandas()
+    pdf = docs.select("doc_id", "text").toPandas()
+    sigs = {r.doc_id: simhash64(r.text) for r in pdf.itertuples()}
+    want = set()
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1") <= 3:
+                want.add((a, b))
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert (got.hamming <= 3).all()
+    with pytest.raises(AssertionError, match="hamming < bands"):
+        D.simhash_pairs(docs, max_hamming=4, bands=4)
