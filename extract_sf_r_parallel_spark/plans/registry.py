@@ -618,6 +618,47 @@ LEFT JOIN wpiv ON p.pid = wpiv.pid
 ORACLE["wide_merge"] = _wide_merge_oracle()
 
 
+# --- as-of (point-in-time) join (r04): for every probe row, the
+# latest event of the same user at or before the probe timestamp —
+# the leakage-free feature-join primitive Spark lacks natively.
+# Probes derive deterministically from orders (user = o_custkey % 150,
+# ts = 2024-01-01 + (o_orderkey mod 30 days) seconds, inside the
+# events window); the oracle is DuckDB's NATIVE ASOF LEFT JOIN, so the
+# window-fill implementation answers to an independent engine's
+# definition of as-of semantics, not a replay of itself.
+def q_asof_join(spark, sf_dir):
+    from ..operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probes = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.pmod("o_custkey", F.lit(150)).alias("user_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2592000 AS INT))")
+        .alias("ts"))
+    out = asof_join(probes, ev, on="user_id",
+                    payload=("event_id", "value"))
+    return out.select("probe_id", "user_id", "event_id_asof",
+                      "value_asof", "ts_asof")
+
+
+ORACLE["asof_join"] = """
+SELECT p.probe_id, p.user_id,
+       e.event_id AS event_id_asof,
+       e.value AS value_asof,
+       e.ts AS ts_asof
+FROM (
+  SELECT o_orderkey AS probe_id,
+         o_custkey % 150 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ts
+  FROM orders
+) p
+ASOF LEFT JOIN events e
+  ON p.user_id = e.user_id AND e.ts <= p.ts
+"""
+
+
 # --- resize as a driver-oracled query (r04 — was pytest-only): decode
 # → area-resize 16×16 → PNG re-encode → decode → exact per-channel
 # integer SUMS. The oracle replays the block-mean resize in integer
@@ -764,4 +805,5 @@ QUERIES.update({
     "frame_sample": q_frame_sample,
     "resize_stats": q_resize_stats,
     "wide_merge": q_wide_merge,
+    "asof_join": q_asof_join,
 })
