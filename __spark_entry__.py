@@ -18,7 +18,12 @@ round 3 EVERY query is oracled (zero rows-only entries): both ANN
 paths run SQL-replayable variants (integer-quantized LSH buckets;
 corpus-sampled IVF centroids), and multimodal_stats pixels are a
 closed-form Lehmer hash DuckDB re-derives value-for-value through the
-PNG codec round-trip.
+PNG codec round-trip. Round 4 adds the wide_merge capstone (the
+reference's 19-layer output table in one call), the per-class wetland
+UNION dissolve, the LIVE streaming sessionizer (Trigger.AvailableNow),
+CPNV video frame sampling, the resize/simhash-pairs/as-of-join/
+IceLite-evolution rows, and both dissolve engine plans — 55 queries,
+all oracled (asof_join against DuckDB's NATIVE ASOF JOIN).
 """
 
 from __future__ import annotations
