@@ -659,6 +659,41 @@ ASOF LEFT JOIN events e
 """
 
 
+# the forward direction (earliest event AT OR AFTER the probe) against
+# the flipped-inequality native ASOF join
+def q_asof_join_fwd(spark, sf_dir):
+    from ..operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probes = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.pmod("o_custkey", F.lit(150)).alias("user_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2592000 AS INT))")
+        .alias("ts"))
+    out = asof_join(probes, ev, on="user_id",
+                    payload=("event_id", "value"), direction="forward")
+    return out.select("probe_id", "user_id", "event_id_asof",
+                      "value_asof", "ts_asof")
+
+
+ORACLE["asof_join_fwd"] = """
+SELECT p.probe_id, p.user_id,
+       e.event_id AS event_id_asof,
+       e.value AS value_asof,
+       e.ts AS ts_asof
+FROM (
+  SELECT o_orderkey AS probe_id,
+         o_custkey % 150 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ts
+  FROM orders
+) p
+ASOF LEFT JOIN events e
+  ON p.user_id = e.user_id AND e.ts >= p.ts
+"""
+
+
 # --- resize as a driver-oracled query (r04 — was pytest-only): decode
 # → area-resize 16×16 → PNG re-encode → decode → exact per-channel
 # integer SUMS. The oracle replays the block-mean resize in integer
@@ -806,4 +841,5 @@ QUERIES.update({
     "resize_stats": q_resize_stats,
     "wide_merge": q_wide_merge,
     "asof_join": q_asof_join,
+    "asof_join_fwd": q_asof_join_fwd,
 })

@@ -40,3 +40,50 @@ def test_asof_backward_inclusive_and_tolerance(spark):
     assert tol.loc["c", "value_asof"] == 10.0        # 5 min old → fresh
     assert pd.isna(tol.loc["d", "value_asof"])       # 79 min old → aged out
     assert pd.isna(tol.loc["d", "ts_asof"])
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """Random tie-free fixture: all three directions must agree with
+    pandas.merge_asof row-for-row (values and matched timestamps)."""
+    import numpy as np
+    rng = np.random.default_rng(31)
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 5, 60),
+        "ts": [T0 + pd.Timedelta(seconds=int(s))
+               for s in rng.choice(100_000, 60, replace=False)],
+        "value": rng.normal(size=60).round(3),
+    })
+    left = pd.DataFrame({
+        "probe": range(40),
+        "user_id": rng.integers(0, 6, 40),  # user 5 never in right
+        "ts": [T0 + pd.Timedelta(seconds=int(s))
+               for s in rng.choice(100_000, 40, replace=False)],
+    })
+    R, L = spark.createDataFrame(right), spark.createDataFrame(left)
+    for direction in ("backward", "forward", "nearest"):
+        got = asof_join(L, R, on="user_id", payload=("value",),
+                        direction=direction).toPandas() \
+            .sort_values("probe").reset_index(drop=True)
+        want = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="user_id", direction=direction) \
+            .sort_values("probe").reset_index(drop=True)
+        gv = got["value_asof"].to_numpy(float)
+        wv = want["value"].to_numpy(float)
+        import numpy.testing as npt
+        assert (pd.isna(gv) == pd.isna(wv)).all(), direction
+        npt.assert_allclose(gv[~pd.isna(gv)], wv[~pd.isna(wv)],
+                            err_msg=direction)
+
+
+def test_asof_forward_tolerance(spark):
+    right = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(30), "value": 30.0}]))
+    left = spark.createDataFrame(pd.DataFrame([
+        {"probe": "x", "user_id": 1, "ts": _ts(0)},
+        {"probe": "y", "user_id": 1, "ts": _ts(28)}]))
+    got = asof_join(left, right, on="user_id", payload=("value",),
+                    direction="forward", tolerance_seconds=300) \
+        .toPandas().set_index("probe")
+    assert pd.isna(got.loc["x", "value_asof"])   # 30 min ahead > 5 min tol
+    assert got.loc["y", "value_asof"] == 30.0    # 2 min ahead → fresh
