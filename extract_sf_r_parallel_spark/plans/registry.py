@@ -694,6 +694,54 @@ ASOF LEFT JOIN events e
 """
 
 
+# --- interval-overlap join (r04): the hex-cell candidate pattern in
+# 1-D time — intervals explode over coarse buckets, equi join on
+# (user, bucket), JVM overlap refine, exactly-once via the
+# first-shared-bucket owner trick. Probes are 30-min windows derived
+# from orders; events carry (event_id % 7 + 1)-minute windows; the
+# oracle is the plain-SQL overlap theta join.
+def q_interval_join(spark, sf_dir):
+    from ..operators.intervals import interval_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id", F.col("ts").alias("es"),
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, "
+               "CAST(event_id % 7 + 1 AS INT), 0)").alias("ee"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probes = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.pmod("o_custkey", F.lit(150)).alias("user_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2592000 AS INT))")
+        .alias("ps"))
+    probes = probes.withColumn(
+        "pe", F.expr("ps + make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    out = interval_join(probes, ev, "ps", "pe", "es", "ee",
+                        key="user_id", bucket_width_seconds=1800)
+    return out.select(
+        F.col("probe_id_l").alias("probe_id"), "user_id",
+        F.col("event_id_r").alias("event_id"))
+
+
+ORACLE["interval_join"] = """
+SELECT p.probe_id, p.user_id, e.event_id
+FROM (
+  SELECT o_orderkey AS probe_id,
+         o_custkey % 150 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ps,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 2592000) * INTERVAL 1 SECOND
+           + INTERVAL 30 MINUTE AS pe
+  FROM orders
+) p
+JOIN (
+  SELECT user_id, event_id, ts AS es,
+         ts + (event_id % 7 + 1) * INTERVAL 1 MINUTE AS ee
+  FROM events
+) e ON p.user_id = e.user_id AND p.ps <= e.ee AND e.es <= p.pe
+"""
+
+
 # --- resize as a driver-oracled query (r04 — was pytest-only): decode
 # → area-resize 16×16 → PNG re-encode → decode → exact per-channel
 # integer SUMS. The oracle replays the block-mean resize in integer
@@ -842,4 +890,5 @@ QUERIES.update({
     "wide_merge": q_wide_merge,
     "asof_join": q_asof_join,
     "asof_join_fwd": q_asof_join_fwd,
+    "interval_join": q_interval_join,
 })

@@ -25,7 +25,7 @@ LAZY = [
     "union_all", "sort_limit", "window_topk", "theta_join",
     "pivot_wide", "dedup_exact", "dedup_bucket", "token_stats",
     "text_quality", "lang_markers", "tumbling_window", "sessions",
-    "simhash_pairs", "asof_join",
+    "simhash_pairs", "asof_join", "asof_join_fwd", "interval_join",
 ]
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
