@@ -436,6 +436,7 @@ FROM s GROUP BY user_id, sid
 """
 
 ORACLE["sessions_stream"] = ORACLE["sessions"]
+ORACLE["windowed_stream"] = relational.ORACLE["tumbling_window"]
 
 
 # --- the reference's CAPSTONE artifact (VERDICT r03 next-#1): the
@@ -821,38 +822,46 @@ FROM rb GROUP BY image_id
 # the watermark past last+gap for all of them), so the output is the
 # batch twin's session set — oracled by the SAME gaps-and-islands SQL
 # as `sessions`.
-def q_sessions_stream(spark, sf_dir):
+def _stage_events(sf_dir: str, n_files: int = 6,
+                  flush_days: int = 430) -> str:
+    """Stage the events table as `n_files` time-ordered parquet files
+    plus a far-future flush sentinel (user_id = −1) that pushes the
+    watermark past every real event. Strictly increasing mtimes make
+    FileStreamSource's trigger order the event-time order."""
     import os
     import tempfile
+    import time
 
+    import numpy as np
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    cuts = np.linspace(0, t.num_rows, n_files + 1).astype(int)
+    for i in range(n_files):
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]),
+                       os.path.join(d, f"part-{i:03d}.parquet"))
+    fpdf = t.slice(0, 1).to_pandas()
+    fpdf["event_id"] = 999_999_999
+    fpdf["user_id"] = -1
+    fpdf["ts"] = fpdf["ts"] + pd.Timedelta(days=flush_days)
+    pq.write_table(pa.Table.from_pandas(fpdf, schema=t.schema),
+                   os.path.join(d, "part-zz-flush.parquet"))
+    base = time.time() - 3600
+    for i, f in enumerate(sorted(os.listdir(d))):
+        os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
+    return d
+
+
+def q_sessions_stream(spark, sf_dir):
+    import tempfile
 
     from ..streaming import events as SE
     from ..streaming.sessions import sessionize_stream
 
-    t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
-    d = tempfile.mkdtemp(prefix="sess_stream_src_")
-    import numpy as np
-    cuts = np.linspace(0, t.num_rows, 7).astype(int)
-    for i in range(6):
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                       os.path.join(d, f"part-{i:03d}.parquet"))
-    import pandas as pd
-    fpdf = t.slice(0, 1).to_pandas()
-    fpdf["event_id"] = 999_999_999
-    fpdf["user_id"] = -1
-    fpdf["ts"] = fpdf["ts"] + pd.Timedelta(days=430)
-    pq.write_table(pa.Table.from_pandas(fpdf, schema=t.schema),
-                   os.path.join(d, "part-zz-flush.parquet"))
-    # FileStreamSource orders files by MODIFICATION TIME; same-ms
-    # writes tie nondeterministically — stamp strictly increasing
-    # mtimes so trigger order is event-time order
-    import time
-    base = time.time() - 3600
-    for i, f in enumerate(sorted(os.listdir(d))):
-        os.utime(os.path.join(d, f), (base + 10 * i, base + 10 * i))
-
+    d = _stage_events(sf_dir)
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 1).parquet(d)
     sess = sessionize_stream(stream, gap_minutes=600, watermark="1 hour")
@@ -866,9 +875,35 @@ def q_sessions_stream(spark, sf_dir):
     )
 
 
-# stream ≡ batch: sessions_stream answers to the identical SQL oracle
-# (ORACLE["sessions_stream"] aliased right after ORACLE["sessions"])
-QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream}
+# --- the LIVE watermarked windowed aggregation (r04): the real
+# Structured Streaming tumbling-window query drained with
+# Trigger.AvailableNow over the staged file sequence; the flush
+# sentinel closes every real window, whose own far-future window is
+# filtered out. Answers the SAME SQL oracle as the batch twin
+# (tumbling_window) — stream ≡ batch, driver-visible.
+def q_windowed_stream(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    wc = SE.windowed_counts(stream, window="1 hour", watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="win_stream_ck_")
+    SE.run_available_now(wc, "windowed_stream_sink", ck)
+    return (
+        spark.table("windowed_stream_sink")
+        .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
+        .select("hour", "event_type", "n", "sum_value")
+    )
+
+
+# stream ≡ batch: sessions_stream / windowed_stream answer the
+# identical SQL oracles as their batch twins (aliased after
+# ORACLE["sessions"] / relational's tumbling_window import)
+QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream,
+           "windowed_stream": q_windowed_stream}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
