@@ -823,11 +823,13 @@ FROM rb GROUP BY image_id
 # batch twin's session set — oracled by the SAME gaps-and-islands SQL
 # as `sessions`.
 def _stage_events(sf_dir: str, n_files: int = 6,
-                  flush_days: int = 430) -> str:
+                  flush_days: int = 430, duplicate: bool = False) -> str:
     """Stage the events table as `n_files` time-ordered parquet files
     plus a far-future flush sentinel (user_id = −1) that pushes the
     watermark past every real event. Strictly increasing mtimes make
-    FileStreamSource's trigger order the event-time order."""
+    FileStreamSource's trigger order the event-time order.
+    `duplicate=True` writes every chunk TWICE (adjacent files) — the
+    replayed-upstream scenario a streaming dedup must collapse."""
     import os
     import tempfile
     import time
@@ -841,8 +843,10 @@ def _stage_events(sf_dir: str, n_files: int = 6,
     d = tempfile.mkdtemp(prefix="stream_src_")
     cuts = np.linspace(0, t.num_rows, n_files + 1).astype(int)
     for i in range(n_files):
-        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]),
-                       os.path.join(d, f"part-{i:03d}.parquet"))
+        chunk = t.slice(cuts[i], cuts[i + 1] - cuts[i])
+        pq.write_table(chunk, os.path.join(d, f"part-{i:03d}-a.parquet"))
+        if duplicate:
+            pq.write_table(chunk, os.path.join(d, f"part-{i:03d}-b.parquet"))
     fpdf = t.slice(0, 1).to_pandas()
     fpdf["event_id"] = 999_999_999
     fpdf["user_id"] = -1
@@ -899,11 +903,44 @@ def q_windowed_stream(spark, sf_dir):
     )
 
 
+# --- the LIVE within-watermark streaming dedup (r04): every staged
+# chunk is written TWICE (the replayed-upstream scenario);
+# dropDuplicatesWithinWatermark must collapse each event back to one
+# row, so the per-type counts/sums over the drained sink equal the
+# base table's — any leaked duplicate doubles a count and breaks the
+# hash.
+def q_dedup_stream(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir, duplicate=True)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    dd = SE.dedup_stream(stream, watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="dedup_stream_ck_")
+    SE.run_available_now(dd, "dedup_stream_sink", ck)
+    return (
+        spark.table("dedup_stream_sink")
+        .filter(F.col("user_id") >= 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+ORACLE["dedup_stream"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 # stream ≡ batch: sessions_stream / windowed_stream answer the
 # identical SQL oracles as their batch twins (aliased after
 # ORACLE["sessions"] / relational's tumbling_window import)
 QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream,
-           "windowed_stream": q_windowed_stream}
+           "windowed_stream": q_windowed_stream,
+           "dedup_stream": q_dedup_stream}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
