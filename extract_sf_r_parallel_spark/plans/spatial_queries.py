@@ -380,6 +380,36 @@ WHERE dist < {MAXDIST} AND ryear < pyear
 GROUP BY pyear
 """
 
+
+# --- A-family: EXACT grouped quantiles of the candidate distance
+# distribution (r04). Spark `percentile` and DuckDB `quantile_cont`
+# both implement type-7 linear interpolation at rank p·(n−1)
+# (verified identical to the ulp on shared inputs), so exact
+# percentiles are cross-engine hashable — the distribution-shape
+# summary a spatial QA pipeline reports per stratum.
+def q_dist_quantiles(spark, sf_dir):
+    pairs = rect_pairs(spark, sf_dir).filter(F.col("dist") < MAXDIST)
+    q = F.expr("percentile(dist, array(0.25, 0.5, 0.9, 0.99))")
+    return pairs.groupBy("pyear").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(q[0], 6).alias("p25"),
+        F.round(q[1], 6).alias("p50"),
+        F.round(q[2], 6).alias("p90"),
+        F.round(q[3], 6).alias("p99"),
+    )
+
+
+ORACLE["dist_quantiles"] = f"""
+SELECT pyear, COUNT(*) AS n_pairs,
+       ROUND(quantile_cont(dist, 0.25), 6) AS p25,
+       ROUND(quantile_cont(dist, 0.5), 6) AS p50,
+       ROUND(quantile_cont(dist, 0.9), 6) AS p90,
+       ROUND(quantile_cont(dist, 0.99), 6) AS p99
+FROM ({_PAIRS_SQL})
+WHERE dist < {MAXDIST}
+GROUP BY pyear
+"""
+
 # --- S4: CRS reprojection in the pipeline (st_transform on load,
 # C_…R:33). The Spark side runs the engine's tmerc_forward NumPy UDF
 # (operators/reproject.project_points); the oracle evaluates the same
@@ -1024,6 +1054,7 @@ QUERIES = {
     "areadist_square": q_areadist_square,
     "knn3": q_knn3,
     "theta_spatial": q_theta_spatial,
+    "dist_quantiles": q_dist_quantiles,
     "reproject": q_reproject,
     "shapefile_scan": q_shapefile_scan,
     "polyline_knn": q_polyline_knn,
