@@ -1016,6 +1016,34 @@ SELECT CAST(pid % 8 AS INT) AS bucket, COUNT(*) AS n,
 FROM ({_PTS_SQL}) GROUP BY 1
 """
 
+# --- S1/S7 CSV scan + sink (r04): the reference's ACTUAL formats —
+# its point table arrives as CSV (C_…R:89) and its final wide table
+# leaves as write.csv (C_…R:1208). Round-trip: write the point table
+# as headered CSV shards, read back through the schema'd distributed
+# CSV scan, aggregate exact integer sums — text-serialization loss,
+# header mishandling, or dropped shards all break the hash.
+def q_csv_roundtrip(spark, sf_dir):
+    import os
+    import tempfile
+    pts = points_df(spark, sf_dir)
+    d = os.path.join(tempfile.gettempdir(),
+                     "csvrt_" + sf_dir.strip("/").replace("/", "_"))
+    pts.write.mode("overwrite").option("header", True).csv(d)
+    back = spark.read.schema("pid long, x double, y double, pyear int") \
+        .option("header", True).csv(d)
+    return (back.groupBy(F.pmod("pid", F.lit(4)).cast("int").alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sum_x"),   # integer-valued doubles →
+                 F.sum("y").alias("sum_y")))  # exact through text I/O
+
+
+ORACLE["csv_roundtrip"] = f"""
+SELECT CAST(pid % 4 AS INT) AS g, COUNT(*) AS n,
+       SUM(x) AS sum_x, SUM(y) AS sum_y
+FROM ({_PTS_SQL}) GROUP BY 1
+"""
+
+
 # --- S1 table layer end-to-end (r04): IceLite append → metadata-only
 # add-column-with-default → append with the evolved schema → read →
 # aggregate. Even-pid rows land BEFORE the evolution (flag filled from
@@ -1066,4 +1094,5 @@ QUERIES = {
     "raster_roundtrip": q_raster_roundtrip,
     "shard_roundtrip": q_shard_roundtrip,
     "icelite_evolution": q_icelite_evolution,
+    "csv_roundtrip": q_csv_roundtrip,
 }

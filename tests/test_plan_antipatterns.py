@@ -26,6 +26,7 @@ LAZY = [
     "pivot_wide", "dedup_exact", "dedup_bucket", "token_stats",
     "text_quality", "lang_markers", "tumbling_window", "sessions",
     "simhash_pairs", "asof_join", "asof_join_fwd", "interval_join",
+    "dist_quantiles",
 ]
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
