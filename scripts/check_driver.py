@@ -69,11 +69,14 @@ def compare(name: str, spdf: pd.DataFrame, opdf: pd.DataFrame) -> bool:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = "/root/testdata/sf0.01"
-    if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
-    diag = "--diag" in sys.argv
+    argv = sys.argv[1:]
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]  # drop the flag AND its value
+    diag = "--diag" in argv
+    args = [a for a in argv if not a.startswith("--")]
 
     import __spark_entry__ as E
     from extract_sf_r_parallel_spark.session import get_spark
