@@ -44,6 +44,8 @@ HEADLINE = [
     "multi_join",        # 4-way join
     "embed_top1",        # brute-force cosine
     "minhash_pairs",     # LSH dedup
+    "asof_join",         # point-in-time feature join (r04)
+    "interval_join",     # 1-D bucketed overlap join (r04)
 ]
 
 HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs
