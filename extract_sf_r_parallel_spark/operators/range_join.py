@@ -225,6 +225,7 @@ def range_join_pairs(
     point_y: str = "y",
     keep_dist_within: bool = True,
     keep_geom: bool = False,
+    bc_metrics=None,
 ) -> DataFrame:
     """Candidate pairs of (point, polygon) within `radius`, refined.
 
@@ -246,11 +247,17 @@ def range_join_pairs(
         code = I.code_for_radius(max(radius / cell_edge_divisor, I.RESOLUTIONS[0]))
     pts = with_cell(points, code, point_x, point_y)
     pls = explode_poly_cells(polys, radius, code, keep_bbox=True)
-    bc_metrics = None
     if broadcast_polys:
         # broadcast side is small ⇒ ship geometry once per executor and
-        # keep per-pair Arrow traffic to fixed-width columns
-        bc_metrics = broadcast_pair_metrics_udf(points.sparkSession, polys, tuple(radii))
+        # keep per-pair Arrow traffic to fixed-width columns; callers
+        # that join the SAME poly side repeatedly (kNN ring rounds)
+        # pass a prebuilt bc_metrics so the driver collects + packs the
+        # geometry once, not once per round
+        if bc_metrics is None:
+            bc_metrics = broadcast_pair_metrics_udf(
+                points.sparkSession, polys, tuple(radii))
+    else:
+        bc_metrics = None
         if not keep_geom:
             pls = pls.drop("geom")
 

@@ -280,7 +280,7 @@ def q_areadist_circle_join(spark, sf_dir):
 def q_knn_ring(spark, sf_dir):
     pts, polys = _circle_inputs(spark, sf_dir)
     out = knn_join(pts.filter(F.col("PKEY").cast("long") % 50 == 0), polys,
-                   k=3, r0=1000.0, max_radius=32000.0,
+                   k=3, r0=None, max_radius=32000.0,
                    broadcast_polys=True)
     return out.select("PKEY", "rk", "feature_id",
                       F.round("dist", 6).alias("dist"))

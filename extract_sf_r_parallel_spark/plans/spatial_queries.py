@@ -768,7 +768,7 @@ def q_polyline_knn(spark, sf_dir):
     polys = s2.select("feature_id", geom.alias("geom"))
     pts = points_df(spark, sf_dir).filter(F.col("pid") % 10 == 0).select(
         F.col("pid").cast("string").alias("PKEY"), "x", "y")
-    out = knn_join(pts, polys, k=2, r0=2000.0, max_radius=32000.0,
+    out = knn_join(pts, polys, k=2, r0=None, max_radius=32000.0,
                    broadcast_polys=True)
     return out.select("PKEY", "rk", "feature_id",
                       F.round("dist", 6).alias("dist"))
