@@ -256,10 +256,10 @@ def range_join_pairs(
         if bc_metrics is None:
             bc_metrics = broadcast_pair_metrics_udf(
                 points.sparkSession, polys, tuple(radii))
-    else:
-        bc_metrics = None
         if not keep_geom:
             pls = pls.drop("geom")
+    else:
+        bc_metrics = None
 
     join_keys = ["cell"]
     if salt > 1:

@@ -866,11 +866,14 @@ def q_sessions_stream(spark, sf_dir):
     from ..streaming.sessions import sessionize_stream
 
     d = _stage_events(sf_dir)
+    # 2 files/trigger -> 4 micro-batches: state still crosses batch
+    # boundaries (the pytest twin proves per-boundary equivalence) at a
+    # third of the 8-batch drain cost the 1-file trigger paid
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
-        .option("maxFilesPerTrigger", 1).parquet(d)
+        .option("maxFilesPerTrigger", 2).parquet(d)
     sess = sessionize_stream(stream, gap_minutes=600, watermark="1 hour")
     ck = tempfile.mkdtemp(prefix="sess_stream_ck_")
-    SE.run_available_now(sess, "sessions_stream_sink", ck)
+    SE.run_available_now(sess, "sessions_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("sessions_stream_sink")
         .filter(F.col("user_id") >= 0)
@@ -895,7 +898,7 @@ def q_windowed_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     wc = SE.windowed_counts(stream, window="1 hour", watermark="1 hour")
     ck = tempfile.mkdtemp(prefix="win_stream_ck_")
-    SE.run_available_now(wc, "windowed_stream_sink", ck)
+    SE.run_available_now(wc, "windowed_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("windowed_stream_sink")
         .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
@@ -919,7 +922,7 @@ def q_dedup_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     dd = SE.dedup_stream(stream, watermark="1 hour")
     ck = tempfile.mkdtemp(prefix="dedup_stream_ck_")
-    SE.run_available_now(dd, "dedup_stream_sink", ck)
+    SE.run_available_now(dd, "dedup_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("dedup_stream_sink")
         .filter(F.col("user_id") >= 0)

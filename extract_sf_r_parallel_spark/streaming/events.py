@@ -56,15 +56,31 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 
 def run_available_now(df: DataFrame, sink_table: str, checkpoint: str,
-                      output_mode: str = "append"):
+                      output_mode: str = "append",
+                      shuffle_partitions: int | None = None):
     """Drain everything currently available into an in-memory sink and
-    stop — bounded streaming execution for tests/benches."""
-    q = (
-        df.writeStream.format("memory").queryName(sink_table)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    stop — bounded streaming execution for tests/benches.
+
+    `shuffle_partitions` scopes spark.sql.shuffle.partitions to the
+    drain: a stateful streaming query runs (partitions × micro-batches)
+    state-store tasks, so a tiny bounded fixture should not inherit a
+    batch-sized partition count (the state partitioning is fixed at
+    first checkpoint anyway — a real deployment sizes it to the
+    cluster up front)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory").queryName(sink_table)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if shuffle_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
