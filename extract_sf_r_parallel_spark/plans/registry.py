@@ -457,7 +457,7 @@ _WM_LAYERS = [f"L{i:02d}" for i in range(14)]
 _WM_CLASSES = ["Bog", "Fen", "Marsh", "Open_Water", "Swamp"]
 
 
-def q_wide_merge(spark, sf_dir):
+def q_wide_merge_sum(spark, sf_dir):
     from ..operators.areadist import areadist_wide
     from ..operators.areadist_fused import areadist_auto
     from .spatial_queries import _keyed_points
@@ -501,7 +501,7 @@ def q_wide_merge(spark, sf_dir):
     return wide_f.join(wide_w, ["PKEY", "SS", "YEAR"], "inner")
 
 
-def _wide_merge_oracle() -> str:
+def _wide_merge_sum_oracle() -> str:
     """Programmatically composed DuckDB oracle: the same closed-form
     circular-segment area + per-layer conditional-aggregation pivot,
     14 temporal+age footprint blocks and 5 wetland blocks, merged on
@@ -601,6 +601,198 @@ oldest AS (
 ), wagg AS (
   SELECT pid, cls, MIN(dist) AS near,
          SUM(ca150) AS a150, SUM(ca565) AS a565
+  FROM wpairs GROUP BY pid, cls
+), wpiv AS (
+  SELECT pid, {', '.join(wpiv_cols)} FROM wagg GROUP BY pid
+)
+SELECT CAST(p.pid AS VARCHAR) AS PKEY,
+       CAST(p.pid % 97 AS VARCHAR) AS SS,
+       p.pyear AS YEAR,
+       {', '.join(fsel_cols)},
+       {', '.join(wsel_cols)}
+FROM mpts p
+LEFT JOIN fpiv ON p.pid = fpiv.pid
+LEFT JOIN wpiv ON p.pid = wpiv.pid
+"""
+
+
+ORACLE["wide_merge_sum"] = _wide_merge_sum_oracle()
+
+
+# --- wide_merge, the PRIMARY-path capstone (VERDICT r04 next-#2): the
+# same 19-layer wide-merged output table, but run over the controlled-
+# overlap pair-rect fixtures so both areadist_auto passes execute the
+# reference's primary st_union dissolve (C_…R:99,154; D_…R:35,42) —
+# dissolve left at its "auto" DEFAULT, overlap corrections kick in
+# with no caller hint. The footprint side additionally carries
+# independent per-rect construction years (0-sentinels included), so
+# the temporal theta prunes corrections by max(member years) and the
+# YEAR-recode age math runs over the union fixture. The oracle
+# evaluates the three-term inclusion–exclusion closed form per term
+# (A +1, B +1, A∩B −1 at GREATEST(yA, yB)) through the same pivot.
+# The superseded Σ-of-clips capstone stays driver-visible as
+# wide_merge_sum (arbitrary-overlap geotag rects, where no closed-form
+# union oracle exists).
+def q_wide_merge(spark, sf_dir):
+    from ..operators.areadist import areadist_wide
+    from ..operators.areadist_fused import areadist_auto
+    from .spatial_queries import _keyed_points, _pair_rect_polys
+    d = spatial_queries.FLAGSHIP_ROUND
+    pts = _keyed_points(spark, sf_dir)
+
+    fpolys = _pair_rect_polys(spark, sf_dir, foot14=True)
+    foot = areadist_auto(pts, fpolys, validity_filter=False)
+    fcols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"), F.col("layer"),
+             F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        area = F.round(F.col(f"AREA{r}"), d["AREA"])
+        fcols.append(area.alias(f"AREA{r}"))
+        fcols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+        fcols.append(F.when(area > 0, F.round(F.col(f"MEANAGE_{r}"),
+                                              d["MEANAGE"]))
+                      .alias(f"MEANAGE_{r}"))
+    wide_f = areadist_wide(foot.select(*fcols), values=tuple(_WM_LAYERS))
+
+    wpolys = _pair_rect_polys(spark, sf_dir, with_class=True,
+                              classes=tuple(_WM_CLASSES),
+                              layer_col="CWCS_Class")
+    wet = areadist_auto(pts, wpolys, temporal=False, age=False,
+                        layer_col="CWCS_Class", validity_filter=False)
+    wcols = [F.col("PKEY"), F.col("SS"), F.col("YEAR"), F.col("layer"),
+             F.round("NEAR_DIST", d["NEAR_DIST"]).alias("NEAR_DIST")]
+    for r in (150, 565):
+        wcols.append(F.round(F.col(f"AREA{r}"), d["AREA"]).alias(f"AREA{r}"))
+        wcols.append(F.round(F.col(f"PROP{r}"), d["PROP"]).alias(f"PROP{r}"))
+    wide_w = areadist_wide(wet.select(*wcols), values=tuple(_WM_CLASSES))
+
+    return wide_f.join(wide_w, ["PKEY", "SS", "YEAR"], "inner")
+
+
+def _wide_merge_oracle() -> str:
+    """The union-path capstone's oracle: per part key three weighted
+    terms (rect A +1, rect B +1, overlap A∩B −1) with theta year
+    GREATEST(yA, yB) on the overlap; the footprint blocks apply the
+    temporal filter + YEAR-recode age math, the wetland blocks the
+    plain per-class union — all through the same conditional-
+    aggregation pivot as the sum capstone."""
+    ca150 = spatial_queries._sql_circle_rect_area(150.0)
+    ca565 = spatial_queries._sql_circle_rect_area(565.0)
+    SLOT = spatial_queries._SLOT
+    k = f"(p_partkey % {SLOT * SLOT})"
+    sx = f"({k} % {SLOT})"
+    sy = f"CAST(({k} - {sx}) / {SLOT} AS BIGINT)"
+    ox, oy = f"({sx} * 100 + 10)", f"({sy} * 100 + 10)"
+    hw, hh = "(10 + p_partkey % 15)", "(8 + p_partkey % 11)"
+    terms = f"""
+  SELECT p_partkey AS fid, kind,
+         printf('L%02d', CAST(p_partkey % 14 AS INT)) AS layer,
+         CASE p_partkey % 5 WHEN 0 THEN 'Bog' WHEN 1 THEN 'Fen'
+              WHEN 2 THEN 'Marsh' WHEN 3 THEN 'Open_Water'
+              ELSE 'Swamp' END AS cls,
+         CAST({ox} + CASE WHEN kind IN (1, 2) THEN {hw} ELSE 0 END
+              AS DOUBLE) AS rxmin,
+         CAST({oy} AS DOUBLE) AS rymin,
+         CAST({ox} + 2 * {hw} + CASE WHEN kind = 1 THEN {hw} ELSE 0 END
+              AS DOUBLE) AS rxmax,
+         CAST({oy} + 2 * {hh} AS DOUBLE) AS rymax,
+         CASE WHEN kind = 2 THEN -1.0 ELSE 1.0 END AS w,
+         CASE WHEN kind = 0 THEN ya WHEN kind = 1 THEN yb
+              ELSE GREATEST(ya, yb) END AS ryear
+  FROM (
+    SELECT p_partkey,
+           CASE WHEN p_partkey % 20 = 0 THEN 0
+                ELSE 1990 + (p_partkey % 29) END AS ya,
+           CASE WHEN p_partkey % 17 = 0 THEN 0
+                ELSE 1992 + ((p_partkey * 3) % 27) END AS yb
+    FROM part
+  ) CROSS JOIN (SELECT unnest([0, 1, 2]) AS kind)
+"""
+    dist = """SQRT(GREATEST(rxmin - x, x - rxmax, 0.0)
+                * GREATEST(rxmin - x, x - rxmax, 0.0)
+              + GREATEST(rymin - y, y - rymax, 0.0)
+                * GREATEST(rymin - y, y - rymax, 0.0))"""
+    fpiv_cols, fsel_cols = [], []
+    for L in _WM_LAYERS:
+        for m in ("near", "a150", "a565", "n150", "d150", "n565", "d565"):
+            fpiv_cols.append(
+                f"MAX(CASE WHEN layer = '{L}' THEN {m} END) AS {m}_{L}")
+        fsel_cols.append(
+            f"ROUND(LEAST(COALESCE(near_{L}, 1000.0), 1000.0), 4) "
+            f"AS {L}_NEAR_DIST")
+        for r in (150, 565):
+            fsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{L}, 0.0), 2) AS {L}_AREA{r}")
+            fsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{L}, 0.0) / (3.14 * {r} * {r}), 6) "
+                f"AS {L}_PROP{r}")
+            fsel_cols.append(
+                f"CASE WHEN ROUND(COALESCE(a{r}_{L}, 0.0), 2) > 0 "
+                f"THEN ROUND(n{r}_{L} / d{r}_{L}, 4) END "
+                f"AS {L}_MEANAGE_{r}")
+    wpiv_cols, wsel_cols = [], []
+    for C in _WM_CLASSES:
+        for m in ("near", "a150", "a565"):
+            wpiv_cols.append(
+                f"MAX(CASE WHEN cls = '{C}' THEN {m} END) AS {m}_{C}")
+        wsel_cols.append(
+            f"ROUND(LEAST(COALESCE(near_{C}, 1000.0), 1000.0), 4) "
+            f"AS {C}_NEAR_DIST")
+        for r in (150, 565):
+            wsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{C}, 0.0), 2) AS {C}_AREA{r}")
+            wsel_cols.append(
+                f"ROUND(COALESCE(a{r}_{C}, 0.0) / (3.14 * {r} * {r}), 6) "
+                f"AS {C}_PROP{r}")
+    return f"""
+WITH mpts AS (
+  SELECT * FROM ({spatial_queries._PTS_SQL}) WHERE pid % 10 = 0
+), mterms AS ({terms}),
+oldest AS (
+  SELECT layer, MIN(ryear) AS oldestyear FROM mterms
+  WHERE kind <> 2 AND ryear > 0 GROUP BY layer
+), fpairs AS (
+  SELECT pid, layer, kind, w, ryear, pyear, oldestyear, dist,
+         CASE WHEN dist < 150.0 THEN {ca150} ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {ca565} ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, p.pyear, r.*, o.oldestyear, {dist} AS dist
+    FROM mpts p CROSS JOIN mterms r
+    LEFT JOIN oldest o ON r.layer = o.layer
+    WHERE r.ryear < p.pyear
+  )
+), fagg AS (
+  SELECT pid, layer,
+         MIN(CASE WHEN kind <> 2 THEN dist END) AS near,
+         SUM(w * ca150) AS a150, SUM(w * ca565) AS a565,
+         SUM(CASE WHEN kind <> 2 AND ca150 > 0
+                   AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN (pyear - CASE WHEN ryear = 0 THEN oldestyear
+                                  ELSE ryear END) * ca150 END) AS n150,
+         SUM(CASE WHEN kind <> 2 AND ca150 > 0
+                   AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN ca150 END) AS d150,
+         SUM(CASE WHEN kind <> 2 AND ca565 > 0
+                   AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN (pyear - CASE WHEN ryear = 0 THEN oldestyear
+                                  ELSE ryear END) * ca565 END) AS n565,
+         SUM(CASE WHEN kind <> 2 AND ca565 > 0
+                   AND (ryear > 0 OR oldestyear IS NOT NULL)
+               THEN ca565 END) AS d565
+  FROM fpairs GROUP BY pid, layer
+), fpiv AS (
+  SELECT pid, {', '.join(fpiv_cols)} FROM fagg GROUP BY pid
+), wpairs AS (
+  SELECT pid, cls, kind, w, dist,
+         CASE WHEN dist < 150.0 THEN {ca150} ELSE 0.0 END AS ca150,
+         CASE WHEN dist < 565.0 THEN {ca565} ELSE 0.0 END AS ca565
+  FROM (
+    SELECT p.pid, p.x, p.y, r.*, {dist} AS dist
+    FROM mpts p CROSS JOIN mterms r
+  )
+), wagg AS (
+  SELECT pid, cls,
+         MIN(CASE WHEN kind <> 2 THEN dist END) AS near,
+         SUM(w * ca150) AS a150, SUM(w * ca565) AS a565
   FROM wpairs GROUP BY pid, cls
 ), wpiv AS (
   SELECT pid, {', '.join(wpiv_cols)} FROM wagg GROUP BY pid
@@ -963,6 +1155,7 @@ QUERIES.update({
     "frame_sample": q_frame_sample,
     "resize_stats": q_resize_stats,
     "wide_merge": q_wide_merge,
+    "wide_merge_sum": q_wide_merge_sum,
     "asof_join": q_asof_join,
     "asof_join_fwd": q_asof_join_fwd,
     "interval_join": q_interval_join,

@@ -614,13 +614,18 @@ def _keyed_points(spark, sf_dir):
 
 
 def _pair_rect_polys(spark, sf_dir, layer_col: str = "layer",
-                     with_class: bool = False) -> DataFrame:
+                     with_class: bool = False, foot14: bool = False,
+                     classes: tuple = None) -> DataFrame:
     """The controlled-overlap feature table behind the union-dissolve
     oracles: per part key, rect A and rect B = A shifted +hw, both in
     the key's private 100 m slot, so union = A + B − (A∩B) in closed
     form. `with_class` tags each pair with one of the 5 wetland
     classes (fid % 5) — classes partition the keys, so slot privacy
-    holds within every class too."""
+    holds within every class too. `foot14` instead tags pairs with 14
+    footprint layers (fid % 14) AND gives A and B independent
+    construction years (0-sentinels included), so the temporal theta
+    and the YEAR-recode age math run over the union fixture — the
+    wide_merge capstone's primary-path feature side."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     # The oracle's three-term closed form assumes p_partkey % _SLOT²
     # is injective (each key owns a private 100 m slot). Past _SLOT²
@@ -643,26 +648,41 @@ def _pair_rect_polys(spark, sf_dir, layer_col: str = "layer",
     hh = (F.lit(8) + F.pmod("p_partkey", F.lit(11))).cast("double")
     if with_class:
         lay = F.element_at(
-            F.array(*[F.lit(c) for c in _WET_CLASSES]),
+            F.array(*[F.lit(c) for c in (classes or _WET_CLASSES)]),
             (F.pmod(F.col("p_partkey"), F.lit(5)) + 1).cast("int"))
+    elif foot14:
+        lay = F.format_string(
+            "L%02d", F.pmod(F.col("p_partkey"), F.lit(14)).cast("int"))
     else:
         lay = F.lit("pairs")
+    # independent construction years per rect (foot14 only): the same
+    # 0-sentinel recipe as the geotag rects, different moduli for A and
+    # B so the overlap correction's theta year max(yA, yB) is exercised
+    # with genuinely distinct member years
+    ya = F.when(F.pmod("p_partkey", F.lit(20)) == 0, 0) \
+          .otherwise(1990 + F.pmod("p_partkey", F.lit(29))).cast("int")
+    yb = F.when(F.pmod("p_partkey", F.lit(17)) == 0, 0) \
+          .otherwise(1992 + F.pmod(F.col("p_partkey") * 3, F.lit(27))) \
+          .cast("int")
+    zero = F.lit(0).cast("int")
     base = p.select("p_partkey", ox.alias("ox"), oy.alias("oy"),
-                    hw.alias("hw"), hh.alias("hh"), lay.alias("_lay"))
+                    hw.alias("hw"), hh.alias("hh"), lay.alias("_lay"),
+                    (ya if foot14 else zero).alias("_ya"),
+                    (yb if foot14 else zero).alias("_yb"))
 
-    def rect(df, x0, y0, x1, y1, fid):
+    def rect(df, x0, y0, x1, y1, fid, year_col):
         ring = F.array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
         return df.select(fid.alias("feature_id"),
                          F.col("_lay").alias(layer_col),
-                         F.lit(0).cast("int").alias("YEAR"),
+                         F.col(year_col).alias("YEAR"),
                          F.array(ring).alias("geom"))
 
     a = rect(base, F.col("ox"), F.col("oy"),
              F.col("ox") + 2 * F.col("hw"), F.col("oy") + 2 * F.col("hh"),
-             F.col("p_partkey") * 2)
+             F.col("p_partkey") * 2, "_ya")
     b = rect(base, F.col("ox") + F.col("hw"), F.col("oy"),
              F.col("ox") + 3 * F.col("hw"), F.col("oy") + 2 * F.col("hh"),
-             F.col("p_partkey") * 2 + 1)
+             F.col("p_partkey") * 2 + 1, "_yb")
     return a.unionByName(b)
 
 
