@@ -31,7 +31,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               payload: tuple[str, ...] = ("value",),
               suffix: str = "_asof",
               direction: str = "backward",
-              tolerance_seconds: float | None = None) -> DataFrame:
+              tolerance_seconds: float | None = None,
+              tie_breaker: str | None = None) -> DataFrame:
     """For every left row: the matching right row of the same `on` key
     per `direction` —
     - "backward" (default): most recent right_ts ≤ left_ts,
@@ -41,17 +42,26 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     All inclusive. Returns all left columns plus `<p><suffix>` per
     payload column and `<right_ts><suffix>` (the matched timestamp);
     no match (or a match further than `tolerance_seconds` away) →
-    nulls, left rows never drop. Right rows sharing an exact
-    (key, right_ts) tie arbitrarily (the fixture timestamps are
-    microsecond-unique; dedup first if yours are not)."""
+    nulls, left rows never drop.
+
+    The match is ATOMIC: one right row supplies the timestamp and every
+    payload value (a single struct rides the window fill), so a NULL
+    payload on the matched row comes through as NULL instead of leaking
+    an older row's value (ADVICE r04).
+
+    Right rows sharing an exact (key, right_ts): pass `tie_breaker`
+    (a right-side column, e.g. an event id) and the row with the
+    GREATEST tie-breaker value wins, in every direction — reproducible
+    on replayed data (VERDICT r04 #4). Without it ties resolve
+    arbitrarily (fine for unique-timestamp feeds)."""
     if direction == "nearest":
         back = asof_join(left, right, on, left_ts, right_ts, payload,
-                         "_bwd", "backward", tolerance_seconds)
+                         "_bwd", "backward", tolerance_seconds, tie_breaker)
         fwd_in = back.withColumnRenamed(f"{right_ts}_bwd", "_bts")
         for p in payload:
             fwd_in = fwd_in.withColumnRenamed(f"{p}_bwd", f"_b_{p}")
         both = asof_join(fwd_in, right, on, left_ts, right_ts, payload,
-                         "_fwd", "forward", tolerance_seconds)
+                         "_fwd", "forward", tolerance_seconds, tie_breaker)
         d_b = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_bts"))
         d_f = F.unix_micros(F.col(f"{right_ts}_fwd")) \
             - F.unix_micros(F.col(left_ts))
@@ -66,50 +76,52 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
                     .alias(f"{right_ts}{suffix}"))
         return both.select(*sel)
 
+    assert "_rts" not in payload, "payload column named _rts collides"
     lcols = left.columns
-    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
-    for p in payload:
-        l = l.withColumn(f"_p_{p}", F.lit(None).cast(right.schema[p].dataType))
-    l = l.withColumn("_rts", F.lit(None).cast(right.schema[right_ts].dataType))
+    # ONE struct per right row = the atomic match record: timestamp +
+    # every payload value from the SAME row. Probe rows carry a typed
+    # NULL struct, so last(ignorenulls) skips probes but never skips a
+    # right row whose payload happens to be NULL.
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        *[F.col(p).alias(f"_p_{p}") for p in payload],
-        F.col(right_ts).alias("_rts"),
+        F.struct(F.col(right_ts).alias("_rts"),
+                 *[F.col(p) for p in payload]).alias("_r"),
+        (F.col(tie_breaker) if tie_breaker is not None else F.lit(0))
+        .alias("_tb"),
     )
+    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
+    l = l.withColumn("_r", F.lit(None).cast(r.schema["_r"].dataType))
+    l = l.withColumn("_tb", F.lit(None).cast(r.schema["_tb"].dataType))
     for c in lcols:
         if c not in (on,):
             r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     u = l.unionByName(r.select(*l.columns))
     # right rows (side 0) sort BEFORE left probes at equal ts in both
-    # directions → inclusive semantics; _rts breaks right-side ties
-    # deterministically
+    # directions → inclusive semantics; among tied right rows the
+    # greatest tie_breaker sorts LAST, so the window fill picks it
     if direction == "backward":
         order = [F.col("_ats").asc(), F.col("_side").asc(),
-                 F.col("_rts").asc()]
+                 F.col("_tb").asc()]
     elif direction == "forward":
         order = [F.col("_ats").desc(), F.col("_side").asc(),
-                 F.col("_rts").desc()]
+                 F.col("_tb").asc()]
     else:
         raise ValueError(f"unknown direction {direction!r}")
     w = (Window.partitionBy(on).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = u
-    for p in payload:
-        filled = filled.withColumn(
-            f"_f_{p}", F.last(F.col(f"_p_{p}"), ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "_f_ts", F.last(F.col("_rts"), ignorenulls=True).over(w))
+    filled = u.withColumn("_f", F.last(F.col("_r"), ignorenulls=True).over(w))
     out = filled.filter(F.col("_side") == 1)
+    f_ts = F.col("_f").getField("_rts")
     fresh = F.lit(True)
     if tolerance_seconds is not None:
-        delta = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_f_ts"))
+        delta = F.unix_micros(F.col(left_ts)) - F.unix_micros(f_ts)
         if direction == "forward":
             delta = -delta
-        fresh = F.col("_f_ts").isNotNull() & (delta / 1e6 <= tolerance_seconds)
+        fresh = f_ts.isNotNull() & (delta / 1e6 <= tolerance_seconds)
     sel = [F.col(c) for c in lcols]
     for p in payload:
-        sel.append(F.when(fresh, F.col(f"_f_{p}")).alias(f"{p}{suffix}"))
-    sel.append(F.when(fresh, F.col("_f_ts")).alias(f"{right_ts}{suffix}"))
+        sel.append(F.when(fresh, F.col("_f").getField(p)).alias(f"{p}{suffix}"))
+    sel.append(F.when(fresh, f_ts).alias(f"{right_ts}{suffix}"))
     return out.select(*sel)

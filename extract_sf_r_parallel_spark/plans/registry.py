@@ -830,7 +830,7 @@ def q_asof_join(spark, sf_dir):
                "0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2592000 AS INT))")
         .alias("ts"))
     out = asof_join(probes, ev, on="user_id",
-                    payload=("event_id", "value"))
+                    payload=("event_id", "value"), tie_breaker="event_id")
     return out.select("probe_id", "user_id", "event_id_asof",
                       "value_asof", "ts_asof")
 
@@ -865,7 +865,8 @@ def q_asof_join_fwd(spark, sf_dir):
                "0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2592000 AS INT))")
         .alias("ts"))
     out = asof_join(probes, ev, on="user_id",
-                    payload=("event_id", "value"), direction="forward")
+                    payload=("event_id", "value"), direction="forward",
+                    tie_breaker="event_id")
     return out.select("probe_id", "user_id", "event_id_asof",
                       "value_asof", "ts_asof")
 

@@ -87,3 +87,58 @@ def test_asof_forward_tolerance(spark):
         .toPandas().set_index("probe")
     assert pd.isna(got.loc["x", "value_asof"])   # 30 min ahead > 5 min tol
     assert got.loc["y", "value_asof"] == 30.0    # 2 min ahead → fresh
+
+
+def test_asof_duplicate_timestamp_tie_breaker(spark):
+    """Right rows sharing an exact (key, ts): the greatest tie_breaker
+    wins, both directions (VERDICT r04 #4 — replayed-feed
+    reproducibility)."""
+    right = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(10), "event_id": 7, "value": 70.0},
+        {"user_id": 1, "ts": _ts(10), "event_id": 9, "value": 90.0},
+        {"user_id": 1, "ts": _ts(10), "event_id": 8, "value": 80.0},
+        {"user_id": 1, "ts": _ts(40), "event_id": 3, "value": 30.0},
+        {"user_id": 1, "ts": _ts(40), "event_id": 5, "value": 50.0},
+    ]))
+    left = spark.createDataFrame(pd.DataFrame([
+        {"probe": "p", "user_id": 1, "ts": _ts(20)},
+    ]))
+    for _ in range(3):  # deterministic across replays
+        back = asof_join(left, right, on="user_id",
+                         payload=("event_id", "value"),
+                         tie_breaker="event_id").toPandas()
+        assert back.loc[0, "event_id_asof"] == 9
+        assert back.loc[0, "value_asof"] == 90.0
+        fwd = asof_join(left, right, on="user_id",
+                        payload=("event_id", "value"),
+                        direction="forward",
+                        tie_breaker="event_id").toPandas()
+        assert fwd.loc[0, "event_id_asof"] == 5
+        assert fwd.loc[0, "value_asof"] == 50.0
+
+
+def test_asof_null_payload_is_atomic(spark):
+    """A matched right row whose payload is NULL must yield NULL — not
+    an older row's value (ADVICE r04: the match record is one struct,
+    filled atomically)."""
+    right = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(10), "value": 10.0},
+        {"user_id": 1, "ts": _ts(20), "value": None},
+    ]))
+    left = spark.createDataFrame(pd.DataFrame([
+        {"probe": "a", "user_id": 1, "ts": _ts(15)},   # matches t=10
+        {"probe": "b", "user_id": 1, "ts": _ts(25)},   # matches t=20 (NULL!)
+    ]))
+    got = asof_join(left, right, on="user_id", payload=("value",)) \
+        .toPandas().set_index("probe")
+    assert got.loc["a", "value_asof"] == 10.0
+    assert got.loc["a", "ts_asof"] == _ts(10)
+    assert pd.isna(got.loc["b", "value_asof"])       # NOT 10.0
+    assert got.loc["b", "ts_asof"] == _ts(20)        # ts from the match
+    # pandas merge_asof agrees
+    want = pd.merge_asof(
+        pd.DataFrame({"user_id": [1, 1], "ts": [_ts(15), _ts(25)]}),
+        pd.DataFrame({"user_id": [1, 1], "ts": [_ts(10), _ts(20)],
+                      "value": [10.0, None]}),
+        on="ts", by="user_id")
+    assert want["value"].tolist()[0] == 10.0 and pd.isna(want["value"][1])
