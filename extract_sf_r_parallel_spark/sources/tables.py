@@ -87,25 +87,70 @@ class IceLiteTable:
         return snap
 
     # -- write ------------------------------------------------------------
+    def _align_to_snapshot(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Validate + project an incoming append against the LIVE
+        snapshot schema (ADVICE r04: committing df.schema wholesale let
+        an append silently revert an add_column evolution, or resurrect
+        a dropped column). Extra columns — including previously dropped
+        names — are rejected; columns the writer predates are filled
+        with their recorded evolution default; present columns are cast
+        to the snapshot type."""
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        defaults = snap.get("defaults", {})
+        have = set(df.columns)
+        known = set(schema.fieldNames())
+        extra = have - known
+        if extra:
+            dropped = sorted(extra & set(snap.get("dropped", [])))
+            if dropped:
+                raise ValueError(
+                    f"append carries dropped column(s) {dropped}: writing "
+                    "them would resurrect the column for name-based reads")
+            raise ValueError(
+                f"append schema has column(s) {sorted(extra)} not in the "
+                "live snapshot schema; evolve with add_column first")
+        cols = []
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+            elif f.name in defaults:
+                cols.append(F.lit(defaults[f.name]).cast(f.dataType)
+                            .alias(f.name))
+            else:
+                raise ValueError(
+                    f"append is missing required column {f.name!r} "
+                    "(no evolution default recorded)")
+        return df.select(*cols)
+
     def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
-        """Append df as a new snapshot (previous files remain live)."""
+        """Append df as a new snapshot (previous files remain live).
+        The incoming df is validated/aligned against the live snapshot
+        schema — the snapshot schema, not df.schema, is what commits."""
+        parent = self._current_snapshot()
+        schema_json = df.schema.json()
+        if parent is not None:
+            df = self._align_to_snapshot(df, parent)
+            schema_json = parent["schema"]
         dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(dirname)
-        parent = self._current_snapshot()
         files = (parent["files"] if parent else []) + [dirname]
-        return self._commit(files, df.schema.json(), parent, "append")
+        return self._commit(files, schema_json, parent, "append")
 
     def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
+        """Full replace: df's schema BECOMES the table schema, and the
+        evolution metadata (defaults, dropped names) resets — no
+        pre-overwrite data file survives for it to apply to."""
         dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
         w = df.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(dirname)
         parent = self._current_snapshot()
-        return self._commit([dirname], df.schema.json(), parent, "overwrite")
+        return self._commit([dirname], df.schema.json(), parent, "overwrite",
+                            defaults={}, dropped=[])
 
     # -- schema evolution -------------------------------------------------
     def add_column(self, name: str, sql_type: str, default=None) -> dict:

@@ -164,3 +164,42 @@ def test_icelite_drop_column_metadata_only(spark, tmp_path):
         t.add_column("tag", "string", default="y")
     with __import__("pytest").raises(ValueError, match="does not exist"):
         t.drop_column("nope")
+
+
+def test_icelite_append_aligns_to_snapshot_schema(spark, tmp_path):
+    """ADVICE r04: append() must commit the SNAPSHOT schema, not adopt
+    df.schema — a legacy writer lacking an evolved column cannot revert
+    the evolution, and a writer still carrying a dropped column cannot
+    resurrect it."""
+    import pytest
+
+    t = IceLiteTable(str(tmp_path / "align"))
+    t.append(spark.range(3).withColumn("score", F.col("id") * 2.0))
+    t.add_column("lang", "string", default="und")
+
+    # legacy writer without the evolved column: default fills in, and
+    # the live schema KEEPS the evolution
+    t.append(spark.range(3, 5).withColumn("score", F.col("id") * 2.0))
+    got = t.read(spark).orderBy("id").toPandas()
+    assert list(got.columns) == ["id", "score", "lang"]
+    assert (got["lang"] == "und").all() and len(got) == 5
+
+    # writer still carrying a dropped column is rejected
+    t.drop_column("lang")
+    with pytest.raises(ValueError, match="resurrect"):
+        t.append(spark.range(5, 6).withColumn("score", F.lit(1.0))
+                 .withColumn("lang", F.lit("en")))
+
+    # unknown extra column is rejected; missing required column too
+    with pytest.raises(ValueError, match="add_column first"):
+        t.append(spark.range(5, 6).withColumn("score", F.lit(1.0))
+                 .withColumn("novel", F.lit(7)))
+    with pytest.raises(ValueError, match="missing required"):
+        t.append(spark.range(5, 6).select("id"))
+
+    # overwrite IS a schema redefinition: evolution metadata resets,
+    # so a post-overwrite append must match the new schema exactly
+    t.overwrite(spark.range(10).withColumn("tag", F.lit("z")))
+    assert t.read(spark).columns == ["id", "tag"]
+    t.append(spark.range(10, 12).withColumn("tag", F.lit("w")))
+    assert t.read(spark).count() == 12
