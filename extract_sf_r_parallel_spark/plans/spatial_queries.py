@@ -711,11 +711,15 @@ def q_areadist_dissolve_join(spark, sf_dir):
     # default — the SMJ-capable path a too-big-to-broadcast layer takes
     # at 100 TB. Same oracle as the fused row (r04: both engine plans
     # driver-oracled, mirroring the areadist_circle/_join pairing).
+    # broadcast_polys=False (ADVICE r04): this row exists to oracle the
+    # SHUFFLE join — geometry rides the pairs into pair_metrics_udf and
+    # the correction-id collision check in areadist's non-broadcast
+    # branch actually executes.
     from ..operators.areadist import areadist
     pts = _keyed_points(spark, sf_dir)
     polys = _pair_rect_polys(spark, sf_dir)
     out = areadist(pts, polys, temporal=False, age=False,
-                   validity_filter=False, broadcast_polys=True)
+                   validity_filter=False, broadcast_polys=False)
     return _dissolve_select(out)
 
 
