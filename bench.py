@@ -100,7 +100,10 @@ def _skew_bench(spark, sf_dir: str, repeats: int) -> dict:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         legs = (("skewed_raw", 0, "false"),
                 ("skewed_aqe", 0, "true"),
-                ("salted", 8, "true"))
+                ("salted", 8, "true"),
+                # r05: engine-chosen salt from the sampled cell
+                # histogram — no caller hint (VERDICT r04 #3)
+                ("salted_auto", "auto", "true"))
         for label, salt, skewjoin in legs:
             spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewjoin)
             pairs = range_join_pairs(pts, polys, 1000.0, (), salt=salt)

@@ -210,6 +210,14 @@ def salted(points: DataFrame, polys: DataFrame, salt: int,
     return points_s, polys_s, ["cell", "_salt"]
 
 
+# auto-salt tuning: one refinement task should chew at most this many
+# candidate pairs (~0.05 s of kernel work per 0.5M at measured pair
+# throughput); hotter cells get split `ceil(est / per_task)` ways
+AUTO_SALT_PAIRS_PER_TASK = 500_000
+AUTO_SALT_MAX = 32
+AUTO_SALT_SAMPLE = 0.02
+
+
 def range_join_pairs(
     points: DataFrame,
     polys: DataFrame,
@@ -220,7 +228,7 @@ def range_join_pairs(
     cell_edge_divisor: float = 4.0,
     theta: Column | None = None,
     broadcast_polys: bool = False,
-    salt: int = 0,
+    salt: int | str = 0,
     point_x: str = "x",
     point_y: str = "y",
     keep_dist_within: bool = True,
@@ -235,6 +243,16 @@ def range_join_pairs(
     (e.g. the temporal filter poly.YEAR < point.YEAR, C_…R:93-94) so
     Catalyst keeps the equi-hash join on cell and applies the theta
     condition as a post-filter before the UDF runs.
+
+    `salt="auto"` (VERDICT r04 #3 — shuffle path only): the exploded
+    poly cover is checkpointed (computed once, reused), a 2 % point
+    sample × the exact per-cell cover histogram estimates the hottest
+    cell's candidate-pair count, and salting engages at
+    ceil(est / AUTO_SALT_PAIRS_PER_TASK) (≤ AUTO_SALT_MAX) only when
+    the estimate exceeds one task's budget — no caller hint, measured
+    in the bench's `salted_auto` leg. AQE's skew-join split measured
+    SLOWER than raw on the one-hot-cell shape (BENCH_r04), which is
+    why the engine owns this decision instead of delegating it.
     """
     # Cell resolution is DECOUPLED from the radius: the poly cover is
     # the bbox dilated by `radius`, which is a sound candidate superset
@@ -261,6 +279,24 @@ def range_join_pairs(
     else:
         bc_metrics = None
 
+    if salt == "auto":
+        salt = 0
+        if not broadcast_polys:
+            # a broadcast join never shuffles on cell, so a hot cell
+            # spreads with the points' existing partitioning — salting
+            # would only pay replication for nothing
+            pls = pls.localCheckpoint()  # cover computed ONCE: histogram + join
+            ph = pls.groupBy("cell").agg(F.count(F.lit(1)).alias("_np"))
+            sp = with_cell(points.sample(AUTO_SALT_SAMPLE, seed=7),
+                           code, point_x, point_y)
+            row = (sp.groupBy("cell").agg(F.count(F.lit(1)).alias("_ns"))
+                   .join(ph, "cell")
+                   .agg(F.max(F.col("_ns") * F.col("_np")).alias("m"))
+                   .first())
+            est = (row["m"] or 0) / AUTO_SALT_SAMPLE
+            if est > AUTO_SALT_PAIRS_PER_TASK:
+                salt = min(AUTO_SALT_MAX,
+                           -(-int(est) // AUTO_SALT_PAIRS_PER_TASK))
     join_keys = ["cell"]
     if salt > 1:
         pts, pls, join_keys = salted(pts, pls, salt, F.col(point_x))

@@ -181,3 +181,47 @@ def test_salted_join_key_in_plan_and_result_identical(spark):
     b = {(r.pid, r.feature_id) for r in
          unsalted.select("pid", "feature_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_auto_salt_engages_on_skew_only(spark):
+    """VERDICT r04 #3: salt='auto' must detect a hot cell from the
+    sampled histogram and salt the join key with NO caller hint — and
+    must stay un-salted (zero replication) on a uniform layout. Result
+    set identical either way."""
+    from extract_sf_r_parallel_spark.operators import range_join as RJ
+
+    sf = "/root/testdata/sf0.01"  # sf0.001 has no rect near the hot point
+    # one-hot-cell shape: every point lands in the same hex cell
+    pts = spatial_queries.points_df(spark, sf).select(
+        "pid",
+        (F.lit(10000.0) + F.pmod("pid", F.lit(40)) / 10.0).alias("x"),
+        (F.lit(10000.0) + F.pmod("pid", F.lit(37)) / 10.0).alias("y"))
+    polys = spatial_queries.rects_df(spark, sf).select(
+        F.col("fid").alias("feature_id"), "geom")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        old = RJ.AUTO_SALT_PAIRS_PER_TASK
+        # sf0.001 is tiny — drop the task budget so the fixture's hot
+        # cell crosses it (the decision logic, not the constant, is
+        # under test)
+        RJ.AUTO_SALT_PAIRS_PER_TASK = 50
+        try:
+            auto = RJ.range_join_pairs(pts, polys, 1000.0, (), salt="auto")
+            plan = auto._jdf.queryExecution().executedPlan().toString()
+            assert "_salt" in plan, "auto salt did not engage on the hot cell"
+            raw = RJ.range_join_pairs(pts, polys, 1000.0, (), salt=0)
+            a = {(r.pid, r.feature_id) for r in
+                 auto.select("pid", "feature_id").collect()}
+            b = {(r.pid, r.feature_id) for r in
+                 raw.select("pid", "feature_id").collect()}
+            assert a == b and len(a) > 0
+        finally:
+            RJ.AUTO_SALT_PAIRS_PER_TASK = old
+        # uniform layout at the REAL budget: no hot cell -> no salt
+        upts = spatial_queries.points_df(spark, sf)
+        quiet = RJ.range_join_pairs(upts, polys, 1000.0, (), salt="auto")
+        qplan = quiet._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" not in qplan, "auto salt fired on a uniform layout"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
