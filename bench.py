@@ -50,6 +50,12 @@ HEADLINE = [
 
 HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs
 
+# LIVE Structured Streaming rows (VERDICT r04 next-#7): each timed run
+# re-stages the source files and re-drains the whole stream through a
+# fresh checkpoint (builder + drain + sink read), so state-store
+# regressions show up here, not just in correctness. N=2.
+STREAMING = {"sessions_stream": 2}
+
 
 def _materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
@@ -144,6 +150,16 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = min(repeats, HEAVY.get(name, repeats))
         runs = _timed_runs(df, n)
+        all_runs[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+    for name, n in STREAMING.items():
+        runs = []
+        for _ in range(min(repeats, n)):
+            t0 = time.time()
+            # the builder stages files + drains the stream; count()
+            # materializes the sink read — the full end-to-end path
+            registry.QUERIES[name](spark, sf_dir).count()
+            runs.append(round(time.time() - t0, 3))
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
 
