@@ -1228,6 +1228,8 @@ _GATE_FIRST = [
     "wide_merge", "areadist_circle", "areadist_circle_join", "knn_ring",
     "asof_join", "asof_join_fwd", "interval_join", "multimodal_stats",
     "frame_sample", "resize_stats", "text_features",
+    # new in r05 — never driver-recorded yet, so they go up front too
+    "wide_merge_sum", "resize_stats_cjpg",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}
