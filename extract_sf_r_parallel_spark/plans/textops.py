@@ -391,9 +391,12 @@ def q_dedup_canonical_star(spark, sf_dir):
 
 
 ORACLE["dedup_canonical"] = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
+  -- MATERIALIZED: edges references pairs twice and the recursion
+  -- references edges per iteration; without it DuckDB re-evaluates
+  -- the full MinHash replay each time (9.3 s -> 2.6 s at sf0.01)
   SELECT id_a, id_b FROM ({_MINHASH_SQL})
-), edges AS (
+), edges AS MATERIALIZED (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
   SELECT id_b, id_a FROM pairs
