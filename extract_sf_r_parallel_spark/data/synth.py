@@ -19,7 +19,8 @@ from . import codec
 from .geotag import WINDOW, X_LO, Y_LO, geotag_xy, geotag_year, splitmix64
 
 __all__ = [
-    "images_pdf", "geotag_images_pdf", "footprint_layers_pdf",
+    "images_pdf", "neardup_images_pdf", "geotag_images_pdf",
+    "footprint_layers_pdf",
     "wetland_pdf", "overlap_layer_pdf", "videos_pdf",
     "LAYERS", "WETLAND_CLASSES",
 ]
@@ -56,6 +57,44 @@ def images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
         w = sizes[i % 3]
         h = sizes[(i // 3) % 3]
         img = pixel_plane(seed * 1_000_003 + i, h * w * 3).reshape(h, w, 3)
+        fmt = "raw" if i % 17 == 0 else "png"
+        rows.append({
+            "image_id": f"img{i:08d}",
+            "bytes": codec.encode_image(img, fmt),
+            "w": np.int32(w),
+            "h": np.int32(h),
+            "fmt": fmt,
+            "caption": f"A caption for image {i:08d} in tone {i % 7} about subject {i % 13}.",
+            "phash": np.int64(codec.phash64(img)),
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["w"] = pdf["w"].astype("int32")
+    pdf["h"] = pdf["h"].astype("int32")
+    pdf["phash"] = pdf["phash"].astype("int64")
+    return pdf
+
+
+def neardup_images_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Image table with PLANTED near-duplicates for perceptual dedup:
+    every i ≡ 1 (mod 4) re-renders image i−1's pixel plane with a
+    sparse deterministic perturbation (+1 mod 256 on flat indices
+    j ≡ 0 mod 701) — visually identical, byte-different after encode.
+    Sizes follow the ORIGINAL index so a copy keeps its twin's shape.
+    Bases offset by 900000 to stay disjoint from images_pdf/videos_pdf
+    seeds; closed-form throughout so the driver's DuckDB oracle
+    re-derives every (perturbed) pixel."""
+    sizes = (32, 64, 96)
+    rows = []
+    for i in range(n):
+        orig = i - 1 if i % 4 == 1 else i
+        w = sizes[orig % 3]
+        h = sizes[(orig // 3) % 3]
+        flat = pixel_plane(seed * 1_000_003 + 900_000 + orig,
+                           h * w * 3).astype(np.int64)
+        if i % 4 == 1:
+            j = np.arange(flat.size)
+            flat = np.where(j % 701 == 0, (flat + 1) % 256, flat)
+        img = flat.astype(np.uint8).reshape(h, w, 3)
         fmt = "raw" if i % 17 == 0 else "png"
         rows.append({
             "image_id": f"img{i:08d}",

@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 __all__ = ["asof_join"]
 
 
+def _micros(c):
+    """Micros-since-epoch for TIMESTAMP or TIMESTAMP_NTZ operands —
+    unix_micros rejects NTZ, so cast first. Engine sessions pin
+    spark.sql.session.timeZone=UTC (session.py), making the NTZ cast
+    offset-free; only time DIFFERENCES are consumed downstream."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               left_ts: str = "ts", right_ts: str = "ts",
               payload: tuple[str, ...] = ("value",),
@@ -62,9 +70,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
             fwd_in = fwd_in.withColumnRenamed(f"{p}_bwd", f"_b_{p}")
         both = asof_join(fwd_in, right, on, left_ts, right_ts, payload,
                          "_fwd", "forward", tolerance_seconds, tie_breaker)
-        d_b = F.unix_micros(F.col(left_ts)) - F.unix_micros(F.col("_bts"))
-        d_f = F.unix_micros(F.col(f"{right_ts}_fwd")) \
-            - F.unix_micros(F.col(left_ts))
+        d_b = _micros(F.col(left_ts)) - _micros(F.col("_bts"))
+        d_f = _micros(F.col(f"{right_ts}_fwd")) - _micros(F.col(left_ts))
         use_b = F.col("_bts").isNotNull() & (
             F.col(f"{right_ts}_fwd").isNull() | (d_b <= d_f))
         sel = [F.col(c) for c in left.columns]
@@ -116,7 +123,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     f_ts = F.col("_f").getField("_rts")
     fresh = F.lit(True)
     if tolerance_seconds is not None:
-        delta = F.unix_micros(F.col(left_ts)) - F.unix_micros(f_ts)
+        delta = _micros(F.col(left_ts)) - _micros(f_ts)
         if direction == "forward":
             delta = -delta
         fresh = f_ts.isNotNull() & (delta / 1e6 <= tolerance_seconds)

@@ -35,7 +35,8 @@ from pyspark.sql import types as T
 
 from ..data import codec
 
-__all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample"]
+__all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
+           "ahash_bits", "image_dup_groups"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -62,6 +63,59 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=[f.name for f in _STATS_SCHEMA.fields])
     return images.mapInPandas(gen, _STATS_SCHEMA)
+
+
+_AHASH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("ahash", T.StringType()),
+])
+
+
+def ahash_bits(images: DataFrame) -> DataFrame:
+    """Integer-exact 64-bit average hash (aHash) per image: channel-0
+    plane → 8×8 grid of block sums → bit b = 1 iff block mean > image
+    mean, compared as block_sum·64 > total_sum (equal-size blocks, so
+    the cross-multiplication stays in exact int64 — no float compare a
+    second engine could round differently). Emitted as the 64-char bit
+    string in (by, bx) row-major order: a near-duplicate with a few
+    perturbed pixels keeps its hash, so groupBy(ahash) is the
+    perceptual-dedup blocking key. Unlike codec.phash64 (float DCT +
+    median), every step here is integer arithmetic, so the driver's
+    DuckDB oracle re-derives the hash bit-for-bit from the synthetic
+    pixel closed form. Requires w and h divisible by 8."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(r.bytes, r.fmt, r.w, r.h)
+                gray = img[..., 0].astype(np.int64)
+                h, w = gray.shape
+                bs = gray.reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                bits = (bs * 64 > gray.sum()).ravel()
+                rows.append((r.image_id,
+                             "".join("1" if b else "0" for b in bits)))
+            yield pd.DataFrame(rows, columns=["image_id", "ahash"])
+    return images.mapInPandas(gen, _AHASH_SCHEMA)
+
+
+def image_dup_groups(images: DataFrame) -> DataFrame:
+    """Perceptual exact-dedup over the aHash key: every image labeled
+    with its duplicate group's canonical id (min image_id sharing the
+    hash) and the group size — the image twin of the text exact-dedup
+    operator (operators/dedup.py). One hash pass + one shuffle on the
+    64-bit key; at 100 TB the hash is 8 bytes/image and the groupBy
+    skew-bounded (near-identical frames collapse to one key, which is
+    precisely the point — the hot key IS the duplicate cluster)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hashes = ahash_bits(images)
+    win = Window.partitionBy("ahash")
+    return hashes.select(
+        "image_id", "ahash",
+        F.min("image_id").over(win).alias("canonical_id"),
+        F.count(F.lit(1)).over(win).alias("group_size"),
+    )
 
 
 _RESIZE_SCHEMA = T.StructType([

@@ -888,6 +888,56 @@ ASOF LEFT JOIN events e
 """
 
 
+# --- the NEAREST direction (r05): whichever of the backward/forward
+# matches is closer in time, ties → backward (pandas merge_asof
+# convention). The oracle composes DuckDB's two native ASOF joins and
+# replays the tie rule — so the engine's two-pass nearest composition
+# answers to an independent engine's primitives.
+def q_asof_nearest(spark, sf_dir):
+    from ..operators.asof import asof_join
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    probes = o.select(
+        F.col("o_orderkey").alias("probe_id"),
+        F.pmod("o_custkey", F.lit(150)).alias("user_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval("
+               "0, 0, 0, 0, 0, 0, CAST(o_orderkey % 2592000 AS INT))")
+        .alias("ts"))
+    out = asof_join(probes, ev, on="user_id",
+                    payload=("event_id", "value"), direction="nearest",
+                    tie_breaker="event_id")
+    return out.select("probe_id", "user_id", "event_id_asof",
+                      "value_asof", "ts_asof")
+
+
+ORACLE["asof_nearest"] = """
+WITH probes AS (
+  SELECT o_orderkey AS probe_id,
+         o_custkey % 150 AS user_id,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + (o_orderkey % 2592000) * INTERVAL 1 SECOND AS ts
+  FROM orders
+), b AS (
+  SELECT p.probe_id, p.user_id, p.ts,
+         e.event_id AS eb, e.value AS vb, e.ts AS tb
+  FROM probes p ASOF LEFT JOIN events e
+    ON p.user_id = e.user_id AND e.ts <= p.ts
+), f AS (
+  SELECT p.probe_id, e.event_id AS ef, e.value AS vf, e.ts AS tf
+  FROM probes p ASOF LEFT JOIN events e
+    ON p.user_id = e.user_id AND e.ts >= p.ts
+)
+SELECT b.probe_id, b.user_id,
+  CASE WHEN tb IS NOT NULL AND (tf IS NULL OR (b.ts - tb) <= (tf - b.ts))
+       THEN eb ELSE ef END AS event_id_asof,
+  CASE WHEN tb IS NOT NULL AND (tf IS NULL OR (b.ts - tb) <= (tf - b.ts))
+       THEN vb ELSE vf END AS value_asof,
+  CASE WHEN tb IS NOT NULL AND (tf IS NULL OR (b.ts - tb) <= (tf - b.ts))
+       THEN tb ELSE tf END AS ts_asof
+FROM b JOIN f USING (probe_id)
+"""
+
+
 # --- interval-overlap join (r04): the hex-cell candidate pattern in
 # 1-D time — intervals explode over coarse buckets, equi join on
 # (user, bucket), JVM overlap refine, exactly-once via the
@@ -1061,6 +1111,74 @@ FROM range(240) t(i)
 """
 
 
+# --- perceptual image dedup (r05): the image twin of the text
+# exact-dedup family. Fixture plants near-duplicates (every i≡1 mod 4
+# re-renders i−1's plane with +1 mod 256 on sparse flat indices
+# j≡0 mod 701 — byte-different after encode, visually identical);
+# the engine decodes through the real codec, computes the
+# integer-exact 64-bit aHash (block_sum·64 vs total_sum — no float
+# compare), and groups on the hash. The oracle re-derives every
+# perturbed channel-0 pixel from the Lehmer closed form, replays the
+# same integer bit rule, and reassembles the 64-char hash with
+# string_agg — so a codec bit-error, a block-index swap, or a wrong
+# threshold all break the hash. Knife-edge bits are honest aHash
+# behavior: a planted pair whose block sum sits exactly at the image
+# mean may split (2 of 48 pairs at n=192 do) — BOTH engines replay
+# the same arithmetic, and the Hamming-tolerant variant is pytest's
+# job (tests/test_multimodal.py).
+def q_image_dedup(spark, sf_dir):
+    from ..operators.multimodal import image_dup_groups
+    n = 192  # constant: generated in-session, mirrored by the SQL
+    images = spark.createDataFrame(synth.neardup_images_pdf(n))
+    return image_dup_groups(images)
+
+
+ORACLE["image_dedup"] = """
+WITH imgs AS (
+  SELECT i,
+    printf('img%08d', i) AS image_id,
+    i - CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END AS orig,
+    CASE WHEN i % 4 = 1 THEN 1 ELSE 0 END AS pert
+  FROM range(192) t(i)
+), dims AS (
+  SELECT image_id, pert,
+    CASE orig % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (orig // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + 900000 + orig AS base
+  FROM imgs
+), raw AS (
+  -- channel-0 plane only: flat index j = 3*p over the h*w grid
+  SELECT image_id, pert, w, h, p,
+    xor((((base + 3*p * 2654435761) % 4294967291) * 279470273)
+        % 4294967291,
+        ((((base + 3*p * 2654435761) % 4294967291) * 279470273)
+        % 4294967291) >> 16) % 256 AS v0
+  FROM dims, LATERAL (SELECT UNNEST(range(w*h)) AS p)
+), px AS (
+  SELECT image_id,
+    (p // w) // (h // 8) AS by,
+    (p % w) // (w // 8) AS bx,
+    CASE WHEN pert = 1 AND (3*p) % 701 = 0 THEN (v0 + 1) % 256
+         ELSE v0 END AS v
+  FROM raw
+), blk AS (
+  SELECT image_id, by, bx, SUM(v) AS bsum FROM px GROUP BY 1, 2, 3
+), tot AS (
+  SELECT image_id, SUM(v) AS tsum FROM px GROUP BY 1
+), bits AS (
+  SELECT b.image_id,
+    string_agg(CASE WHEN bsum * 64 > tsum THEN '1' ELSE '0' END, ''
+               ORDER BY by, bx) AS ahash
+  FROM blk b JOIN tot USING (image_id)
+  GROUP BY b.image_id
+)
+SELECT image_id, ahash,
+  MIN(image_id) OVER (PARTITION BY ahash) AS canonical_id,
+  COUNT(*) OVER (PARTITION BY ahash) AS group_size
+FROM bits
+"""
+
+
 # --- the LIVE streaming sessionizer as a driver-oracled query
 # (VERDICT r03 next-#5 — stream correctness no longer rests on pytest
 # alone): stage the events table as 6 time-ordered files + a
@@ -1187,12 +1305,52 @@ FROM events GROUP BY 1
 """
 
 
+# --- LIVE stream-stream funnel join (r05): even-id events pair with
+# odd-id events of the same user within 30 minutes, both sides
+# watermarked, drained via AvailableNow — the attribution primitive
+# whose left state Spark evicts once the right watermark passes
+# l.ts + 30 min. The staged files are event-time-ordered so nothing is
+# late; the drained sink must equal the batch self-join exactly.
+def q_stream_join(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+
+    def src():
+        return spark.readStream.schema(SE.EVENTS_SCHEMA) \
+            .option("maxFilesPerTrigger", 2).parquet(d)
+
+    left = src().filter((F.col("event_id") % 2 == 0)
+                        & (F.col("user_id") >= 0))
+    right = src().filter((F.col("event_id") % 2 == 1)
+                         & (F.col("user_id") >= 0))
+    j = SE.funnel_join(left, right, within="30 minutes", watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="stream_join_ck_")
+    SE.run_available_now(j, "stream_join_sink", ck, shuffle_partitions=4)
+    return (spark.table("stream_join_sink")
+            .select("user_id", "left_event_id", "right_event_id"))
+
+
+ORACLE["stream_join"] = """
+SELECT a.user_id,
+       a.event_id AS left_event_id,
+       b.event_id AS right_event_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
+  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+"""
+
+
 # stream ≡ batch: sessions_stream / windowed_stream answer the
 # identical SQL oracles as their batch twins (aliased after
 # ORACLE["sessions"] / relational's tumbling_window import)
 QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream,
            "windowed_stream": q_windowed_stream,
-           "dedup_stream": q_dedup_stream}
+           "dedup_stream": q_dedup_stream,
+           "stream_join": q_stream_join}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
@@ -1212,10 +1370,12 @@ QUERIES.update({
     "frame_sample": q_frame_sample,
     "resize_stats": q_resize_stats,
     "resize_stats_cjpg": q_resize_stats_cjpg,
+    "image_dedup": q_image_dedup,
     "wide_merge": q_wide_merge,
     "wide_merge_sum": q_wide_merge_sum,
     "asof_join": q_asof_join,
     "asof_join_fwd": q_asof_join_fwd,
+    "asof_nearest": q_asof_nearest,
     "interval_join": q_interval_join,
 })
 
@@ -1229,7 +1389,8 @@ _GATE_FIRST = [
     "asof_join", "asof_join_fwd", "interval_join", "multimodal_stats",
     "frame_sample", "resize_stats", "text_features",
     # new in r05 — never driver-recorded yet, so they go up front too
-    "wide_merge_sum", "resize_stats_cjpg",
+    "wide_merge_sum", "resize_stats_cjpg", "asof_nearest", "stream_join",
+    "image_dedup",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}

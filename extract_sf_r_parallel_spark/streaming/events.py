@@ -24,7 +24,7 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 __all__ = ["EVENTS_SCHEMA", "read_events_stream", "windowed_counts",
-           "dedup_stream", "run_available_now"]
+           "dedup_stream", "funnel_join", "run_available_now"]
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -53,6 +53,34 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     return stream.withWatermark("ts", watermark) \
         .dropDuplicatesWithinWatermark(["event_id"])
+
+
+def funnel_join(left: DataFrame, right: DataFrame,
+                within: str = "30 minutes",
+                watermark: str = "1 hour") -> DataFrame:
+    """STREAM-STREAM inner join (r05): per user, pair each left event
+    with every right event in (left.ts, left.ts + `within`] — the
+    funnel/attribution primitive (click → purchase). Both sides carry
+    watermarks and the join condition bounds right.ts relative to
+    left.ts, so Spark can evict left state once the right watermark
+    passes left.ts + within — bounded state at unbounded input, the
+    thing a batch self-join can't give you. Inner join → rows emit as
+    soon as both sides arrive; no flush sentinel needed."""
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        F.expr(f"""l.user_id = r.user_id
+                   AND r.ts > l.ts
+                   AND r.ts <= l.ts + interval {within}"""),
+        "inner",
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
 
 
 def run_available_now(df: DataFrame, sink_table: str, checkpoint: str,

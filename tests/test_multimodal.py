@@ -133,3 +133,40 @@ def test_cjpg_lossy_codec_psnr_bound(spark):
         ham = bin(int(np.uint64(np.int64(codec.phash64(back)))
                       ^ np.uint64(np.int64(r["phash"])))).count("1")
         assert ham <= 8
+
+
+def test_ahash_dedup_groups_planted_neardups(spark):
+    """Planted near-dups (i≡1 mod 4 perturbs i−1) must mostly collide
+    under the integer aHash, with NO false merges between genuinely
+    distinct images; knife-edge bit flips (a block sum exactly at the
+    image mean crossing over) are legitimate aHash behavior, so recall
+    is asserted ≥ 0.8 exact and == 1.0 at Hamming ≤ 4."""
+    n = 96
+    images = spark.createDataFrame(synth.neardup_images_pdf(n))
+    got = M.image_dup_groups(images).toPandas() \
+        .set_index("image_id").sort_index()
+    pairs = [(f"img{i-1:08d}", f"img{i:08d}")
+             for i in range(1, n) if i % 4 == 1]
+
+    # no false merges: any group >1 must be a planted pair
+    planted = {p for pr in pairs for p in pr}
+    merged = got[got.group_size > 1]
+    for iid, r in merged.iterrows():
+        assert iid in planted, f"false merge: {iid}"
+        assert r.group_size == 2
+
+    exact = sum(got.loc[a, "ahash"] == got.loc[b, "ahash"]
+                for a, b in pairs)
+    assert exact >= 0.8 * len(pairs), (exact, len(pairs))
+
+    # Hamming-tolerant recall: every planted pair within 4 bits
+    ham = [sum(x != y for x, y in zip(got.loc[a, "ahash"],
+                                      got.loc[b, "ahash"]))
+           for a, b in pairs]
+    assert max(ham) <= 4, ham
+
+    # canonical labeling: colliding pair → both rows carry the min id
+    for a, b in pairs:
+        if got.loc[a, "ahash"] == got.loc[b, "ahash"]:
+            assert got.loc[b, "canonical_id"] == a
+            assert got.loc[a, "canonical_id"] == a
