@@ -284,9 +284,20 @@ def range_join_pairs(
         if not broadcast_polys:
             # a broadcast join never shuffles on cell, so a hot cell
             # spreads with the points' existing partitioning — salting
-            # would only pay replication for nothing
-            pls = pls.localCheckpoint()  # cover computed ONCE: histogram + join
-            ph = pls.groupBy("cell").agg(F.count(F.lit(1)).alias("_np"))
+            # would only pay replication for nothing.
+            # The probe only CHOOSES the salt integer; the executed
+            # join plan stays byte-identical to the manual-salt plan.
+            # (An earlier version localCheckpoint'ed the exploded
+            # cover to share it between histogram and join — reading
+            # the materialized nested-geom rows back measured ~3×
+            # SLOWER than recomputing the cover through codegen, so
+            # the histogram now runs on a geometry-free cells-only
+            # recompute instead: one extra cover pass at build time,
+            # zero per-run cost.)
+            cells_only = explode_poly_cells(
+                polys.select("geom"), radius, code)
+            ph = cells_only.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("_np"))
             sp = with_cell(points.sample(AUTO_SALT_SAMPLE, seed=7),
                            code, point_x, point_y)
             row = (sp.groupBy("cell").agg(F.count(F.lit(1)).alias("_ns"))

@@ -1190,13 +1190,20 @@ FROM bits
 # batch twin's session set — oracled by the SAME gaps-and-islands SQL
 # as `sessions`.
 def _stage_events(sf_dir: str, n_files: int = 6,
-                  flush_days: int = 430, duplicate: bool = False) -> str:
+                  flush_days: int = 430, duplicate: bool = False,
+                  flush_pair: bool = False) -> str:
     """Stage the events table as `n_files` time-ordered parquet files
     plus a far-future flush sentinel (user_id = −1) that pushes the
     watermark past every real event. Strictly increasing mtimes make
     FileStreamSource's trigger order the event-time order.
     `duplicate=True` writes every chunk TWICE (adjacent files) — the
-    replayed-upstream scenario a streaming dedup must collapse."""
+    replayed-upstream scenario a streaming dedup must collapse.
+    `flush_pair=True` writes TWO sentinel rows with one even and one
+    odd event_id, so a query that parity-splits the source into two
+    streams (stream_join_outer) advances BOTH watermarks — under the
+    default min-of-inputs global-watermark policy a single sentinel
+    would leave one side's watermark at the real maximum and the
+    outer join's tail state unresolved."""
     import os
     import tempfile
     import time
@@ -1215,7 +1222,11 @@ def _stage_events(sf_dir: str, n_files: int = 6,
         if duplicate:
             pq.write_table(chunk, os.path.join(d, f"part-{i:03d}-b.parquet"))
     fpdf = t.slice(0, 1).to_pandas()
-    fpdf["event_id"] = 999_999_999
+    if flush_pair:
+        fpdf = pd.concat([fpdf, fpdf], ignore_index=True)
+        fpdf["event_id"] = [999_999_998, 999_999_999]
+    else:
+        fpdf["event_id"] = 999_999_999
     fpdf["user_id"] = -1
     fpdf["ts"] = fpdf["ts"] + pd.Timedelta(days=flush_days)
     pq.write_table(pa.Table.from_pandas(fpdf, schema=t.schema),
@@ -1344,13 +1355,57 @@ WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
 """
 
 
+# --- the LEFT-OUTER leg (r05): unmatched left events must ALSO emit,
+# with NULL right columns — and they only emit when the GLOBAL
+# watermark (min across both parity-split inputs) passes
+# left.ts + within, which is why the staged dir carries a PAIR of
+# far-future sentinels (one per parity; a single one leaves half the
+# tail unresolved — the subtle outer-stream-join failure mode this row
+# exists to pin). Sentinels are excluded AFTER the join (user_id ≥ 0),
+# so they advance watermarks without appearing in the result.
+def q_stream_join_outer(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir, flush_pair=True)
+
+    def src():
+        return spark.readStream.schema(SE.EVENTS_SCHEMA) \
+            .option("maxFilesPerTrigger", 2).parquet(d)
+
+    left = src().filter(F.col("event_id") % 2 == 0)
+    right = src().filter(F.col("event_id") % 2 == 1)
+    j = SE.funnel_join(left, right, within="30 minutes",
+                       watermark="1 hour", how="left_outer")
+    ck = tempfile.mkdtemp(prefix="stream_join_outer_ck_")
+    SE.run_available_now(j, "stream_join_outer_sink", ck,
+                         shuffle_partitions=4)
+    return (spark.table("stream_join_outer_sink")
+            .filter(F.col("user_id") >= 0)
+            .select("user_id", "left_event_id", "right_event_id"))
+
+
+ORACLE["stream_join_outer"] = """
+SELECT a.user_id,
+       a.event_id AS left_event_id,
+       b.event_id AS right_event_id
+FROM events a LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND b.event_id % 2 = 1
+ AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+WHERE a.event_id % 2 = 0
+"""
+
+
 # stream ≡ batch: sessions_stream / windowed_stream answer the
 # identical SQL oracles as their batch twins (aliased after
 # ORACLE["sessions"] / relational's tumbling_window import)
 QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream,
            "windowed_stream": q_windowed_stream,
            "dedup_stream": q_dedup_stream,
-           "stream_join": q_stream_join}
+           "stream_join": q_stream_join,
+           "stream_join_outer": q_stream_join_outer}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
@@ -1390,7 +1445,7 @@ _GATE_FIRST = [
     "frame_sample", "resize_stats", "text_features",
     # new in r05 — never driver-recorded yet, so they go up front too
     "wide_merge_sum", "resize_stats_cjpg", "asof_nearest", "stream_join",
-    "image_dedup",
+    "image_dedup", "stream_join_outer", "bm25",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}

@@ -147,6 +147,51 @@ FROM documents
 """
 
 
+# --- BM25 relevance scoring (r05): Okapi BM25 of every document
+# against a fixed 3-term topic query, +1-smoothed idf, k1=1.2 b=0.75.
+# Both engines compute ln() through their own libm (≤1 ulp apart), so
+# the score is rounded to 6 decimals on both sides; dl/df/tf/N are
+# exact integers and avgdl one IEEE division, identical by
+# construction. Tokenization is the corpus convention (split on one
+# space — token_stats above).
+_BM25_TERMS = ("table", "join", "spark")
+
+
+def q_bm25(spark, sf_dir):
+    from ..operators.ranking import bm25_scores
+    return bm25_scores(_docs(spark, sf_dir), _BM25_TERMS)
+
+
+ORACLE["bm25"] = f"""
+WITH q(term) AS (VALUES {', '.join(f"('{t}')" for t in _BM25_TERMS)}),
+base AS (
+  SELECT doc_id, len(string_split(text, chr(32))) AS dl,
+         string_split(text, chr(32)) AS toks
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM base
+), hits AS (
+  SELECT doc_id, dl, unnest(toks) AS term FROM base
+), qh AS (
+  SELECT * FROM hits WHERE term IN (SELECT term FROM q)
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM qh GROUP BY 1
+), tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM qh GROUP BY 1, 2, 3
+), sc AS (
+  SELECT tf.doc_id,
+    SUM(ln((stats.n - df + 0.5) / (df + 0.5) + 1.0)
+        * tf * 2.2
+        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / stats.avgdl))) AS s
+  FROM tf JOIN dfreq USING (term), stats
+  GROUP BY 1
+)
+SELECT base.doc_id, base.dl AS dl,
+       ROUND(COALESCE(sc.s, 0.0), 6) AS bm25
+FROM base LEFT JOIN sc USING (doc_id)
+"""
+
+
 # --- language-ID heuristic (marker-token decision list; deterministic
 # CASE chain on both engines)
 def q_lang_markers(spark, sf_dir):
@@ -425,4 +470,5 @@ QUERIES = {
     "dedup_canonical": q_dedup_canonical,
     "dedup_canonical_star": q_dedup_canonical_star,
     "simhash_pairs": q_simhash_pairs,
+    "bm25": q_bm25,
 }

@@ -57,15 +57,22 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
 
 def funnel_join(left: DataFrame, right: DataFrame,
                 within: str = "30 minutes",
-                watermark: str = "1 hour") -> DataFrame:
-    """STREAM-STREAM inner join (r05): per user, pair each left event
-    with every right event in (left.ts, left.ts + `within`] — the
+                watermark: str = "1 hour",
+                how: str = "inner") -> DataFrame:
+    """STREAM-STREAM join (r05): per user, pair each left event with
+    every right event in (left.ts, left.ts + `within`] — the
     funnel/attribution primitive (click → purchase). Both sides carry
     watermarks and the join condition bounds right.ts relative to
     left.ts, so Spark can evict left state once the right watermark
     passes left.ts + within — bounded state at unbounded input, the
-    thing a batch self-join can't give you. Inner join → rows emit as
-    soon as both sides arrive; no flush sentinel needed."""
+    thing a batch self-join can't give you. how="inner" → rows emit as
+    soon as both sides arrive; no flush sentinel needed.
+    how="left_outer" → unmatched left rows additionally emit with NULL
+    right columns, but only when the GLOBAL watermark (the MIN across
+    both inputs under Spark's default multipleWatermarkPolicy) passes
+    left.ts + within — a bounded drain must therefore feed BOTH sides
+    a far-future sentinel or the tail of the left stream never
+    resolves (see _stage_events(flush_pair=True))."""
     l = left.withWatermark("ts", watermark).alias("l")
     r = right.withWatermark("ts", watermark).alias("r")
     return l.join(
@@ -73,7 +80,7 @@ def funnel_join(left: DataFrame, right: DataFrame,
         F.expr(f"""l.user_id = r.user_id
                    AND r.ts > l.ts
                    AND r.ts <= l.ts + interval {within}"""),
-        "inner",
+        how,
     ).select(
         F.col("l.user_id").alias("user_id"),
         F.col("l.event_id").alias("left_event_id"),
