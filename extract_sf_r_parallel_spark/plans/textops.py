@@ -192,6 +192,61 @@ FROM base LEFT JOIN sc USING (doc_id)
 """
 
 
+# --- deterministic split + stratified sampling (r05): assignment is
+# md5(doc_id ':' salt) → 32-bit bucket vs integer thresholds — md5 is
+# bit-identical across engines, so the oracle replays every row's
+# split label and every sampling decision exactly (membership, not
+# just counts, for the stratified row).
+def q_hash_split(spark, sf_dir):
+    from ..operators.sampling import hash_split
+    d = hash_split(_docs(spark, sf_dir))
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("sum_chars"))
+
+
+ORACLE["hash_split"] = """
+WITH b AS (
+  SELECT lang, n_chars,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+         AS BIGINT) % 1000000 AS bkt
+  FROM documents
+)
+SELECT CASE WHEN bkt < 800000 THEN 'train'
+            WHEN bkt < 900000 THEN 'val'
+            ELSE 'test' END AS split,
+       lang,
+       COUNT(*) AS n,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1, 2
+"""
+
+
+_STRAT_RATES = {"en": 0.25, "de": 1.0, "fr": 0.5}
+
+
+def q_stratified_sample(spark, sf_dir):
+    from ..operators.sampling import stratified_sample
+    out = stratified_sample(_docs(spark, sf_dir), _STRAT_RATES,
+                            default_rate=0.1)
+    return out.select("doc_id", "lang")
+
+
+ORACLE["stratified_sample"] = """
+SELECT doc_id, lang
+FROM (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':sample'), 1, 8))
+         AS BIGINT) % 1000000 AS bkt
+  FROM documents
+)
+WHERE bkt < CASE lang WHEN 'en' THEN 250000
+                      WHEN 'de' THEN 1000000
+                      WHEN 'fr' THEN 500000
+                      ELSE 100000 END
+"""
+
+
 # --- language-ID heuristic (marker-token decision list; deterministic
 # CASE chain on both engines)
 def q_lang_markers(spark, sf_dir):
@@ -471,4 +526,6 @@ QUERIES = {
     "dedup_canonical_star": q_dedup_canonical_star,
     "simhash_pairs": q_simhash_pairs,
     "bm25": q_bm25,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
