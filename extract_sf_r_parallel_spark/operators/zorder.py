@@ -1,0 +1,74 @@
+"""Z-order (Morton) clustering — the data-LAYOUT operator for scan
+pruning at 100 TB: sort/partition rows by an interleaved-bits space-
+filling curve so that each output file covers a small spatial bbox,
+and a query's min/max (or partition) pruning skips almost all files
+for a spatial predicate. The reference's fishnet loop is implicit
+spatial locality; this is the Spark-native way to bake that locality
+into storage (the same trick table formats expose as ZORDER BY /
+cluster keys).
+
+Everything is integer Column arithmetic (quantize via integer `div`,
+interleave via shift/mask/or — 2·bits codegen'd terms, no UDF), so
+the driver's DuckDB oracle replays every code bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_code", "zorder_sql", "cluster_by_zorder"]
+
+
+def zorder_code(x: Column, y: Column, extent: float = 20000.0,
+                bits: int = 16) -> Column:
+    """Morton code of (x, y) on a 2^bits × 2^bits grid over
+    [0, extent)². Quantization is exact integer math — x is cast to
+    BIGINT first (the synthetic coords are integer-valued; real-world
+    callers pre-scale to an integer grid), then (xi·2^bits) div extent
+    — so no float rounding can disagree across engines."""
+    s = 1 << bits
+    e = int(extent)
+    ix = (x.cast("long") * s - F.pmod(x.cast("long") * s, e)) / e
+    ix = ix.cast("long")
+    iy = (y.cast("long") * s - F.pmod(y.cast("long") * s, e)) / e
+    iy = iy.cast("long")
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)), 2 * b))
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    return z
+
+
+def zorder_sql(x: str, y: str, extent: float = 20000.0,
+               bits: int = 16) -> str:
+    """The DuckDB replay of zorder_code — same quantization (integer
+    //), same interleave, for oracle SQL construction."""
+    s = 1 << bits
+    e = int(extent)
+    ix = f"((CAST({x} AS BIGINT) * {s}) // {e})"
+    iy = f"((CAST({y} AS BIGINT) * {s}) // {e})"
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({ix} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {2 * b + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def cluster_by_zorder(df: DataFrame, x: str = "x", y: str = "y",
+                      n_partitions: int = 32,
+                      extent: float = 20000.0,
+                      bits: int = 16,
+                      out: str = "z") -> DataFrame:
+    """Physically cluster: range-partition on the Morton code and sort
+    within partitions — every output partition/file then covers a
+    contiguous z-range ≈ a compact bbox, which is what per-file
+    min/max statistics prune on. Write with
+    df.write.parquet(...) afterwards; the layout survives the write
+    because rows stay in partition order."""
+    z = zorder_code(F.col(x), F.col(y), extent, bits)
+    return (df.withColumn(out, z)
+            .repartitionByRange(n_partitions, F.col(out))
+            .sortWithinPartitions(out))

@@ -1100,8 +1100,40 @@ FROM ({_PTS_SQL}) GROUP BY 1
 """
 
 
+# --- Z-order layout (r05): Morton-code the point table and report
+# per-prefix-bucket bbox stats — the driver-visible proof that the
+# curve clusters space (every 8-bit z-prefix bucket covers a compact
+# bbox ⇒ per-file min/max pruning works after cluster_by_zorder).
+# The oracle replays quantization (integer //) and the full 32-term
+# bit interleave, so a single wrong shift breaks every bucket.
+def q_zorder_stats(spark, sf_dir):
+    from ..operators.zorder import zorder_code
+    pts = points_df(spark, sf_dir)
+    z = zorder_code(F.col("x"), F.col("y"))
+    return (pts.withColumn("zb", F.shiftright(z, 24))
+            .groupBy("zb").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import zorder_sql
+    return f"""
+SELECT ({zorder_sql('x', 'y')} >> 24) AS zb,
+       COUNT(*) AS n,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM ({_PTS_SQL}) GROUP BY 1
+"""
+
+
+ORACLE["zorder_stats"] = _zorder_oracle()
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
+    "zorder_stats": q_zorder_stats,
     "range_near": q_range_near,
     "areadist_square": q_areadist_square,
     "knn3": q_knn3,
