@@ -1,0 +1,87 @@
+"""Raster focal statistics + tile-pyramid rollup — the raster-algebra
+siblings of the reference's fishnet loop (C_Extract-from-sf-objects-
+parallel.R builds per-cell point counts; the R raster family's
+`focal()` then smooths such grids with a moving window, and web-map
+pipelines roll cell stats up a zoom pyramid). Both are expressed as
+pure Column arithmetic over sparse (cell_x, cell_y, value) rows — no
+dense array ever materializes, which is what makes them 100 TB ops:
+
+- focal_stats: scatter each cell's value onto its (2r+1)² Chebyshev
+  neighbourhood via one `explode(offsets)` (a 9× row fan-out for r=1,
+  NOT a self-join — the offset table is a literal array, so the only
+  shuffle is the final groupBy on the target cell, and map-side
+  partial aggregation collapses the fan-out before it ships anywhere
+  because neighbouring source cells land in the same scan partition
+  under any spatially clustered layout — see operators/zorder.py).
+  Semantics match R `focal(..., na.rm=TRUE)` on a sparse raster:
+  absent cells contribute nothing, and only cells present in the
+  input emit a row (inner join back to the input keys).
+
+- pyramid_rollup: per-zoom `floor(cell / 2^(z_top - z))` re-keying,
+  one groupBy per level, unioned — the slippy-map tile pyramid as a
+  single declarative plan. Each level's shuffle is strictly smaller
+  than the last; at scale the partial aggregation for level z feeds
+  level z-1 within the same AQE-planned stage chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["focal_stats", "pyramid_rollup"]
+
+
+def focal_stats(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+                value: str = "value", radius: int = 1) -> DataFrame:
+    """Moving-window stats over a sparse integer raster: for every cell
+    present in `cells`, aggregate `value` over the present cells of its
+    (2·radius+1)² Chebyshev neighbourhood (self included). Returns the
+    input keys plus focal_n / focal_sum / focal_mean / focal_max.
+
+    Cells must be unique on (x, y) — the scatter assumes one source row
+    per cell (pre-aggregate upstream otherwise)."""
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+    ])
+    scattered = (
+        cells.select(x, y, value)
+        .withColumn("_o", F.explode(offs))
+        .select((F.col(x) + F.col("_o.dx")).alias(x),
+                (F.col(y) + F.col("_o.dy")).alias(y),
+                F.col(value))
+        .groupBy(x, y)
+        .agg(F.count(F.lit(1)).alias("focal_n"),
+             F.sum(value).alias("focal_sum"),
+             (F.sum(value) / F.count(F.lit(1))).alias("focal_mean"),
+             F.max(value).alias("focal_max"))
+    )
+    # scatter emits target cells that hold no source cell (the halo
+    # around the occupied region) — keep only real cells, and carry
+    # the cell's own value through for downstream use
+    return cells.join(scattered, [x, y])
+
+
+def pyramid_rollup(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+                   value: str = "value", levels: int = 4) -> DataFrame:
+    """Roll a base raster up a power-of-two tile pyramid: level 0 is
+    the input grid, level z re-keys each cell to floor(coord / 2^z) and
+    sums `value` — the zoom-out aggregation every tile server runs.
+    Returns (level, cell_x, cell_y, n_cells, total) for all levels,
+    level 0 included (n_cells there counts base cells, i.e. 1 each
+    pre-aggregated input row)."""
+    out = None
+    for z in range(levels):
+        s = 1 << z
+        lvl = (
+            cells.groupBy(
+                F.floor(F.col(x) / s).cast("long").alias(x),
+                F.floor(F.col(y) / s).cast("long").alias(y))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum(value).alias("total"))
+            .select(F.lit(z).alias("level"), x, y, "n_cells", "total")
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out

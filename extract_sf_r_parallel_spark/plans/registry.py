@@ -1446,7 +1446,7 @@ _GATE_FIRST = [
     # new in r05 — never driver-recorded yet, so they go up front too
     "wide_merge_sum", "resize_stats_cjpg", "asof_nearest", "stream_join",
     "image_dedup", "stream_join_outer", "bm25", "hash_split",
-    "stratified_sample", "zorder_stats",
+    "stratified_sample", "zorder_stats", "focal_mean", "tile_pyramid",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}

@@ -1131,9 +1131,69 @@ FROM ({_PTS_SQL}) GROUP BY 1
 ORACLE["zorder_stats"] = _zorder_oracle()
 
 
+# --- raster focal statistics (r05): the R raster-family `focal()`
+# moving window over the fishnet point-count grid. The engine runs the
+# scatter plan (one explode over the literal offset array + ONE
+# groupBy, operators/focal.py); the oracle derives the same numbers
+# the opposite way — a gather self-join with BETWEEN range predicates
+# — so agreement proves the stencil algebra, not a shared formula.
+_TC_SQL = f"""
+  SELECT CAST(FLOOR(x / {TILE}) AS INT) AS tile_x,
+         CAST(FLOOR(y / {TILE}) AS INT) AS tile_y,
+         COUNT(*) AS n_points
+  FROM ({_PTS_SQL}) GROUP BY 1, 2
+"""
+
+
+def q_focal_mean(spark, sf_dir):
+    from ..operators.focal import focal_stats
+    cells = q_tile_counts(spark, sf_dir)
+    return focal_stats(cells, x="tile_x", y="tile_y", value="n_points")
+
+
+ORACLE["focal_mean"] = f"""
+WITH tc AS ({_TC_SQL})
+SELECT c.tile_x, c.tile_y, c.n_points,
+       COUNT(*) AS focal_n,
+       CAST(SUM(nb.n_points) AS BIGINT) AS focal_sum,
+       CAST(SUM(nb.n_points) AS DOUBLE) / COUNT(*) AS focal_mean,
+       MAX(nb.n_points) AS focal_max
+FROM tc c JOIN tc nb
+  ON nb.tile_x BETWEEN c.tile_x - 1 AND c.tile_x + 1
+ AND nb.tile_y BETWEEN c.tile_y - 1 AND c.tile_y + 1
+GROUP BY 1, 2, 3
+"""
+
+
+# --- tile-pyramid rollup (r05): the zoom-out aggregation of a tile
+# server — level z re-keys cells to floor(coord / 2^z) and sums. The
+# oracle is a 4-level UNION ALL of independently grouped selects;
+# every level's totals must also re-sum to the base level's (asserted
+# in tests/test_focal.py).
+def q_tile_pyramid(spark, sf_dir):
+    from ..operators.focal import pyramid_rollup
+    cells = q_tile_counts(spark, sf_dir)
+    return pyramid_rollup(cells, x="tile_x", y="tile_y",
+                          value="n_points", levels=4)
+
+
+ORACLE["tile_pyramid"] = f"""
+WITH tc AS ({_TC_SQL})
+""" + "\nUNION ALL\n".join(f"""
+SELECT {z} AS level,
+       CAST(FLOOR(tile_x / {1 << z}) AS BIGINT) AS tile_x,
+       CAST(FLOOR(tile_y / {1 << z}) AS BIGINT) AS tile_y,
+       COUNT(*) AS n_cells,
+       CAST(SUM(n_points) AS BIGINT) AS total
+FROM tc GROUP BY 1, 2, 3
+""" for z in range(4))
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "zorder_stats": q_zorder_stats,
+    "focal_mean": q_focal_mean,
+    "tile_pyramid": q_tile_pyramid,
     "range_near": q_range_near,
     "areadist_square": q_areadist_square,
     "knn3": q_knn3,
