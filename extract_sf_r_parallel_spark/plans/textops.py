@@ -516,8 +516,47 @@ FROM documents d LEFT JOIN comp c ON c.jdoc = d.doc_id
 
 ORACLE["dedup_canonical_star"] = ORACLE["dedup_canonical"]
 
+# --- concat-and-chunk sequence packing (r05): the training-batch
+# layout op — per-language token streams cut into 512-token chunks,
+# each doc assigned the chunk holding its first token. The engine runs
+# ONE cumulative-sum window (operators/packing.py); the oracle replays
+# the same prefix sums with DuckDB's window engine — straddle counts
+# (n_chunks_spanned) make any off-by-one at a chunk boundary visible.
+def q_pack_chunks(spark, sf_dir):
+    from ..operators.packing import pack_chunks
+    d = _docs(spark, sf_dir)
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return pack_chunks(
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens")),
+        tokens="n_tokens", budget=512, stream_cols=["lang"],
+    )
+
+
+ORACLE["pack_chunks"] = """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY lang ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tok_before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(tok_before // 512 AS BIGINT) AS chunk_id,
+       CAST(tok_before % 512 AS BIGINT) AS chunk_offset,
+       CAST((tok_before + n_tokens - 1) // 512 - tok_before // 512 + 1
+            AS BIGINT) AS n_chunks_spanned
+FROM c
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "pack_chunks": q_pack_chunks,
     "dedup_bucket": q_dedup_bucket,
     "token_stats": q_token_stats,
     "text_quality": q_text_quality,
