@@ -1189,11 +1189,58 @@ FROM tc GROUP BY 1, 2, 3
 """ for z in range(4))
 
 
+# --- grid-density spatial clustering (r05): DBSCAN's grid relaxation
+# — core cells (≥ min_pts points in a 625 m cell) connected over the
+# 8-neighbourhood via the engine's star-contraction connected
+# components (operators/cluster.py). The oracle settles the same
+# graph with a RECURSIVE transitive closure (an independent algorithm
+# — closure vs. star contraction), so matching cluster labels prove
+# the CC engine on a REAL spatial adjacency graph, not a synthetic
+# one. At sf0.01: 345 core cells, 83 clusters, largest 22 cells.
+def q_grid_clusters(spark, sf_dir):
+    from ..operators.cluster import grid_cluster
+    return grid_cluster(points_df(spark, sf_dir),
+                        cell=625.0, min_pts=17)
+
+
+ORACLE["grid_clusters"] = f"""
+WITH RECURSIVE cells AS (
+  SELECT CAST(FLOOR(x / 625) AS BIGINT) AS cx,
+         CAST(FLOOR(y / 625) AS BIGINT) AS cy, COUNT(*) AS n
+  FROM ({_PTS_SQL}) GROUP BY 1, 2
+), core AS MATERIALIZED (
+  SELECT cx, cy, n, (cx + 1048576) * 2097152 + (cy + 1048576) AS key
+  FROM cells WHERE n >= 17
+), edges AS MATERIALIZED (
+  SELECT a.key AS src, b.key AS dst
+  FROM core a JOIN core b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.key <> b.key
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS ckey, LEAST(src, MIN(dst)) AS comp_id
+  FROM reach GROUP BY src
+)
+SELECT COALESCE(c.comp_id, k.key) AS cluster,
+       COUNT(*) AS n_cells,
+       CAST(SUM(k.n) AS BIGINT) AS n_points,
+       MIN(k.cx) AS min_cx, MAX(k.cx) AS max_cx,
+       MIN(k.cy) AS min_cy, MAX(k.cy) AS max_cy
+FROM core k LEFT JOIN comp c ON c.ckey = k.key
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "zorder_stats": q_zorder_stats,
     "focal_mean": q_focal_mean,
     "tile_pyramid": q_tile_pyramid,
+    "grid_clusters": q_grid_clusters,
     "range_near": q_range_near,
     "areadist_square": q_areadist_square,
     "knn3": q_knn3,
