@@ -1447,7 +1447,7 @@ _GATE_FIRST = [
     "wide_merge_sum", "resize_stats_cjpg", "asof_nearest", "stream_join",
     "image_dedup", "stream_join_outer", "bm25", "hash_split",
     "stratified_sample", "zorder_stats", "focal_mean", "tile_pyramid",
-    "pack_chunks", "grid_clusters",
+    "pack_chunks", "grid_clusters", "simplify_lines",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
            **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}

@@ -1235,12 +1235,114 @@ GROUP BY 1
 """
 
 
+# --- Douglas–Peucker simplification (r05): the sf st_simplify family
+# op. Fixture: 100 deterministic wiggle+spike polylines derived from
+# the orders keys (x = idx·250; y = small LCG wiggle + a 5000 spike
+# every 16th vertex) — a REAL simplification workload (eps=600 keeps
+# ~20% of vertices: the spikes and chord ends, never the wiggle).
+# The engine runs the stack-based kernel per line (applyInPandas);
+# the oracle UNROLLS the split recursion to a fixed depth as plain
+# CTE levels (argmax via ROW_NUMBER, split via UNION ALL) in exact
+# BIGINT arithmetic — the kernel's measured depth on this fixture is
+# 13 (pinned by tests/test_simplify.py), the oracle carries 16.
+_SIMPLIFY_EPS = 600
+_SIMPLIFY_DEPTH = 16
+
+_LINE_PTS_SQL = """
+  SELECT line_id, idx, idx * 250 AS x,
+         (pid * 2654435761) % 2147483648 % 400
+           + CASE WHEN idx % 16 = 0 THEN 5000 ELSE 0 END AS y
+  FROM (
+    SELECT pid % 100 AS line_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY pid % 100 ORDER BY pid)
+                - 1 AS BIGINT) AS idx,
+           pid
+    FROM (SELECT o_orderkey AS pid FROM orders)
+  )
+"""
+
+
+def line_vertices_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism)
+    w = W.partitionBy("line_id").orderBy("pid")
+    return (o.select((F.col("o_orderkey") % 100).alias("line_id"),
+                     F.col("o_orderkey").alias("pid"))
+            .withColumn("idx", (F.row_number().over(w) - 1).cast("long"))
+            .withColumn("x", (F.col("idx") * 250).cast("long"))
+            .withColumn("y", (
+                (F.col("pid") * F.lit(2654435761)) % F.lit(2147483648)
+                % 400
+                + F.when(F.col("idx") % 16 == 0, 5000).otherwise(0)
+            ).cast("long"))
+            .select("line_id", "idx", "x", "y"))
+
+
+def q_simplify_lines(spark, sf_dir):
+    from ..operators.simplify import simplify_lines
+    return simplify_lines(line_vertices_df(spark, sf_dir),
+                          eps=_SIMPLIFY_EPS)
+
+
+def _simplify_oracle(depth: int = _SIMPLIFY_DEPTH,
+                     eps: int = _SIMPLIFY_EPS) -> str:
+    eps2 = eps * eps
+    parts = [f"""
+WITH pts AS MATERIALIZED ({_LINE_PTS_SQL}),
+ends AS (SELECT line_id, MAX(idx) AS last FROM pts GROUP BY 1),
+seg_0 AS (SELECT line_id, CAST(0 AS BIGINT) AS i0, last AS i1 FROM ends)"""]
+    for k in range(1, depth + 1):
+        parts.append(f""",
+scored_{k} AS MATERIALIZED (
+  SELECT s.line_id, s.i0, s.i1, p.idx,
+         (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) AS len2,
+         CASE WHEN (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) = 0
+              THEN (p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y)
+              ELSE ((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+                 * ((b.x-a.x)*(a.y-p.y) - (a.x-p.x)*(b.y-a.y))
+         END AS metric
+  FROM seg_{k - 1} s
+  JOIN pts p ON p.line_id = s.line_id AND p.idx > s.i0 AND p.idx < s.i1
+  JOIN pts a ON a.line_id = s.line_id AND a.idx = s.i0
+  JOIN pts b ON b.line_id = s.line_id AND b.idx = s.i1
+),
+best_{k} AS MATERIALIZED (
+  SELECT line_id, i0, i1, idx AS j FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY line_id, i0, i1
+                                 ORDER BY metric DESC, idx ASC) AS rn
+    FROM scored_{k}
+    WHERE CASE WHEN len2 = 0 THEN metric > {eps2}
+               ELSE metric > {eps2} * len2 END
+  ) WHERE rn = 1
+),
+seg_{k} AS MATERIALIZED (
+  SELECT line_id, i0, j AS i1 FROM best_{k}
+  UNION ALL
+  SELECT line_id, j AS i0, i1 FROM best_{k}
+)""")
+    all_segs = "\nUNION ALL\n".join(
+        f"SELECT line_id, i0, i1 FROM seg_{k}" for k in range(depth + 1))
+    parts.append(f""",
+kept AS (
+  SELECT DISTINCT line_id, i0 AS idx FROM ({all_segs})
+  UNION
+  SELECT DISTINCT line_id, i1 AS idx FROM ({all_segs})
+)
+SELECT p.line_id, p.idx, p.x, p.y
+FROM kept k JOIN pts p ON p.line_id = k.line_id AND p.idx = k.idx""")
+    return "".join(parts)
+
+
+ORACLE["simplify_lines"] = _simplify_oracle()
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "zorder_stats": q_zorder_stats,
     "focal_mean": q_focal_mean,
     "tile_pyramid": q_tile_pyramid,
     "grid_clusters": q_grid_clusters,
+    "simplify_lines": q_simplify_lines,
     "range_near": q_range_near,
     "areadist_square": q_areadist_square,
     "knn3": q_knn3,
