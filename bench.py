@@ -145,21 +145,33 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
+    # a single crashing query must not cost the whole round's bench
+    # artifact (an aborted run prints no JSON line at all) — record
+    # the failure and keep timing the rest
     for name in HEADLINE + list(HEAVY):
-        fn = registry.QUERIES[name]
-        df = fn(spark, sf_dir)
-        n = min(repeats, HEAVY.get(name, repeats))
-        runs = _timed_runs(df, n)
+        try:
+            fn = registry.QUERIES[name]
+            df = fn(spark, sf_dir)
+            n = min(repeats, HEAVY.get(name, repeats))
+            runs = _timed_runs(df, n)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            continue
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
     for name, n in STREAMING.items():
         runs = []
-        for _ in range(min(repeats, n)):
-            t0 = time.time()
-            # the builder stages files + drains the stream; count()
-            # materializes the sink read — the full end-to-end path
-            registry.QUERIES[name](spark, sf_dir).count()
-            runs.append(round(time.time() - t0, 3))
+        try:
+            for _ in range(min(repeats, n)):
+                t0 = time.time()
+                # the builder stages files + drains the stream; count()
+                # materializes the sink read — the full end-to-end path
+                registry.QUERIES[name](spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            continue
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
 
@@ -168,16 +180,24 @@ def main() -> None:
     # metric → best of N (host noise only ever subtracts from a
     # throughput measurement); the per-query latency table above stays
     # median-of-N, and every raw run is recorded either way.
-    pairs = spatial_queries.rect_pairs(spark, sf_dir).filter("dist < 1000")
-    join_runs = []
-    for _ in range(repeats):
-        t0 = time.time()
-        n_pairs = pairs.count()
-        join_runs.append(time.time() - t0)
-    join_wall = min(join_runs)
+    n_pairs, join_wall, join_runs = 0, 0.0, []
+    try:
+        pairs = spatial_queries.rect_pairs(spark, sf_dir) \
+            .filter("dist < 1000")
+        for _ in range(repeats):
+            t0 = time.time()
+            n_pairs = pairs.count()
+            join_runs.append(time.time() - t0)
+        join_wall = min(join_runs)
+    except Exception as e:  # noqa: BLE001
+        errors["spatial_join"] = f"{type(e).__name__}: {e}"[:300]
     n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
 
-    skew = _skew_bench(spark, sf_dir, min(repeats, 3))
+    try:
+        skew = _skew_bench(spark, sf_dir, min(repeats, 3))
+    except Exception as e:  # noqa: BLE001
+        skew = {}
+        errors["skew"] = f"{type(e).__name__}: {e}"[:300]
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -195,6 +215,8 @@ def main() -> None:
         "skew": skew,
         "cpus": cpus,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
