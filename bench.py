@@ -2,12 +2,22 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "runs": {...}, "sf": ..., "rows_per_sec": ..., "skew": {...}}
+ "runs": {...}, "streaming": {...}, "sf": ..., "rows_per_sec": ...,
+ "skew": {...}}
 
 The headline is the BASELINE.json metric: spatial-join rows/sec
 (distance + buffered footprint-amount extraction). Queries are
 materialized with a noop-format write so every output column is
 computed (count() would let Catalyst prune the geometry kernels away).
+
+Ordering (VERDICT r05 next-#1): the throughput metric runs FIRST,
+right after warm-up — BEFORE any streaming row — so live streaming
+drains (state stores, retained memory-sink tables) can never sit in
+the JVM under the headline measurement. Streaming rows run LAST,
+report under a separate "streaming" key that is NOT part of "value",
+and each memory sink is dropped as soon as its row is recorded.
+"value_like_for_like" is the sum over the frozen r4 query set so the
+suite total stays round-comparable as new rows join the bench.
 
 Methodology (VERDICT r03 next-#7): MEDIAN of N=5 timed runs per query,
 with every per-run time recorded in "runs" — the sandbox is a shared
@@ -50,11 +60,24 @@ HEADLINE = [
 
 HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs
 
+# Frozen r4 query set: "value_like_for_like" sums exactly these so the
+# suite total stays comparable across rounds even as HEADLINE grows
+# (VERDICT r05 next-#3).
+R4_SET = frozenset(HEADLINE) | {"wide_merge"}
+
 # LIVE Structured Streaming rows (VERDICT r04 next-#7): each timed run
 # re-stages the source files and re-drains the whole stream through a
 # fresh checkpoint (builder + drain + sink read), so state-store
-# regressions show up here, not just in correctness. N=2.
-STREAMING = {"sessions_stream": 2}
+# regressions show up here, not just in correctness. N=2. These run
+# LAST, report under "streaming" (not "value"), and each memory-sink
+# temp view is dropped right after its row (VERDICT r05 next-#1).
+# stream_join added per VERDICT r05 next-#6 — the newest stateful
+# operator now has a timing record.
+STREAMING = {"sessions_stream": 2, "stream_join": 2}
+STREAM_SINKS = {
+    "sessions_stream": "sessions_stream_sink",
+    "stream_join": "stream_join_sink",
+}
 
 
 def _materialize(df) -> int:
@@ -74,7 +97,7 @@ def _timed_runs(df, n: int) -> list[float]:
 def _skew_bench(spark, sf_dir: str, repeats: int) -> dict:
     """Deliberate extreme skew (north-rule row in SURVEY §4): every
     point collapses into ONE hex cell, so the shuffle join lands all
-    candidate pairs on a single hot key. Three result-identical legs:
+    candidate pairs on a single hot key. Four result-identical legs:
     - skewed_raw:   shuffle join, AQE skew splitting OFF — the naive
                     cost a hot key charges one task;
     - skewed_aqe:   AQE skew-join ON (the engine default) — runtime
@@ -83,8 +106,9 @@ def _skew_bench(spark, sf_dir: str, repeats: int) -> dict:
     - salted:       explicit salt=8 (polys replicated 8×, points
                     routed by hash) — the deterministic pre-shuffle
                     spread for when AQE can't see the skew (e.g. the
-                    UDF stage after a broadcast-less join).
-    autoBroadcastJoinThreshold is disabled for all three legs so the
+                    UDF stage after a broadcast-less join);
+    - salted_auto:  engine-chosen salt from a sampled cell histogram.
+    autoBroadcastJoinThreshold is disabled for all four legs so the
     join actually shuffles — emulating the mega-layer case where the
     feature side cannot broadcast, which is exactly when salting
     matters. Confs are restored afterwards."""
@@ -143,9 +167,32 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
 
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
+    errors: dict[str, str] = {}
+
+    # ---- throughput metric FIRST (VERDICT r05 next-#1): joined
+    # candidate-pair rows/sec of the flagship range join (the
+    # BASELINE.md comparable). PEAK capability metric → best of N
+    # (host noise only ever subtracts from a throughput measurement);
+    # the per-query latency table below stays median-of-N, and every
+    # raw run is recorded either way. Running it before any other row
+    # keeps streaming state stores and retained memory-sink tables
+    # out of the JVM under this measurement.
+    n_pairs, join_wall, join_runs = 0, 0.0, []
+    try:
+        pairs = spatial_queries.rect_pairs(spark, sf_dir) \
+            .filter("dist < 1000")
+        for _ in range(repeats):
+            t0 = time.time()
+            n_pairs = pairs.count()
+            join_runs.append(time.time() - t0)
+        join_wall = min(join_runs)
+    except Exception as e:  # noqa: BLE001
+        errors["spatial_join"] = f"{type(e).__name__}: {e}"[:300]
+    n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+
+    # ---- per-query latency table (batch only; streaming is last)
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
-    errors: dict[str, str] = {}
     # a single crashing query must not cost the whole round's bench
     # artifact (an aborted run prints no JSON line at all) — record
     # the failure and keep timing the rest
@@ -160,6 +207,18 @@ def main() -> None:
             continue
         all_runs[name] = runs
         timings[name] = round(statistics.median(runs), 3)
+
+    try:
+        skew = _skew_bench(spark, sf_dir, min(repeats, 3))
+    except Exception as e:  # noqa: BLE001
+        skew = {}
+        errors["skew"] = f"{type(e).__name__}: {e}"[:300]
+
+    # ---- LIVE streaming rows LAST — their state stores / memory
+    # sinks can no longer contaminate anything above, and each sink is
+    # dropped the moment its row is recorded.
+    stream_timings: dict[str, float] = {}
+    stream_runs: dict[str, list[float]] = {}
     for name, n in STREAMING.items():
         runs = []
         try:
@@ -172,40 +231,26 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"{type(e).__name__}: {e}"[:300]
             continue
-        all_runs[name] = runs
-        timings[name] = round(statistics.median(runs), 3)
-
-    # spatial-join throughput: joined candidate-pair rows/sec of the
-    # flagship range join (the BASELINE.md comparable). PEAK capability
-    # metric → best of N (host noise only ever subtracts from a
-    # throughput measurement); the per-query latency table above stays
-    # median-of-N, and every raw run is recorded either way.
-    n_pairs, join_wall, join_runs = 0, 0.0, []
-    try:
-        pairs = spatial_queries.rect_pairs(spark, sf_dir) \
-            .filter("dist < 1000")
-        for _ in range(repeats):
-            t0 = time.time()
-            n_pairs = pairs.count()
-            join_runs.append(time.time() - t0)
-        join_wall = min(join_runs)
-    except Exception as e:  # noqa: BLE001
-        errors["spatial_join"] = f"{type(e).__name__}: {e}"[:300]
-    n_points = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-
-    try:
-        skew = _skew_bench(spark, sf_dir, min(repeats, 3))
-    except Exception as e:  # noqa: BLE001
-        skew = {}
-        errors["skew"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            sink = STREAM_SINKS.get(name)
+            if sink:
+                try:
+                    spark.catalog.dropTempView(sink)
+                except Exception:  # noqa: BLE001 — sink never created
+                    pass
+        stream_runs[name] = runs
+        stream_timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
+    lfl = round(sum(v for k, v in timings.items() if k in R4_SET), 3)
     out = {
         "metric": "spatial-join rows/sec (distance + buffered footprint-amount extraction)",
         "value": total,
+        "value_like_for_like": lfl,
         "unit": "sec",
         "queries": timings,
         "runs": all_runs,
+        "streaming": {"queries": stream_timings, "runs": stream_runs},
         "sf": sf,
         "spatial_pairs": n_pairs,
         "spatial_join_wall_s": round(join_wall, 3),

@@ -83,7 +83,19 @@ def grid_cluster(points: DataFrame, x: str = "x", y: str = "y",
     and picks local under `local_max_edges`, star above."""
     cx = F.floor(F.col(x) / cell).cast("long")
     cy = F.floor(F.col(y) / cell).cast("long")
-    counts = (points.select(cx.alias("cx"), cy.alias("cy"))
+    # the packed key is only injective for |coord| < 2^20 cells — an
+    # out-of-range cell would silently collide into a wrong cluster
+    # key, so fail loudly instead (same guard style as
+    # intervals.interval_join's replication bound)
+    in_range = (F.abs(cx) < _OFF) & (F.abs(cy) < _OFF)
+    guard = F.when(in_range, cx).otherwise(F.raise_error(F.concat(
+        F.lit("grid_cluster: cell coordinate out of packable range "
+              "(|coord| >= 2^20) at point ("),
+        F.col(x).cast("string"), F.lit(", "),
+        F.col(y).cast("string"),
+        F.lit(f") with cell={cell}; use a coarser cell or re-origin "
+              "the coordinates"))))
+    counts = (points.select(guard.alias("cx"), cy.alias("cy"))
               .groupBy("cx", "cy")
               .agg(F.count(F.lit(1)).alias("n")))
     core = (counts.filter(F.col("n") >= min_pts)

@@ -46,12 +46,16 @@ def pack_chunks(docs: DataFrame, tokens: Column | str,
                  - F.floor(before / budget) + 1).cast("long")))
 
 
-def chunk_summary(packed: DataFrame, stream_cols: list[str]) -> DataFrame:
+def chunk_summary(packed: DataFrame, stream_cols: list[str],
+                  order_col: str = "doc_id") -> DataFrame:
     """Per-chunk fill report over a pack_chunks result: documents
     STARTING in each chunk, their token total, and the id range —
-    the table a packing job emits for monitoring fill efficiency."""
+    the table a packing job emits for monitoring fill efficiency.
+    `order_col` must match the one given to pack_chunks (ADVICE r05:
+    a caller ordering by another column gets its id range from that
+    column, not a hardcoded doc_id)."""
     return (packed.groupBy(*stream_cols, "chunk_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tokens").alias("chunk_tokens"),
-                 F.min("doc_id").alias("first_doc"),
-                 F.max("doc_id").alias("last_doc")))
+                 F.min(order_col).alias("first_doc"),
+                 F.max(order_col).alias("last_doc")))

@@ -49,6 +49,18 @@ def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, eps: float) -> np.ndarray:
         return keep
     xs = xs.astype(np.int64)
     ys = ys.astype(np.int64)
+    # cross is a sum of two (Δ·coord) products, so |cross| ≤
+    # 2·max|Δ|·max|coord|; metric = cross² must stay inside int64 or
+    # numpy wraps SILENTLY while the DuckDB oracle's BIGINT multiply
+    # raises (ADVICE r05). Guard the bound here — 2·span·|coord| <
+    # 2^31 keeps cross² < 2^62 — and fall back to exact Python-int
+    # (object dtype) arithmetic when a monster line exceeds it, so
+    # the "exact integer arithmetic" guarantee holds at every scale.
+    span = int(max(xs.max() - xs.min(), ys.max() - ys.min(), 1))
+    bound = int(max(np.abs(xs).max(), np.abs(ys).max(), 1))
+    if 2 * span * bound >= 1 << 31:
+        xs = xs.astype(object)
+        ys = ys.astype(object)
     eps2 = int(round(eps * eps))
     stack = [(0, n - 1)]
     while stack:

@@ -1450,25 +1450,73 @@ QUERIES.update({
     "interval_join": q_interval_join,
 })
 
-# Driver-gate ordering: the r4 gate recorded exactly the first 50
-# registry entries (CORRECTNESS_r04 truncates at position 50, in dict
-# order), leaving the capstone wide_merge and flagship areadist_circle
-# without driver-issued rows. Run those FIRST so any future truncation
-# drops cheap, long-since-proven rows instead of the headline ones.
+# Driver-gate ordering: the gate records registry entries in dict
+# order and CUTS at a fixed budget (observed: 50 rows), so with >50
+# queries some rows are always truncated. r4/r5 used a static
+# capstone-first list, which protected the headline rows but meant the
+# same truncated tail never got a fresh driver row (VERDICT r05
+# next-#2). The rotation below is self-maintaining: read the NEWEST
+# committed CORRECTNESS_r*.json and front-load every registry key
+# ABSENT from it — i.e. whatever the previous gate truncated, plus any
+# brand-new query. The union of any two consecutive artifacts
+# therefore covers the whole registry (as long as the truncated set
+# fits the budget, which it does by construction: ≤ total − budget).
+# pricing_summary stays first purely as the session warm-up absorber:
+# the first query of a gate pays ~5s of one-time JVM/broadcast/pandas
+# worker spin-up, and that should land on a 0.2s aggregate, not
+# inflate a capstone's recorded time.
+# Within each group (missing-from-latest / present-in-latest), the
+# prior capstone-first order is preserved so headline rows still beat
+# long-proven basics to the budget line.
 _GATE_FIRST = [
-    # pricing_summary leads purely as the session warm-up absorber: the
-    # first query of a gate pays ~5s of one-time JVM/broadcast/pandas
-    # worker spin-up, and that should land on a 0.2s aggregate, not
-    # inflate the capstone's recorded time
     "pricing_summary",
     "wide_merge", "areadist_circle", "areadist_circle_join", "knn_ring",
     "asof_join", "asof_join_fwd", "interval_join", "multimodal_stats",
     "frame_sample", "resize_stats", "text_features",
-    # new in r05 — never driver-recorded yet, so they go up front too
     "wide_merge_sum", "resize_stats_cjpg", "asof_nearest", "stream_join",
     "image_dedup", "stream_join_outer", "bm25", "hash_split",
     "stratified_sample", "zorder_stats", "focal_mean", "tile_pyramid",
     "pack_chunks", "grid_clusters", "simplify_lines",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _GATE_FIRST},
-           **{k: v for k, v in QUERIES.items() if k not in _GATE_FIRST}}
+
+
+def _latest_gate_rows() -> set:
+    """Query names recorded in the newest parseable CORRECTNESS_r*.json
+    at the repo root (committed driver artifacts — deterministic for a
+    given checkout). Empty set when none exists (fresh clone)."""
+    import glob as _glob
+    import json as _json
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+            if isinstance(data, dict) and data:
+                return set(data)
+        except Exception:  # noqa: BLE001 — in-progress/corrupt artifact
+            continue
+    return set()
+
+
+def _gate_order(keys) -> list:
+    recorded = _latest_gate_rows()
+    rank = {k: i for i, k in enumerate(_GATE_FIRST)}
+
+    def sort_key(k):
+        # warm-up absorber first; then everything the last gate missed
+        # (truncated tail + brand-new queries); then the rest — each
+        # group in capstone-first order, original registry order as
+        # the tiebreak.
+        return (k != "pricing_summary",
+                bool(recorded) and k in recorded,
+                rank.get(k, len(_GATE_FIRST)))
+
+    order = list(keys)
+    order.sort(key=lambda k: sort_key(k))  # stable → registry order tiebreak
+    return order
+
+
+QUERIES = {k: QUERIES[k] for k in _gate_order(QUERIES)}
