@@ -28,6 +28,7 @@ fallback for feature sides too large to broadcast.
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Iterator
 
 import numpy as np
@@ -40,7 +41,68 @@ from ..geo import index as I
 from ..geo import kernels as K
 from .areadist import PI_LITERAL
 
-__all__ = ["areadist_fused", "areadist_auto"]
+__all__ = ["areadist_fused", "areadist_auto", "clear_index_cache"]
+
+# Session-scoped build cache (VERDICT r05 next-#5): building a
+# _FeatureIndex is the only eager, driver-side part of the fused plan
+# (correction build + collect, geometry collect, CSR pack, broadcast)
+# — everything downstream is lazy. Rebuilding it for every query over
+# the SAME layer set (the capstone builds two, the gate builds each
+# again per query function call) is pure waste, so finished
+# (broadcast, index) pairs are memoized on (applicationId, analyzed
+# polys plan, build params). Within one session an identical analyzed
+# plan over Spark's immutable scan sources re-reads identical rows,
+# which is exactly the broadcast-reuse guarantee a Spark broadcast
+# join build side relies on. LRU-bounded; evicted broadcasts are
+# unpersisted. Callers that DO mutate a source mid-session (tests)
+# use clear_index_cache().
+_IDX_CACHE: OrderedDict = OrderedDict()
+_IDX_CACHE_MAX = 8
+_COUNT_CACHE: OrderedDict = OrderedDict()
+
+
+def clear_index_cache() -> None:
+    for _, bc in _IDX_CACHE.values():
+        try:
+            bc.unpersist()
+        except Exception:  # noqa: BLE001 — context already stopped
+            pass
+    _IDX_CACHE.clear()
+    _COUNT_CACHE.clear()
+
+
+def _plan_key(df: DataFrame):
+    """Stable within-session identity of a DataFrame's contents: the
+    analyzed logical plan string with expression IDs renumbered in
+    first-occurrence order (two builds of the same query get fresh
+    `#N` ids but identical shape; renumbering — not stripping — keeps
+    self-reference distinctions like `a#1 = a#5` vs `a#3 = a#3`).
+    None => uncacheable (e.g. Connect, no _jdf)."""
+    import re
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001
+        return None
+    if "LogicalRDD" in s or "LocalRelation" in s:
+        # in-memory relations print schema but not data — two
+        # different createDataFrame fixtures with one schema would
+        # collide. Not worth caching: their build is driver-local
+        # anyway.
+        return None
+    seen: dict[str, str] = {}
+
+    def renum(m):
+        return seen.setdefault(m.group(0), f"#_{len(seen)}")
+
+    # the analyzed plan prints `Relation [cols] parquet` WITHOUT the
+    # file path — two scans of different directories with the same
+    # schema (sf0.001 vs sf0.01 fixtures in one session) would
+    # collide, so the backing files join the key
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:  # noqa: BLE001
+        files = ()
+    return (re.sub(r"#\d+", renum, s), files)
 
 # feature-side row count up to which the fused broadcast path is used;
 # beyond it the generic cell-explode equi join (SMJ-capable) takes
@@ -57,7 +119,17 @@ def areadist_auto(points: DataFrame, polys: DataFrame,
     plan when it fits an executor, else the shuffle join plan. Both
     paths are result-identical (tests/test_areadist_fused.py)."""
     from .areadist import areadist
-    if polys.count() <= max_broadcast_features:
+    pk = _plan_key(polys)
+    ck = (polys.sparkSession.sparkContext.applicationId, pk)
+    if pk is not None and ck in _COUNT_CACHE:
+        n = _COUNT_CACHE[ck]
+    else:
+        n = polys.count()
+        if pk is not None:
+            _COUNT_CACHE[ck] = n
+            while len(_COUNT_CACHE) > _IDX_CACHE_MAX:
+                _COUNT_CACHE.popitem(last=False)
+    if n <= max_broadcast_features:
         return areadist_fused(points, polys, **kw)
     kw.pop("cell_edge_divisor", None)
     kw.pop("chunk_points", None)
@@ -184,6 +256,19 @@ def areadist_fused(
     dissolvable), "sum" = Σ per-clip areas (disjoint layers)."""
     spark = points.sparkSession
     code = I.code_for_radius(max(maxdist / cell_edge_divisor, I.RESOLUTIONS[0]))
+    pk = _plan_key(polys)
+    cache_key = None
+    if pk is not None:
+        cache_key = (spark.sparkContext.applicationId, pk, float(maxdist),
+                     code, layer_col, bool(validity_filter), dissolve)
+        hit = _IDX_CACHE.get(cache_key)
+        if hit is not None:
+            _IDX_CACHE.move_to_end(cache_key)
+            idx, bc = hit
+            return _fused_apply(points, idx, bc, radii=radii,
+                                maxdist=maxdist, temporal=temporal, age=age,
+                                pi_literal=pi_literal, code=code,
+                                chunk_points=chunk_points)
     corr_pdf = None
     if dissolve == "auto":
         # distributed correction build (same operator the join path
@@ -209,6 +294,26 @@ def areadist_fused(
     idx = _FeatureIndex(pl_pdf, maxdist, code, layer_col, validity_filter,
                         dissolve, corr_pdf=corr_pdf)
     bc = spark.sparkContext.broadcast(idx)
+    if cache_key is not None:
+        _IDX_CACHE[cache_key] = (idx, bc)
+        while len(_IDX_CACHE) > _IDX_CACHE_MAX:
+            _, (_, old_bc) = _IDX_CACHE.popitem(last=False)
+            try:
+                old_bc.unpersist()
+            except Exception:  # noqa: BLE001
+                pass
+    return _fused_apply(points, idx, bc, radii=radii, maxdist=maxdist,
+                        temporal=temporal, age=age, pi_literal=pi_literal,
+                        code=code, chunk_points=chunk_points)
+
+
+def _fused_apply(points: DataFrame, idx: "_FeatureIndex", bc, *,
+                 radii, maxdist, temporal, age, pi_literal, code,
+                 chunk_points) -> DataFrame:
+    """Lazy half of the fused plan: given a built (possibly cached)
+    _FeatureIndex + its broadcast, declare the one-stage mapInPandas.
+    No jobs run here — this is what makes the index cache pay: a
+    cache hit skips straight to plan declaration."""
     radii = tuple(float(r) for r in radii)
     L = len(idx.layers)
 

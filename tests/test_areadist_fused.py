@@ -76,3 +76,57 @@ def test_fused_plan_single_stage(spark, frames):
     assert "Exchange" not in plan           # zero shuffles
     assert "Join" not in plan               # no materialized pair join
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_index_cache_hits_on_parquet_backed_layers(spark, frames, tmp_path):
+    """Second fused build over the SAME parquet-backed layer plan must
+    reuse the cached _FeatureIndex + broadcast (no rebuild, no second
+    broadcast), must NOT collide across different files with one
+    schema, and must never engage for in-memory relations."""
+    from extract_sf_r_parallel_spark.operators import areadist_fused as AF
+    images, layers = frames
+    pts = spark.createDataFrame(images, GEOTAGGED_SCHEMA)
+
+    AF.clear_index_cache()
+    try:
+        path_a = str(tmp_path / "layers_a.parquet")
+        path_b = str(tmp_path / "layers_b.parquet")
+        spark.createDataFrame(layers, LAYER_SCHEMA).write.parquet(path_a)
+        spark.createDataFrame(
+            layers.assign(YEAR=layers["YEAR"] + 1),
+            LAYER_SCHEMA).write.parquet(path_b)
+
+        pls_a = spark.read.parquet(path_a)
+        first = AF.areadist_fused(pts, pls_a).toPandas()
+        assert len(AF._IDX_CACHE) == 1
+        (idx0, bc0) = next(iter(AF._IDX_CACHE.values()))
+
+        # identical plan, fresh DataFrame object → cache hit
+        second = AF.areadist_fused(pts, spark.read.parquet(path_a)).toPandas()
+        assert len(AF._IDX_CACHE) == 1
+        (idx1, bc1) = next(iter(AF._IDX_CACHE.values()))
+        assert idx1 is idx0 and bc1 is bc0
+        _cmp(second, first, METRICS)
+
+        # same schema, DIFFERENT files → distinct entry, not a stale hit
+        diff = AF.areadist_fused(pts, spark.read.parquet(path_b)).toPandas()
+        assert len(AF._IDX_CACHE) == 2
+        assert not np.allclose(
+            diff.sort_values(["PKEY", "layer"])["MEANAGE_150"].to_numpy(float),
+            first.sort_values(["PKEY", "layer"])["MEANAGE_150"].to_numpy(float),
+            equal_nan=True)
+
+        # different build params over the same plan → distinct entry
+        AF.areadist_fused(pts, spark.read.parquet(path_a), maxdist=300.0,
+                          radii=(150.0,)).toPandas()
+        assert len(AF._IDX_CACHE) == 3
+
+        # in-memory relations are uncacheable by design (plan string
+        # carries no data identity)
+        pls_mem = spark.createDataFrame(layers, LAYER_SCHEMA)
+        assert AF._plan_key(pls_mem) is None
+        AF.areadist_fused(pts, pls_mem).toPandas()
+        assert len(AF._IDX_CACHE) == 3
+    finally:
+        AF.clear_index_cache()
+    assert len(AF._IDX_CACHE) == 0 and len(AF._COUNT_CACHE) == 0
