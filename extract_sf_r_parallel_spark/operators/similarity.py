@@ -27,7 +27,7 @@ from ..functions.vectors import cosine
 __all__ = ["brute_force_topk", "matmul_topk", "block_topk",
            "hyperplane_buckets",
            "lsh_ann_topk", "ivf_topk", "cosine_dup_pairs",
-           "lsh_ann_topk_int", "ivf_topk_sampled",
+           "lsh_ann_topk_int", "ivf_topk_sampled", "ivf_topk_lloyd",
            "int_weight_tensor", "QUANT_SCALE"]
 
 
@@ -592,6 +592,144 @@ def ivf_topk_sampled(queries: DataFrame, corpus: DataFrame, k: int = 5,
     q = q.withColumn("cluster", F.explode(assign_udf(n_probe)(F.col("qv"))))
     cand = (
         q.join(c, "cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+        .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), round_dp))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "rk", "nid", "cos")
+    )
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def _QVEC(v: pd.Series) -> pd.Series:
+    """Component quantization (floor(x·10⁶+0.5) → int64), the
+    lsh_ann_topk_int contract, as a reusable column UDF."""
+    m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+    return pd.Series(_quantize(m).tolist())
+
+
+def _int_assign_udf(bc, n_top: int):
+    """n_top nearest centroids by EXACT int64 squared L2, ties to the
+    smaller centroid id — the quantizer decision a SQL oracle replays
+    with plain BIGINT arithmetic. bc carries (C int64[k,dim], cids)."""
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _assign(qcol: pd.Series) -> pd.Series:
+        Cm, ids = bc.value
+        m = np.stack([np.asarray(x, dtype=np.int64) for x in qcol])
+        # loop over the (few) centroids so the temporary stays
+        # (batch, dim) instead of (batch, k, dim)
+        d2 = np.empty((len(m), len(Cm)), dtype=np.int64)
+        for j in range(len(Cm)):
+            diff = m - Cm[j]
+            d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+        order = np.lexsort(
+            (np.broadcast_to(ids, d2.shape), d2), axis=1)[:, :n_top]
+        return pd.Series(ids[order].tolist())
+    return _assign
+
+
+def lloyd_centroids(corpus: DataFrame, n_clusters: int, iters: int = 2,
+                    id_c: str = "vec_id", vec: str = "embedding"):
+    """Integer-exact Lloyd: init centroids = quantized corpus vectors
+    with id < n_clusters, then `iters` rounds of (exact int64 L2
+    assignment, rounded-integer-mean update floor((2Σ+n)/2n), empty
+    clusters keep their centroid). Returns (prepared corpus DataFrame
+    with nid/nv/nq columns, int64 centroid matrix, centroid ids) —
+    split out of ivf_topk_lloyd so tests can check the quantizer
+    itself against an independent replay.
+
+    Each round is one distributed assignment pass + one map-side-
+    combining groupBy whose output is n_clusters×dim longs — the only
+    driver materialization is the centroid table."""
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_c).alias("nid"),
+                      F.col(vec).cast("array<double>").alias("nv")) \
+        .withColumn("nq", _QVEC(F.col("nv")))
+    cent0 = c.filter(F.col("nid") < n_clusters) \
+        .select(F.col("nid").alias("cid"), F.col("nq").alias("cq")) \
+        .toPandas().sort_values("cid")
+    if len(cent0) < n_clusters:
+        raise ValueError(
+            f"ivf_topk_lloyd: only {len(cent0)}/{n_clusters} init centroid "
+            "ids present — the id-prefix init convention requires corpus "
+            f"ids 0..{n_clusters - 1}")
+    cids = cent0["cid"].to_numpy(np.int64)
+    C = np.stack([np.asarray(v, np.int64) for v in cent0["cq"]])
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        bc = spark.sparkContext.broadcast((C, cids))
+        asg = c.withColumn("cluster",
+                           _int_assign_udf(bc, 1)(F.col("nq")).getItem(0))
+        sums = (asg.groupBy("cluster")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     *[F.sum(F.col("nq").getItem(i)).alias(f"s{i}")
+                       for i in range(dim)])
+                .toPandas().set_index("cluster"))
+        Cnew = C.copy()
+        for row, cid in enumerate(cids):
+            if int(cid) not in sums.index:
+                continue                     # empty cluster: keep centroid
+            r = sums.loc[int(cid)]
+            n = int(r["n"])
+            for i in range(dim):
+                s = int(r[f"s{i}"])
+                assert abs(2 * s + n) < 1 << 53, (
+                    "ivf_topk_lloyd: component sum exceeds the float53 "
+                    "floor-parity envelope — lower QUANT_SCALE")
+                Cnew[row, i] = (2 * s + n) // (2 * n)
+        C = Cnew
+    return c, C, cids
+
+
+def ivf_topk_lloyd(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   n_clusters: int = 32, n_probe: int = 8, iters: int = 2,
+                   id_q: str = "vec_id", id_c: str = "vec_id",
+                   vec: str = "embedding", round_dp: int = 5) -> DataFrame:
+    """`ivf_topk_sampled` + genuine Lloyd refinement, every quantizer
+    decision exact 64-bit integer arithmetic so a SQL oracle replays it
+    verbatim (VERDICT r05 next-#4 — the k-means IVF was pytest-only):
+
+    - components quantize to int64 (floor(x·10⁶+0.5), the
+      lsh_ann_topk_int contract — one multiply/add/floor, exact IEEE);
+    - init centroids = quantized corpus vectors with id < n_clusters
+      (the sampled variant's convention);
+    - `iters` Lloyd rounds: assign each corpus vector to the centroid
+      minimizing exact Σ(q−c)² (int64: |diff| ≤ 2·10⁶·max|x|, squared
+      × dim stays ≪ 2⁶³ for |x| ≤ 100), ties to the smaller centroid
+      id; update each component to the rounded integer mean
+      floor((2·Σq + n) / 2n) — floor-division parity with DuckDB's
+      floor((2.0·s + n)/(2·n)) holds exactly while |2s+n| < 2⁵³ (an
+      engine-side assert enforces it); empty clusters keep their
+      previous centroid (standard Lloyd practice, oracle COALESCEs);
+    - search = the IVF plan shape shared by every variant: corpus rides
+      its nearest cluster, queries probe the n_probe nearest (same
+      distance/tie rule), candidates from the cluster equi join,
+      refined by ROUND(float cosine, round_dp) with id tie-break.
+
+    An L2 coarse quantizer under a cosine refine is the stock IVF-Flat
+    arrangement; on the scale path the per-round update is one
+    map-side-combining groupBy of n_clusters×dim longs and the only
+    driver materialization is the centroid table itself."""
+    spark = queries.sparkSession
+    c, C, cids = lloyd_centroids(corpus, n_clusters, iters=iters,
+                                 id_c=id_c, vec=vec)
+    bc = spark.sparkContext.broadcast((C, cids))
+    ca = c.withColumn("cluster",
+                      _int_assign_udf(bc, 1)(F.col("nq")).getItem(0)) \
+        .select("nid", "nv", "cluster")
+    q = queries.select(F.col(id_q).alias("qid"),
+                       F.col(vec).cast("array<double>").alias("qv")) \
+        .withColumn("qq", _QVEC(F.col("qv")))
+    qa = q.withColumn("cluster",
+                      F.explode(_int_assign_udf(bc, n_probe)(F.col("qq")))) \
+        .select("qid", "qv", "cluster")
+    cand = (
+        qa.join(ca, "cluster")
         .filter(F.col("qid") != F.col("nid"))
         .dropDuplicates(["qid", "nid"])
         .withColumn("cos", F.round(cosine(F.col("qv"), F.col("nv")), round_dp))

@@ -17,6 +17,7 @@ from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, frame_sample, pixel_embed
 from ..operators.similarity import (
     cosine_dup_pairs,
+    ivf_topk_lloyd,
     ivf_topk_sampled,
     lsh_ann_topk_int,
     matmul_topk,
@@ -182,6 +183,78 @@ SELECT qid, rk, nid, cos FROM (
                             ORDER BY cos DESC, nid) AS rk
   FROM scored
 ) WHERE rk <= 1
+"""
+
+
+# --- IVF with genuine Lloyd refinement, driver-oracled (VERDICT r05
+# next-#4): the sampled variant above replays a random-init quantizer;
+# this row replays the REAL k-means loop. Every quantizer decision is
+# exact 64-bit integer arithmetic (components quantized by the
+# lsh_ann_topk_int contract, assignment by integer squared-L2 with
+# smaller-cid ties, centroid update = floor((2Σ+n)/2n) integer mean,
+# empty clusters keep their centroid), so the SQL below replays two
+# full Lloyd iterations term-for-term before the shared
+# assign→equi-join→rounded-cosine-refine tail.
+def q_embed_ann_ivf_lloyd(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    return ivf_topk_lloyd(e, e, k=1, n_clusters=32, n_probe=8, iters=2)
+
+
+_LLOYD_ITER = """
+, d{t} AS (
+  SELECT q.vec_id, c.cid, SUM((q.qx - c.cx)*(q.qx - c.cx)) AS d2
+  FROM q JOIN cent{t} c USING (d) GROUP BY 1, 2
+), a{t} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{t}) WHERE rn = 1
+), m{t} AS (
+  SELECT a.cid, q.d,
+         CAST(floor((2.0*SUM(q.qx) + COUNT(*)) / (2*COUNT(*))) AS BIGINT)
+           AS mx
+  FROM q JOIN a{t} a USING (vec_id) GROUP BY 1, 2
+), cent{t1} AS (
+  SELECT c.cid, c.d, COALESCE(m.mx, c.cx) AS cx
+  FROM cent{t} c LEFT JOIN m{t} m USING (cid, d)
+)"""
+
+ORACLE["embed_ann_ivf_lloyd"] = """
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(CAST(embedding AS DOUBLE[]), 1) AS d,
+         unnest(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), q AS (
+  SELECT vec_id, d, CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS qx FROM comp
+), cent0 AS (
+  SELECT vec_id AS cid, d, qx AS cx FROM q WHERE vec_id < 32
+)""" + _LLOYD_ITER.format(t=0, t1=1) + _LLOYD_ITER.format(t=1, t1=2) + """
+, dfin AS (
+  SELECT q.vec_id, c.cid, SUM((q.qx - c.cx)*(q.qx - c.cx)) AS d2
+  FROM q JOIN cent2 c USING (d) GROUP BY 1, 2
+), af AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS ar
+  FROM dfin
+), ca AS (
+  SELECT vec_id AS nid, cid AS cluster FROM af WHERE ar = 1
+), qa AS (
+  SELECT vec_id AS qid, cid AS cluster FROM af WHERE ar <= 8
+), cand AS (
+  SELECT DISTINCT qa.qid, ca.nid FROM qa JOIN ca USING (cluster)
+  WHERE qa.qid <> ca.nid
+), scored AS (
+  SELECT cand.qid, cand.nid,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 5)
+           AS cos
+  FROM cand JOIN embeddings a ON a.vec_id = cand.qid
+            JOIN embeddings b ON b.vec_id = cand.nid
+)
+SELECT qid, rk, nid, cos FROM (
+  SELECT qid, nid, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+  FROM scored) WHERE rk <= 1
 """
 
 
@@ -1430,6 +1503,7 @@ QUERIES.update({
     "embed_dup_pairs": q_embed_dup_pairs,
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ann_ivf": q_embed_ann_ivf,
+    "embed_ann_ivf_lloyd": q_embed_ann_ivf_lloyd,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1477,6 +1551,7 @@ _GATE_FIRST = [
     "image_dedup", "stream_join_outer", "bm25", "hash_split",
     "stratified_sample", "zorder_stats", "focal_mean", "tile_pyramid",
     "pack_chunks", "grid_clusters", "simplify_lines",
+    "embed_ann_ivf_lloyd",
 ]
 
 

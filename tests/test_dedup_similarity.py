@@ -324,3 +324,49 @@ def test_simhash_pairs_banded_blocking(spark, docs):
     assert (got.hamming <= 3).all()
     with pytest.raises(AssertionError, match="hamming < bands"):
         D.simhash_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_lloyd_ivf_recall_and_refinement(spark, vectors):
+    """Lloyd-refined IVF (the integer-exact driver variant): recall vs
+    brute force holds, planted twins land together, and the quantizer
+    genuinely moves — its final corpus assignment must differ from the
+    random-init (iters=0 ≡ sampled-centroid) assignment somewhere."""
+    brute = S.brute_force_topk(vectors, vectors, k=1).toPandas()
+    ann = S.ivf_topk_lloyd(vectors, vectors, k=1,
+                           n_clusters=16, n_probe=6, iters=2).toPandas()
+    bm = dict(zip(brute.qid, brute.nid))
+    am = dict(zip(ann.qid, ann.nid))
+    recall = sum(1 for q, n in bm.items() if am.get(q) == n) / len(bm)
+    assert recall >= 0.8, f"Lloyd-IVF recall too low: {recall:.2f}"
+    for i in range(15):
+        assert am.get(500 + i) == i
+    # the quantizer itself: distributed integer Lloyd must equal an
+    # independent local NumPy replay of the same integer recurrence,
+    # and two iterations must actually move the centroids
+    _, C2, cids = S.lloyd_centroids(vectors, 16, iters=2)
+    _, C0, _ = S.lloyd_centroids(vectors, 16, iters=0)
+    assert (C2 != C0).any(), "2 Lloyd iterations moved no centroid"
+    pdf = vectors.toPandas().sort_values("vec_id")
+    Q = np.floor(np.stack([np.asarray(v, np.float64)
+                           for v in pdf.embedding]) * 1_000_000 + 0.5) \
+        .astype(np.int64)
+    C = Q[:16].copy()
+    for _ in range(2):
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        asg = np.argmin(d2, axis=1)          # first min = smaller cid
+        Cn = C.copy()
+        for j in range(16):
+            m = asg == j
+            if m.any():
+                s, n = Q[m].sum(axis=0), int(m.sum())
+                Cn[j] = (2 * s + n) // (2 * n)
+        C = Cn
+    np.testing.assert_array_equal(C2, C)
+
+
+def test_lloyd_ivf_requires_id_prefix(spark, vectors):
+    """The id-prefix init convention fails loudly when violated."""
+    shifted = vectors.withColumn(
+        "vec_id", vectors.vec_id + F.lit(10_000))
+    with pytest.raises(ValueError, match="init centroid"):
+        S.ivf_topk_lloyd(shifted, shifted, k=1, n_clusters=16)
