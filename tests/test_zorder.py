@@ -73,3 +73,60 @@ def test_cluster_by_zorder_partitions_non_overlapping(spark):
     assert len(parts) > 1
     for i in range(1, len(parts)):
         assert parts.loc[i, "lo"] > parts.loc[i - 1, "hi"]
+
+
+def test_quantize_float_coords_property(spark):
+    """Float-coordinate pre-scale (the off-synthetic-grid path): the
+    Spark grid index must equal Python floor((x−o)/s) for random
+    floats including negatives, the composed
+    zorder_code(quantize(...), extent=2^bits) must equal the NumPy
+    Morton interleave of those indices, the DuckDB replay string must
+    agree, and out-of-grid coords must fail loudly."""
+    import duckdb
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from extract_sf_r_parallel_spark.operators.zorder import (
+        quantize,
+        quantize_sql,
+        zorder_code,
+    )
+    rng = np.random.default_rng(23)
+    bits = 10
+    x0, y0, step = -350.75, 1200.125, 3.7
+    pdf = pd.DataFrame({
+        "x": x0 + rng.uniform(0, (1 << bits) * step, 800),
+        "y": y0 + rng.uniform(0, (1 << bits) * step, 800),
+    })
+    got = spark.createDataFrame(pdf).select(
+        "x", "y",
+        quantize(F.col("x"), x0, step, bits).alias("ix"),
+        quantize(F.col("y"), y0, step, bits).alias("iy"),
+        zorder_code(quantize(F.col("x"), x0, step, bits),
+                    quantize(F.col("y"), y0, step, bits),
+                    extent=float(1 << bits), bits=bits).alias("z"),
+    ).toPandas()
+    ix = np.floor((got["x"].to_numpy() - x0) / step).astype(np.int64)
+    iy = np.floor((got["y"].to_numpy() - y0) / step).astype(np.int64)
+    assert (got["ix"].to_numpy() == ix).all()
+    assert (got["iy"].to_numpy() == iy).all()
+    z = np.zeros_like(ix)
+    for b in range(bits):
+        z |= ((ix >> b) & 1) << (2 * b)
+        z |= ((iy >> b) & 1) << (2 * b + 1)
+    assert (got["z"].to_numpy() == z).all()
+
+    # DuckDB replay parity on the same rows
+    con = duckdb.connect()
+    con.register("pts", pdf)
+    d = con.sql(f"SELECT {quantize_sql('x', x0, step)} AS ix, "
+                f"{quantize_sql('y', y0, step)} AS iy FROM pts").df()
+    wx = np.floor((pdf["x"].to_numpy() - x0) / step).astype(np.int64)
+    wy = np.floor((pdf["y"].to_numpy() - y0) / step).astype(np.int64)
+    assert (d["ix"].to_numpy() == wx).all()
+    assert (d["iy"].to_numpy() == wy).all()
+
+    # out-of-grid → loud failure, not silent aliasing
+    bad = spark.createDataFrame(pd.DataFrame({"x": [x0 - 10.0]}))
+    with pytest.raises(SparkRuntimeException, match="outside"):
+        bad.select(quantize(F.col("x"), x0, step, bits).alias("i")).collect()
