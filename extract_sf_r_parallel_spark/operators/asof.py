@@ -34,13 +34,62 @@ def _micros(c):
     return F.unix_micros(c.cast("timestamp"))
 
 
+def _chunk_carry_rows(u: DataFrame, on: str, direction: str,
+                      lcols: list, left: DataFrame) -> DataFrame:
+    """The split-window boundary fix: one synthetic side-0 row per
+    (key, chunk) holding the right row the unsplit fill would have
+    carried across the chunk boundary — backward: the greatest
+    (_ats, _tb) from any EARLIER chunk; forward: the least _ats /
+    greatest _tb from any LATER chunk. Chunk arithmetic guarantees the
+    carry's _ats sorts strictly before every in-chunk row under the
+    direction's order, so it seeds the window fill exactly like the
+    suppressed cross-chunk history. Two tiny stages: a row_number at
+    the same (key, chunk) shuffle grain picks each chunk's candidate,
+    then a window over one-row-per-(key, chunk) propagates it."""
+    rr = u.filter(F.col("_side") == 0) \
+        .select(F.col(on), F.col("_ck"), F.col("_ats"),
+                F.col("_tb"), F.col("_r"))
+    if direction == "backward":
+        cand_order = [F.col("_ats").desc(), F.col("_tb").desc()]
+    else:
+        cand_order = [F.col("_ats").asc(), F.col("_tb").desc()]
+    wc = Window.partitionBy(on, "_ck").orderBy(*cand_order)
+    cand = rr.withColumn("_rn", F.row_number().over(wc)) \
+        .filter(F.col("_rn") == 1).drop("_rn") \
+        .withColumn("_c", F.struct("_ats", "_tb", "_r")) \
+        .select(on, "_ck", "_c")
+    spine = u.select(F.col(on), F.col("_ck")).distinct() \
+        .join(cand, [on, "_ck"], "left")
+    if direction == "backward":
+        wk = (Window.partitionBy(on).orderBy(F.col("_ck").asc())
+              .rowsBetween(Window.unboundedPreceding, -1))
+        fill = F.last(F.col("_c"), ignorenulls=True).over(wk)
+    else:
+        wk = (Window.partitionBy(on).orderBy(F.col("_ck").asc())
+              .rowsBetween(1, Window.unboundedFollowing))
+        fill = F.first(F.col("_c"), ignorenulls=True).over(wk)
+    carry = spine.withColumn("_cf", fill) \
+        .filter(F.col("_cf").isNotNull()) \
+        .select(F.col(on), F.col("_ck"),
+                F.col("_cf").getField("_ats").alias("_ats"),
+                F.col("_cf").getField("_tb").alias("_tb"),
+                F.col("_cf").getField("_r").alias("_r"))
+    carry = carry.withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c != on:
+            carry = carry.withColumn(
+                c, F.lit(None).cast(left.schema[c].dataType))
+    return carry.select(*u.columns)
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               left_ts: str = "ts", right_ts: str = "ts",
               payload: tuple[str, ...] = ("value",),
               suffix: str = "_asof",
               direction: str = "backward",
               tolerance_seconds: float | None = None,
-              tie_breaker: str | None = None) -> DataFrame:
+              tie_breaker: str | None = None,
+              split_seconds: int | None = None) -> DataFrame:
     """For every left row: the matching right row of the same `on` key
     per `direction` —
     - "backward" (default): most recent right_ts ≤ left_ts,
@@ -61,15 +110,31 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     (a right-side column, e.g. an event id) and the row with the
     GREATEST tie-breaker value wins, in every direction — reproducible
     on replayed data (VERDICT r04 #4). Without it ties resolve
-    arbitrarily (fine for unique-timestamp feeds)."""
+    arbitrarily (fine for unique-timestamp feeds).
+
+    HOT-KEY MITIGATION (VERDICT r05 next-#7): the window partitions by
+    the entity key, so one celebrity key holding 90 % of the rows
+    serializes a single partition's sort. `split_seconds` pre-splits
+    every key's timeline into fixed chunks (floor(ts / split)), runs
+    the fill window per (key, chunk), and merges across boundaries by
+    injecting one synthetic carry-in right row per (key, chunk) — the
+    row the fill would have carried over, computed by a per-chunk
+    row_number (same shuffle grain) plus a chunk-level window whose
+    input is one row per (key, chunk). Results are byte-identical to
+    the unsplit plan in every direction, with ties and tolerance
+    (tests/test_asof.py); the extra cost is one chunk-grain shuffle,
+    and the largest partition shrinks from max-rows-per-key to
+    max-rows-per-(key, chunk)."""
     if direction == "nearest":
         back = asof_join(left, right, on, left_ts, right_ts, payload,
-                         "_bwd", "backward", tolerance_seconds, tie_breaker)
+                         "_bwd", "backward", tolerance_seconds, tie_breaker,
+                         split_seconds)
         fwd_in = back.withColumnRenamed(f"{right_ts}_bwd", "_bts")
         for p in payload:
             fwd_in = fwd_in.withColumnRenamed(f"{p}_bwd", f"_b_{p}")
         both = asof_join(fwd_in, right, on, left_ts, right_ts, payload,
-                         "_fwd", "forward", tolerance_seconds, tie_breaker)
+                         "_fwd", "forward", tolerance_seconds, tie_breaker,
+                         split_seconds)
         d_b = _micros(F.col(left_ts)) - _micros(F.col("_bts"))
         d_f = _micros(F.col(f"{right_ts}_fwd")) - _micros(F.col(left_ts))
         use_b = F.col("_bts").isNotNull() & (
@@ -116,7 +181,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
                  F.col("_tb").asc()]
     else:
         raise ValueError(f"unknown direction {direction!r}")
-    w = (Window.partitionBy(on).orderBy(*order)
+    part = [F.col(on)]
+    if split_seconds is not None:
+        sp_us = int(split_seconds) * 1_000_000
+        u = u.withColumn("_ck", F.floor(_micros(F.col("_ats")) / sp_us))
+        u = u.unionByName(
+            _chunk_carry_rows(u, on, direction, lcols, left))
+        part.append(F.col("_ck"))
+    w = (Window.partitionBy(*part).orderBy(*order)
          .rowsBetween(Window.unboundedPreceding, 0))
     filled = u.withColumn("_f", F.last(F.col("_r"), ignorenulls=True).over(w))
     out = filled.filter(F.col("_side") == 1)

@@ -27,7 +27,8 @@ def interval_join(left: DataFrame, right: DataFrame,
                   key: str | None = None,
                   bucket_width_seconds: int = 3600,
                   suffixes: tuple[str, str] = ("_l", "_r"),
-                  max_buckets_per_row: int = 4096) -> DataFrame:
+                  max_buckets_per_row: int = 4096,
+                  salt: int = 1) -> DataFrame:
     """Inner join of rows whose [start, end] intervals overlap
     (inclusive ends: l_start ≤ r_end AND r_start ≤ l_end), optionally
     key-equal first. Timestamps or numerics both work (timestamps are
@@ -38,7 +39,19 @@ def interval_join(left: DataFrame, right: DataFrame,
     silently fan out to ~8 800 rows; any row exceeding the cap fails
     the job with the offending span so the caller coarsens
     bucket_width_seconds (or pre-splits pathological intervals) instead
-    of discovering the blow-up as an OOM three stages later."""
+    of discovering the blow-up as an OOM three stages later.
+
+    `salt` > 1 (VERDICT r05 next-#7) spreads a hot (key, bucket) — a
+    celebrity key whose intervals pile into one time bucket would
+    otherwise serialize one shuffle partition. Left rows take a
+    deterministic hash salt, right rows replicate salt×, and the salt
+    joins the equi keys; every overlapping pair still meets in exactly
+    one (bucket, salt) cell, so the owner-bucket exactly-once rule is
+    untouched and the result is byte-identical to salt=1 (asserted in
+    tests/test_interval_join.py). Cost: salt× replication of the
+    right explode — same trade as the spatial cell join's salting."""
+    if not isinstance(salt, int) or isinstance(salt, bool) or salt < 1:
+        raise ValueError(f"salt must be a positive int, got {salt!r}")
     w_us = bucket_width_seconds * 1_000_000
 
     def _b(df, col):
@@ -77,11 +90,20 @@ def interval_join(left: DataFrame, right: DataFrame,
     r = _explode(right, r_start, r_end, 1)
     join_keys = ["_bkt"] if key is None else [key, "_bkt"]
     r = r.withColumnRenamed("_b0", "_rb0")
+    if salt > 1:
+        l = l.withColumn("_salt", F.pmod(
+            F.xxhash64(F.col(f"{l_start}{suffixes[0]}"),
+                       F.col(f"{l_end}{suffixes[0]}")),
+            F.lit(salt)).cast("int"))
+        r = r.withColumn("_salt", F.explode(
+            F.array(*[F.lit(i) for i in range(salt)])))
+        join_keys = join_keys + ["_salt"]
     pairs = l.join(r, join_keys)
     ls, le = F.col(f"{l_start}{suffixes[0]}"), F.col(f"{l_end}{suffixes[0]}")
     rs, re_ = F.col(f"{r_start}{suffixes[1]}"), F.col(f"{r_end}{suffixes[1]}")
     overlap = (ls <= re_) & (rs <= le)
     # exactly-once: only the FIRST bucket both intervals share reports
     first_shared = F.greatest(F.col("_b0"), F.col("_rb0"))
-    return (pairs.filter(overlap & (F.col("_bkt") == first_shared))
-            .drop("_bkt", "_b0", "_rb0"))
+    out = (pairs.filter(overlap & (F.col("_bkt") == first_shared))
+           .drop("_bkt", "_b0", "_rb0"))
+    return out.drop("_salt") if salt > 1 else out

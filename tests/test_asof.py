@@ -142,3 +142,91 @@ def test_asof_null_payload_is_atomic(spark):
                       "value": [10.0, None]}),
         on="ts", by="user_id")
     assert want["value"].tolist()[0] == 10.0 and pd.isna(want["value"][1])
+
+
+def test_asof_split_matches_unsplit_all_directions(spark):
+    """The hot-key split path (split_seconds) must be byte-identical
+    to the single-window plan on a random fixture with duplicate
+    timestamps, a tie-breaker, tolerance, and a 90%-one-key skew —
+    for every direction, at a chunk width that forces many boundary
+    carries."""
+    import numpy as np
+    rng = np.random.default_rng(47)
+    n_r, n_l = 400, 300
+    # 90% of rows on user 7, coarse second grid → plenty of exact ties
+    r_users = np.where(rng.random(n_r) < 0.9, 7, rng.integers(0, 5, n_r))
+    l_users = np.where(rng.random(n_l) < 0.9, 7,
+                       rng.integers(0, 6, n_l))  # user 5 absent in right
+    right = pd.DataFrame({
+        "user_id": r_users,
+        "ts": [T0 + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 5_000, n_r)],
+        "value": rng.normal(size=n_r).round(3),
+        "eid": rng.permutation(n_r),
+    })
+    left = pd.DataFrame({
+        "probe": range(n_l),
+        "user_id": l_users,
+        "ts": [T0 + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 5_000, n_l)],
+    })
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 300):
+            plain = asof_join(ldf, rdf, on="user_id", payload=("value",),
+                              direction=direction, tolerance_seconds=tol,
+                              tie_breaker="eid") \
+                .toPandas().sort_values("probe").reset_index(drop=True)
+            split = asof_join(ldf, rdf, on="user_id", payload=("value",),
+                              direction=direction, tolerance_seconds=tol,
+                              tie_breaker="eid", split_seconds=120) \
+                .toPandas().sort_values("probe").reset_index(drop=True)
+            pd.testing.assert_frame_equal(
+                plain, split, check_like=True,
+                obj=f"direction={direction} tol={tol}")
+
+
+def test_asof_split_empty_chunks_and_single_row_chunks(spark):
+    """Chunks with probes but no right rows must still receive the
+    carry from an earlier (backward) / later (forward) chunk."""
+    right = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "value": 1.0},
+        {"user_id": 1, "ts": _ts(500), "value": 2.0},
+    ]))
+    left = spark.createDataFrame(pd.DataFrame([
+        {"probe": "far", "user_id": 1, "ts": _ts(300)},   # empty chunk
+        {"probe": "pre", "user_id": 1, "ts": _ts(-60)},   # before all
+    ]))
+    got = asof_join(left, right, on="user_id", payload=("value",),
+                    split_seconds=600).toPandas().set_index("probe")
+    assert got.loc["far", "value_asof"] == 1.0
+    assert pd.isna(got.loc["pre", "value_asof"])
+    fwd = asof_join(left, right, on="user_id", payload=("value",),
+                    direction="forward", split_seconds=600) \
+        .toPandas().set_index("probe")
+    assert fwd.loc["far", "value_asof"] == 2.0
+    assert fwd.loc["pre", "value_asof"] == 1.0
+
+
+def test_asof_split_plan_partitions_by_chunk(spark):
+    """The split plan's fill window must partition by (key, chunk) —
+    the property that bounds the largest sort partition to one chunk
+    of one key. (A timing assert would be dishonest at test scale:
+    single-partition sorts only hurt at many millions of rows per
+    key, so the plan shape is the testable contract.)"""
+    import contextlib
+    import io
+    right = spark.createDataFrame(pd.DataFrame([
+        {"user_id": 1, "ts": _ts(0), "value": 1.0}]))
+    left = spark.createDataFrame(pd.DataFrame([
+        {"probe": "p", "user_id": 1, "ts": _ts(5)}]))
+    df = asof_join(left, right, on="user_id", payload=("value",),
+                   split_seconds=600)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    fills = [ln for ln in plan.splitlines()
+             if "windowspecdefinition" in ln and "last(_r" in ln]
+    assert fills and all("_ck" in ln for ln in fills), \
+        f"fill window does not partition by chunk:\n{plan[:2000]}"

@@ -79,3 +79,84 @@ def test_interval_join_shared_name_different_dtype(spark):
                         "s", "e", "c", "d").toPandas()
     assert sorted(zip(got["lid_l"], got["rid_r"])) == [(0, 0)]
     assert got["s_r"].tolist() == [123.0]  # payload rides along
+
+
+def test_interval_join_salted_identical(spark):
+    """salt > 1 must be byte-identical to salt=1 on a 90%-one-hot-
+    (key, bucket) fixture (the celebrity-key shape the salt exists
+    for), and bad salt values fail loudly."""
+    import pytest
+    rng = np.random.default_rng(59)
+    n = 300
+    hot = rng.random(n) < 0.9
+    k = np.where(hot, 7, rng.integers(0, 4, n))
+    # hot rows all start inside ONE 1s bucket; others spread out
+    s = np.where(hot, rng.random(n) * 0.9, rng.integers(0, 500, n))
+    l = pd.DataFrame({"k": k, "lid": range(n), "a": s,
+                      "b": s + rng.random(n) * 3})
+    r = pd.DataFrame({"k": k, "rid": range(n), "c": s + 0.2,
+                      "d": s + 0.2 + rng.random(n) * 3})
+    ldf, rdf = spark.createDataFrame(l), spark.createDataFrame(r)
+    base = interval_join(ldf, rdf, "a", "b", "c", "d", key="k",
+                         bucket_width_seconds=1).toPandas()
+    salted = interval_join(ldf, rdf, "a", "b", "c", "d", key="k",
+                           bucket_width_seconds=1, salt=8).toPandas()
+    cols = sorted(base.columns)
+    assert sorted(salted.columns) == cols
+    bs = base[cols].sort_values(["lid_l", "rid_r"]).reset_index(drop=True)
+    ss = salted[cols].sort_values(["lid_l", "rid_r"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(bs, ss)
+    assert len(bs) > 1000  # the hot cell really is hot
+    with pytest.raises(ValueError, match="positive int"):
+        interval_join(ldf, rdf, "a", "b", "c", "d", salt=0)
+    with pytest.raises(ValueError, match="positive int"):
+        interval_join(ldf, rdf, "a", "b", "c", "d", salt="auto")
+
+
+def test_interval_join_salt_beats_hot_cell(spark):
+    """VERDICT r05 next-#7 done-criterion: on a 90%-one-(key, bucket)
+    fixture the salted plan must beat the unsalted plan (calibrated:
+    ~31s vs ~10s at n=40k, ~4.5s vs ~3.0s at n=15k, no AQE).
+
+    Measured on the SHUFFLE path with AQE off — the configuration the
+    salt exists for: with adaptive skewJoin enabled this shape is
+    ALSO handled by the engine (AQE split the hot SMJ partition and
+    beat the manual salt here, measured 2.7s vs 7.8s — the OPPOSITE
+    of the spatial cell join's one-hot-cell bench where raw+salt beat
+    AQE), so `salt` is the documented fallback for when AQE is off,
+    misestimates, or loses, not a default. Salted runs FIRST so any
+    residual warm-up penalizes the side making the claim."""
+    import time
+    rng = np.random.default_rng(7)
+    n = 25_000
+    k = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 8, n))
+    s = np.where(k == 7, rng.random(n) * 0.9,
+                 rng.integers(0, 2000, n).astype(float))
+    l = pd.DataFrame({"k": k, "lid": range(n), "a": s,
+                      "b": s + rng.random(n) * 0.5})
+    r = pd.DataFrame({"k": k, "rid": range(n), "c": s + 0.1,
+                      "d": s + 0.1 + rng.random(n) * 0.5})
+    ldf, rdf = spark.createDataFrame(l), spark.createDataFrame(r)
+
+    def run(salt):
+        t = time.time()
+        c = interval_join(ldf, rdf, "a", "b", "c", "d", key="k",
+                          bucket_width_seconds=1, salt=salt).count()
+        return time.time() - t, c
+
+    saved = {k_: spark.conf.get(k_) for k_ in
+             ("spark.sql.adaptive.enabled",
+              "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        run(16)                  # warm-up (plan/codegen/exchange)
+        w_salt, c_salt = run(16)
+        w_raw, c_raw = run(1)
+    finally:
+        for k_, v in saved.items():
+            spark.conf.set(k_, v)
+    assert c_salt == c_raw
+    assert w_salt < w_raw, (
+        f"salted ({w_salt:.1f}s) not faster than raw ({w_raw:.1f}s) "
+        "on the one-hot-cell shuffle path")
