@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 from ..data import codec
 
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
-           "ahash_bits", "image_dup_groups"]
+           "ahash_bits", "image_dup_groups", "sobel_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -63,6 +63,43 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 ))
             yield pd.DataFrame(rows, columns=[f.name for f in _STATS_SCHEMA.fields])
     return images.mapInPandas(gen, _STATS_SCHEMA)
+
+
+_SOBEL_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("edge_energy", T.LongType()),
+    T.StructField("max_grad", T.LongType()),
+])
+
+
+def sobel_stats(images: DataFrame) -> DataFrame:
+    """Edge-detection feature extraction: the 3×3 Sobel operator on
+    channel 0, exact int64 — per image the L1 gradient energy
+    Σ(|gx|+|gy|) and peak |gx|+|gy| over interior pixels. The standard
+    "is this image blurry / blank / busy" quality score for vision
+    training-data filtering, and a convolution whose integer kernel a
+    SQL oracle can replay term-for-term (gx weight dc·(2−|dr|), gy
+    weight dr·(2−|dc|) over the 9 neighbor offsets).
+
+    Scale: embarrassingly parallel mapInPandas — no shuffle at all;
+    Arrow batches amortize decode, NumPy slicing does the convolution
+    (no per-pixel Python)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                # gx = Σ v[r+dr][c+dc]·dc·(2−|dr|); gy mirrored
+                gx = ((v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2]))
+                gy = ((v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:]))
+                g = np.abs(gx) + np.abs(gy)
+                rows.append((r.image_id, int(g.sum()), int(g.max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SOBEL_SCHEMA.fields])
+    return images.mapInPandas(gen, _SOBEL_SCHEMA)
 
 
 _AHASH_SCHEMA = T.StructType([

@@ -1336,6 +1336,185 @@ FROM kept k JOIN pts p ON p.line_id = k.line_id AND p.idx = k.idx""")
 ORACLE["simplify_lines"] = _simplify_oracle()
 
 
+# --- spatial ANTI join (r06): points with NO feature within maxdist —
+# the relational complement of range_near, planned as the cell-indexed
+# candidate join followed by a LEFT ANTI on pid (one extra exchange,
+# no aggregation). The oracle brute-forces NOT IN over the cross
+# join, so a hash match proves the cell cover misses no candidate
+# (a false-negative cover would leak points into this result).
+# Radius 300 m (not maxdist): at fixture density every point has a
+# feature within 1000 m, so the interesting complement — ~9 % of
+# points isolated — lives at the tighter cutoff. The candidate pairs
+# are still built at the maxdist cover (a superset), exactly as a
+# caller reusing one cover for several cutoffs would.
+ANTI_R = 300.0
+
+
+def q_spatial_antijoin(spark, sf_dir):
+    pairs = rect_pairs(spark, sf_dir).filter(F.col("dist") < ANTI_R)
+    pts = points_df(spark, sf_dir)
+    return pts.join(pairs.select("pid"), "pid", "left_anti") \
+        .select("pid", "x", "y", "pyear")
+
+
+ORACLE["spatial_antijoin"] = f"""
+SELECT pid, x, y, pyear FROM ({_PTS_SQL})
+WHERE pid NOT IN (
+  SELECT pid FROM ({_PAIRS_SQL}) WHERE dist < {ANTI_R})
+"""
+
+
+# --- trajectory rollup (r06): per-entity GPS-track statistics over
+# the events stream, coordinates from the SQL-parity geotag. ONE
+# keyed window + ONE aggregation, pure JVM (operators/trajectory.py).
+def q_traj_stats(spark, sf_dir):
+    from ..operators.trajectory import trajectory_stats
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    e = e.repartition(spark.sparkContext.defaultParallelism)
+    e = e.select(
+        "user_id", "ts", "event_id",
+        F.expr(G.sql_point_x("event_id")).alias("x"),
+        F.expr(G.sql_point_y("event_id")).alias("y"))
+    t = trajectory_stats(e, key="user_id", ts="ts", tiebreak="event_id")
+    return t.select(
+        "user_id", "n_events",
+        F.round("path_len", 4).alias("path_len"),
+        F.round("net_disp", 4).alias("net_disp"),
+        F.round("max_seg", 4).alias("max_seg"),
+        F.round("dur_s", 3).alias("dur_s"),
+        F.round("avg_speed", 6).alias("avg_speed"))
+
+
+ORACLE["traj_stats"] = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         {G.sql_point_x('event_id')} AS x,
+         {G.sql_point_y('event_id')} AS y
+  FROM events
+), seq AS (
+  SELECT user_id, ts, x, y,
+         x - LAG(x) OVER w AS dx,
+         y - LAG(y) OVER w AS dy,
+         ROW_NUMBER() OVER w AS rn,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rnd
+  FROM pings
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), agg AS (
+  SELECT user_id,
+         COUNT(*) AS n_events,
+         COALESCE(SUM(SQRT(dx*dx + dy*dy)), 0.0) AS path_raw,
+         MAX(CASE WHEN rn = 1 THEN x END) AS x0,
+         MAX(CASE WHEN rn = 1 THEN y END) AS y0,
+         MAX(CASE WHEN rnd = 1 THEN x END) AS x1,
+         MAX(CASE WHEN rnd = 1 THEN y END) AS y1,
+         MAX(SQRT(dx*dx + dy*dy)) AS max_raw,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6 AS dur_raw
+  FROM seq GROUP BY user_id
+)
+SELECT user_id, n_events,
+       ROUND(path_raw, 4) AS path_len,
+       ROUND(SQRT((x1-x0)*(x1-x0) + (y1-y0)*(y1-y0)), 4) AS net_disp,
+       ROUND(max_raw, 4) AS max_seg,
+       ROUND(dur_raw, 3) AS dur_s,
+       ROUND(CASE WHEN dur_raw > 0 THEN path_raw / dur_raw END, 6)
+         AS avg_speed
+FROM agg
+"""
+
+
+# --- IDW interpolation (r06): probe locations from `customer`,
+# observations = the orders points carrying pyear as the field value.
+# Spark runs the disk-cover cell join (operators/interpolate.py);
+# DuckDB brute-forces the cross join with the identical regularized
+# weight 1/(1+d²) — d² an exact integer, so only the accumulation
+# order differs (ROUND 6 absorbs it).
+def q_idw_interp(spark, sf_dir):
+    from ..operators.interpolate import idw_interpolate
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    probes = c.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr(G.sql_point_x("c_custkey")).alias("x"),
+        F.expr(G.sql_point_y("c_custkey")).alias("y"))
+    obs = points_df(spark, sf_dir).select(
+        "x", "y", F.col("pyear").cast("double").alias("v"))
+    out = idw_interpolate(probes, obs, MAXDIST, value="v")
+    return out.select("probe_id", "n_obs",
+                      F.round("est", 6).alias("est"))
+
+
+ORACLE["idw_interp"] = f"""
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         {G.sql_point_x('c_custkey')} AS x,
+         {G.sql_point_y('c_custkey')} AS y
+  FROM customer
+), obs AS (
+  SELECT x, y, CAST(pyear AS DOUBLE) AS v FROM ({_PTS_SQL})
+), pairs AS (
+  SELECT probe_id, v, 1.0 / (1.0 + d2) AS w
+  FROM (
+    SELECT p.probe_id, o.v,
+           (o.x - p.x)*(o.x - p.x) + (o.y - p.y)*(o.y - p.y) AS d2
+    FROM probes p CROSS JOIN obs o
+  ) WHERE d2 <= {MAXDIST * MAXDIST}
+)
+SELECT probe_id, COALESCE(n_obs, 0) AS n_obs, est
+FROM probes LEFT JOIN (
+  SELECT probe_id AS jpid, COUNT(*) AS n_obs,
+         ROUND(SUM(w * v) / SUM(w), 6) AS est
+  FROM pairs GROUP BY 1
+) ON probe_id = jpid
+"""
+
+
+# --- per-group convex hull (r06): Andrew's monotone chain
+# (operators/hull.py) run HIERARCHICALLY (pre_reduce_salt=4: shard
+# hulls, then the hull of their union — exact by associativity),
+# against a DuckDB oracle that derives the hull a completely different
+# way: the O(n³) maximal-edge test ((a, b) is a hull edge iff every
+# other point is strictly left of a→b or on the open segment), with
+# vertex count, exact-integer doubled shoelace area, and perimeter
+# re-derived from the edge set. Agreement proves the chain, the
+# shard merge, AND the strict-vertex collinear handling.
+def q_convex_hull(spark, sf_dir):
+    from ..operators.hull import convex_hull_stats
+    pts = points_df(spark, sf_dir).filter(F.col("pid") % 2 == 0) \
+        .withColumn("gid", F.expr("(pid div 2) % 150"))
+    return convex_hull_stats(
+        pts.select("gid", "x", "y"), group="gid", pre_reduce_salt=4
+    ).select("gid", "hull_n", "area2", "perim")
+
+
+ORACLE["convex_hull"] = f"""
+WITH pts AS (
+  SELECT pid, x, y, (pid // 2) % 150 AS gid
+  FROM ({_PTS_SQL}) WHERE pid % 2 = 0
+), edges AS (
+  SELECT a.gid, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b ON a.gid = b.gid AND a.pid <> b.pid
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.gid = a.gid AND c.pid <> a.pid AND c.pid <> b.pid
+      AND NOT (
+        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+        OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+            AND ((a.x <> b.x AND c.x > LEAST(a.x, b.x)
+                            AND c.x < GREATEST(a.x, b.x))
+              OR (a.x = b.x AND c.y > LEAST(a.y, b.y)
+                           AND c.y < GREATEST(a.y, b.y))))
+      )
+  )
+)
+SELECT gid, CAST(COUNT(*) AS INT) AS hull_n,
+       CAST(SUM(CAST(ax AS BIGINT) * CAST(by AS BIGINT)
+              - CAST(bx AS BIGINT) * CAST(ay AS BIGINT)) AS BIGINT)
+         AS area2,
+       ROUND(SUM(SQRT((bx-ax)*(bx-ax) + (by-ay)*(by-ay))), 4) AS perim
+FROM edges GROUP BY gid
+"""
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "zorder_stats": q_zorder_stats,
@@ -1360,4 +1539,8 @@ QUERIES = {
     "shard_roundtrip": q_shard_roundtrip,
     "icelite_evolution": q_icelite_evolution,
     "csv_roundtrip": q_csv_roundtrip,
+    "spatial_antijoin": q_spatial_antijoin,
+    "traj_stats": q_traj_stats,
+    "idw_interp": q_idw_interp,
+    "convex_hull": q_convex_hull,
 }
