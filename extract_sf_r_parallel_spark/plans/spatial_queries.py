@@ -1515,6 +1515,51 @@ FROM edges GROUP BY gid
 """
 
 
+# --- geometric median (r06): fixed-depth Weiszfeld refinement — the
+# engine's iterative-algorithm pattern (cf. the IVF quantizer's Lloyd
+# steps) driver-oracled by UNROLLING the same three updates into SQL
+# CTEs. The per-group mean seed is exact both sides (integer sums);
+# every weight is bit-identical (same IEEE sqrt/divide); only float
+# accumulation order differs, absorbed by ROUND 4 at metre scale.
+def q_geo_median(spark, sf_dir):
+    from ..operators.median import geometric_median
+    pts = points_df(spark, sf_dir) \
+        .withColumn("gid", F.pmod("pid", F.lit(40)))
+    out = geometric_median(pts.select("gid", "x", "y"), iters=3)
+    return out.select("gid", "n",
+                      F.round("med_x", 4).alias("med_x"),
+                      F.round("med_y", 4).alias("med_y"))
+
+
+def _geo_median_oracle(iters: int = 3) -> str:
+    parts = [f"""
+WITH pts AS (
+  SELECT pid % 40 AS gid, x, y FROM ({_PTS_SQL})
+), e0 AS (
+  SELECT gid, COUNT(*) AS n,
+         SUM(x) / COUNT(*) AS ex, SUM(y) / COUNT(*) AS ey
+  FROM pts GROUP BY gid
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", e{k} AS (
+  SELECT gid, MIN(n) AS n,
+         SUM(x * w) / SUM(w) AS ex, SUM(y * w) / SUM(w) AS ey
+  FROM (
+    SELECT p.gid, p.x, p.y, e.n,
+           1.0 / SQRT(1.0 + (p.x - e.ex) * (p.x - e.ex)
+                          + (p.y - e.ey) * (p.y - e.ey)) AS w
+    FROM pts p JOIN e{k - 1} e USING (gid)
+  ) GROUP BY gid
+)""")
+    parts.append(f"""
+SELECT gid, n, ROUND(ex, 4) AS med_x, ROUND(ey, 4) AS med_y
+FROM e{iters}""")
+    return "".join(parts)
+
+
+ORACLE["geo_median"] = _geo_median_oracle()
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "zorder_stats": q_zorder_stats,
@@ -1543,4 +1588,5 @@ QUERIES = {
     "traj_stats": q_traj_stats,
     "idw_interp": q_idw_interp,
     "convex_hull": q_convex_hull,
+    "geo_median": q_geo_median,
 }

@@ -187,6 +187,44 @@ def test_idw_cell_join_matches_bruteforce(spark):
     assert got["est"][~pd.Series(ok, index=got.index)].isna().all()
 
 
+# -------------------------------------------------------- geometric median
+def test_geometric_median_matches_numpy_weiszfeld(spark):
+    from extract_sf_r_parallel_spark.operators.median import geometric_median
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame({
+        "gid": rng.integers(0, 4, 300),
+        "x": rng.integers(0, 20_000, 300).astype(float),
+        "y": rng.integers(0, 20_000, 300).astype(float)})
+    got = geometric_median(spark.createDataFrame(pdf), iters=3) \
+        .toPandas().set_index("gid").sort_index()
+    for gid, grp in pdf.groupby("gid"):
+        p = grp[["x", "y"]].to_numpy()
+        e = p.mean(axis=0)
+        dists = [np.sqrt(((p - e) ** 2).sum(axis=1)).sum()]
+        for _ in range(3):
+            w = 1.0 / np.sqrt(1.0 + ((p - e) ** 2).sum(axis=1))
+            e = (p * w[:, None]).sum(axis=0) / w.sum()
+            dists.append(np.sqrt(((p - e) ** 2).sum(axis=1)).sum())
+        assert got.loc[gid, "med_x"] == pytest.approx(e[0], rel=1e-9)
+        assert got.loc[gid, "med_y"] == pytest.approx(e[1], rel=1e-9)
+        assert got.loc[gid, "n"] == len(grp)
+        # Weiszfeld descends the sum-of-distances objective
+        assert dists[-1] < dists[0]
+
+
+def test_geometric_median_zero_iters_is_mean(spark):
+    from extract_sf_r_parallel_spark.operators.median import geometric_median
+    pdf = pd.DataFrame({"gid": [1, 1, 1, 2],
+                        "x": [0.0, 3.0, 6.0, 5.0],
+                        "y": [0.0, 0.0, 0.0, 7.0]})
+    got = geometric_median(spark.createDataFrame(pdf), iters=0) \
+        .toPandas().set_index("gid")
+    assert got.loc[1, "med_x"] == 3.0 and got.loc[1, "med_y"] == 0.0
+    assert got.loc[2, "med_x"] == 5.0 and got.loc[2, "med_y"] == 7.0
+    with pytest.raises(ValueError, match="iters"):
+        geometric_median(spark.createDataFrame(pdf), iters=-1)
+
+
 # -------------------------------------------------------------------- Sobel
 def test_sobel_matches_direct_convolution(spark):
     from extract_sf_r_parallel_spark.data import codec, synth
