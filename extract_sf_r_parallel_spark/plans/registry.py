@@ -1613,7 +1613,7 @@ _GATE_FIRST = [
     "pack_chunks", "grid_clusters", "simplify_lines",
     "embed_ann_ivf_lloyd",
     "convex_hull", "sobel_stats", "idw_interp", "traj_stats",
-    "spatial_antijoin", "geo_median",
+    "spatial_antijoin", "geo_median", "layer_overlay",
 ]
 
 

@@ -1560,6 +1560,35 @@ FROM e{iters}""")
 ORACLE["geo_median"] = _geo_median_oracle()
 
 
+# --- layer-vs-layer overlay join (r06): the feature×feature spatial
+# join (every other join here probes points). Both sides explode over
+# multi-cell covers, so the engine must dedup pairs that meet in
+# several shared cells — done with the reference-point rule inside
+# the join predicate (operators/overlay.py), no distinct. The oracle
+# brute-forces the cross join, so a hash match proves both no-miss
+# (cover completeness) and no-dup (the reference-cell ownership).
+def q_layer_overlay(spark, sf_dir):
+    from ..operators.overlay import rect_overlay_pairs
+    rects = rects_df(spark, sf_dir)
+    a = rects.filter(F.pmod("fid", F.lit(2)) == 0)
+    b = rects.filter(F.pmod("fid", F.lit(2)) == 1)
+    return rect_overlay_pairs(a, b, cell_edge=500.0) \
+        .select("fid_a", "fid_b", "inter_area")
+
+
+ORACLE["layer_overlay"] = f"""
+WITH a AS (SELECT * FROM ({_RECTS_SQL}) WHERE fid % 2 = 0),
+     b AS (SELECT * FROM ({_RECTS_SQL}) WHERE fid % 2 = 1)
+SELECT a.fid AS fid_a, b.fid AS fid_b,
+       (LEAST(a.rxmax, b.rxmax) - GREATEST(a.rxmin, b.rxmin))
+     * (LEAST(a.rymax, b.rymax) - GREATEST(a.rymin, b.rymin))
+       AS inter_area
+FROM a CROSS JOIN b
+WHERE a.rxmin <= b.rxmax AND b.rxmin <= a.rxmax
+  AND a.rymin <= b.rymax AND b.rymin <= a.rymax
+"""
+
+
 QUERIES = {
     "tile_counts": q_tile_counts,
     "zorder_stats": q_zorder_stats,
@@ -1589,4 +1618,5 @@ QUERIES = {
     "idw_interp": q_idw_interp,
     "convex_hull": q_convex_hull,
     "geo_median": q_geo_median,
+    "layer_overlay": q_layer_overlay,
 }
