@@ -56,14 +56,24 @@ HEADLINE = [
     "minhash_pairs",     # LSH dedup
     "asof_join",         # point-in-time feature join (r04)
     "interval_join",     # 1-D bucketed overlap join (r04)
+    # r06 rows (outside R4_SET → in "value" but not like-for-like)
+    "idw_interp",        # disk-cover cell join + weighted agg
+    "layer_overlay",     # feature×feature join, reference-point dedup
+    "convex_hull",       # hierarchical monotone chain (salted 2-level)
 ]
 
 HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs
 
 # Frozen r4 query set: "value_like_for_like" sums exactly these so the
 # suite total stays comparable across rounds even as HEADLINE grows
-# (VERDICT r05 next-#3).
-R4_SET = frozenset(HEADLINE) | {"wide_merge"}
+# (VERDICT r05 next-#3). Spelled out — NOT derived from HEADLINE, so
+# adding bench rows can never silently grow the comparable set.
+R4_SET = frozenset({
+    "range_near", "areadist_square", "areadist_circle", "knn3",
+    "areadist_dissolve", "areadist_wet", "areadist_wet_sum",
+    "tile_counts", "pricing_summary", "multi_join", "embed_top1",
+    "minhash_pairs", "asof_join", "interval_join", "wide_merge",
+})
 
 # LIVE Structured Streaming rows (VERDICT r04 next-#7): each timed run
 # re-stages the source files and re-drains the whole stream through a
