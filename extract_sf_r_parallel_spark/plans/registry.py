@@ -1385,6 +1385,85 @@ def _stage_events(sf_dir: str, n_files: int = 6,
     return d
 
 
+# --- geofence transition alerts (r06): the second custom stateful
+# operator (streaming/geofence.py) — per-user enter/exit detection
+# against a static fence layer, LIVE (staged files → AvailableNow
+# drain → memory sink) and as the batch twin; both answer the same
+# LAG-based SQL oracle, so stream ≡ batch ≡ DuckDB is driver-visible.
+def _geofence_inputs(spark, sf_dir):
+    from ..data import geotag as G
+    fences = spatial_queries.rects_df(spark, sf_dir) \
+        .filter(F.pmod("fid", F.lit(97)) == 0) \
+        .select("rxmin", "rymin", "rxmax", "rymax").toPandas()
+    cols = ["user_id", "ts", "event_id",
+            F.expr(G.sql_point_x("event_id")).alias("x"),
+            F.expr(G.sql_point_y("event_id")).alias("y")]
+    return fences, cols
+
+
+def q_geofence(spark, sf_dir):
+    from ..streaming.geofence import geofence_batch, with_inside
+    fences, cols = _geofence_inputs(spark, sf_dir)
+    e = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .repartition(spark.sparkContext.defaultParallelism) \
+        .select(*cols)
+    return geofence_batch(with_inside(e, fences, buffer=500.0))
+
+
+def q_geofence_stream(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+    from ..streaming.geofence import geofence_stream, with_inside
+
+    fences, cols = _geofence_inputs(spark, sf_dir)
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    s = with_inside(stream.select(*cols), fences, buffer=500.0)
+    out = geofence_stream(s, watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="geofence_ck_")
+    SE.run_available_now(out, "geofence_sink", ck, shuffle_partitions=4)
+    return (spark.table("geofence_sink")
+            .filter(F.col("user_id") >= 0)
+            .select("user_id", "ts", "event_id", "kind"))
+
+
+def _geofence_oracle() -> str:
+    from ..data import geotag as G
+    rects = spatial_queries._RECTS_SQL
+    return f"""
+WITH f AS (
+  SELECT rxmin - 500 AS x0, rxmax + 500 AS x1,
+         rymin - 500 AS y0, rymax + 500 AS y1
+  FROM ({rects}) WHERE fid % 97 = 0
+), p AS (
+  SELECT user_id, ts, event_id,
+         {G.sql_point_x('event_id')} AS x,
+         {G.sql_point_y('event_id')} AS y
+  FROM events
+), i AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EXISTS (SELECT 1 FROM f
+              WHERE x >= x0 AND x <= x1 AND y >= y0 AND y <= y1)
+              THEN 1 ELSE 0 END AS ins
+  FROM p
+), s AS (
+  SELECT *, LAG(ins) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev
+  FROM i
+)
+SELECT user_id, ts, event_id,
+       CASE WHEN ins = 1 THEN 'enter' ELSE 'exit' END AS kind
+FROM s
+WHERE (prev IS NULL AND ins = 1) OR (prev IS NOT NULL AND prev <> ins)
+"""
+
+
+ORACLE["geofence"] = _geofence_oracle()
+ORACLE["geofence_stream"] = ORACLE["geofence"]
+
+
 def q_sessions_stream(spark, sf_dir):
     import tempfile
 
@@ -1553,7 +1632,9 @@ QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream,
            "windowed_stream": q_windowed_stream,
            "dedup_stream": q_dedup_stream,
            "stream_join": q_stream_join,
-           "stream_join_outer": q_stream_join_outer}
+           "stream_join_outer": q_stream_join_outer,
+           "geofence": q_geofence,
+           "geofence_stream": q_geofence_stream}
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
@@ -1614,6 +1695,7 @@ _GATE_FIRST = [
     "embed_ann_ivf_lloyd",
     "convex_hull", "sobel_stats", "idw_interp", "traj_stats",
     "spatial_antijoin", "geo_median", "layer_overlay",
+    "geofence", "geofence_stream",
 ]
 
 
