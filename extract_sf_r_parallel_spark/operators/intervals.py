@@ -49,8 +49,23 @@ def interval_join(left: DataFrame, right: DataFrame,
     one (bucket, salt) cell, so the owner-bucket exactly-once rule is
     untouched and the result is byte-identical to salt=1 (asserted in
     tests/test_interval_join.py). Cost: salt× replication of the
-    right explode — same trade as the spatial cell join's salting."""
-    if not isinstance(salt, int) or isinstance(salt, bool) or salt < 1:
+    right explode — same trade as the spatial cell join's salting.
+
+    `salt="auto"` hands the decision to the engine, mirroring the
+    spatial join's probe (range_join.py): both exploded sides are
+    sampled at 5 %, the hottest (key, bucket) candidate-pair count is
+    estimated from the joined histograms, and salting engages at
+    ceil(est / pairs-per-task) only when the estimate exceeds one
+    task's budget — small/uniform inputs pay two tiny sampled
+    aggregations at build time and keep the salt-free plan. The probe
+    only CHOOSES the integer; the executed join plan is byte-identical
+    to the manual-salt plan."""
+    if isinstance(salt, str):
+        if salt != "auto":
+            raise ValueError(
+                f"salt must be a positive int or the exact string "
+                f"'auto', got {salt!r}")
+    elif not isinstance(salt, int) or isinstance(salt, bool) or salt < 1:
         raise ValueError(f"salt must be a positive int, got {salt!r}")
     w_us = bucket_width_seconds * 1_000_000
 
@@ -90,6 +105,20 @@ def interval_join(left: DataFrame, right: DataFrame,
     r = _explode(right, r_start, r_end, 1)
     join_keys = ["_bkt"] if key is None else [key, "_bkt"]
     r = r.withColumnRenamed("_b0", "_rb0")
+    if salt == "auto":
+        from .range_join import AUTO_SALT_MAX, AUTO_SALT_PAIRS_PER_TASK
+        frac = 0.05
+        salt = 1
+        lh = l.sample(frac, seed=7).groupBy(join_keys).agg(
+            F.count(F.lit(1)).alias("_nl"))
+        rh = r.sample(frac, seed=7).groupBy(join_keys).agg(
+            F.count(F.lit(1)).alias("_nr"))
+        row = lh.join(rh, join_keys).agg(
+            F.max(F.col("_nl") * F.col("_nr")).alias("m")).first()
+        est = (row["m"] or 0) / (frac * frac)
+        if est > AUTO_SALT_PAIRS_PER_TASK:
+            salt = min(AUTO_SALT_MAX,
+                       -(-int(est) // AUTO_SALT_PAIRS_PER_TASK))
     if salt > 1:
         l = l.withColumn("_salt", F.pmod(
             F.xxhash64(F.col(f"{l_start}{suffixes[0]}"),

@@ -109,8 +109,39 @@ def test_interval_join_salted_identical(spark):
     assert len(bs) > 1000  # the hot cell really is hot
     with pytest.raises(ValueError, match="positive int"):
         interval_join(ldf, rdf, "a", "b", "c", "d", salt=0)
-    with pytest.raises(ValueError, match="positive int"):
-        interval_join(ldf, rdf, "a", "b", "c", "d", salt="auto")
+    with pytest.raises(ValueError, match="'auto'"):
+        interval_join(ldf, rdf, "a", "b", "c", "d", salt="Auto")
+
+
+def test_interval_join_auto_salt_decision(spark):
+    """salt='auto' must ENGAGE on a hot (key, bucket) (the _salt key
+    appears in the plan) and STAY OFF on a small uniform input — and
+    the salted auto result must equal the unsalted result."""
+    rng = np.random.default_rng(21)
+    n = 30_000
+    k = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 8, n))
+    s = np.where(k == 7, rng.random(n) * 0.9,
+                 rng.integers(0, 2000, n).astype(float))
+    l = pd.DataFrame({"k": k, "lid": range(n), "a": s,
+                      "b": s + rng.random(n) * 0.5})
+    r = pd.DataFrame({"k": k, "rid": range(n), "c": s + 0.1,
+                      "d": s + 0.1 + rng.random(n) * 0.5})
+    ldf, rdf = spark.createDataFrame(l), spark.createDataFrame(r)
+    hot = interval_join(ldf, rdf, "a", "b", "c", "d", key="k",
+                        bucket_width_seconds=1, salt="auto")
+    assert "_salt" in hot._jdf.queryExecution().analyzed().toString()
+    base = interval_join(ldf, rdf, "a", "b", "c", "d", key="k",
+                         bucket_width_seconds=1)
+    assert hot.count() == base.count()
+
+    small = pd.DataFrame({"k": np.arange(200) % 5, "lid": range(200),
+                          "a": np.arange(200, dtype=float),
+                          "b": np.arange(200, dtype=float) + 0.5})
+    sdf = spark.createDataFrame(small)
+    cool = interval_join(sdf, sdf.selectExpr("k", "lid AS rid",
+                                             "a AS c", "b AS d"),
+                         "a", "b", "c", "d", key="k", salt="auto")
+    assert "_salt" not in cool._jdf.queryExecution().analyzed().toString()
 
 
 def test_interval_join_salt_beats_hot_cell(spark):
