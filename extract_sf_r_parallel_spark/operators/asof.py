@@ -34,6 +34,12 @@ def _micros(c):
     return F.unix_micros(c.cast("timestamp"))
 
 
+# auto-split budget: rows one window-sort task should own at most
+# (same role as range_join.AUTO_SALT_PAIRS_PER_TASK; sorts are
+# n log n, so the budget sits below the pair join's per-task scale)
+AUTO_SPLIT_ROWS_PER_CHUNK = 4_000_000
+
+
 def _chunk_carry_rows(u: DataFrame, on: str, direction: str,
                       lcols: list, left: DataFrame) -> DataFrame:
     """The split-window boundary fix: one synthetic side-0 row per
@@ -89,7 +95,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
               direction: str = "backward",
               tolerance_seconds: float | None = None,
               tie_breaker: str | None = None,
-              split_seconds: int | None = None) -> DataFrame:
+              split_seconds: int | str | None = None) -> DataFrame:
     """For every left row: the matching right row of the same `on` key
     per `direction` —
     - "backward" (default): most recent right_ts ≤ left_ts,
@@ -124,7 +130,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     the unsplit plan in every direction, with ties and tolerance
     (tests/test_asof.py); the extra cost is one chunk-grain shuffle,
     and the largest partition shrinks from max-rows-per-key to
-    max-rows-per-(key, chunk)."""
+    max-rows-per-(key, chunk).
+
+    `split_seconds="auto"` lets the engine decide (same probe spirit
+    as the interval/spatial auto-salt): a 5 % sample of the tagged
+    union estimates the hottest key's row count and time span, and
+    the split engages — at the chunk width that caps each chunk near
+    AUTO_SPLIT_ROWS_PER_CHUNK rows — only when that key would exceed
+    one window-sort task's budget. Uniform inputs pay one sampled
+    aggregation and keep the single-window plan."""
+    if isinstance(split_seconds, str) and split_seconds != "auto":
+        raise ValueError(
+            f"split_seconds must be an int, None, or the exact string "
+            f"'auto', got {split_seconds!r}")
     if direction == "nearest":
         back = asof_join(left, right, on, left_ts, right_ts, payload,
                          "_bwd", "backward", tolerance_seconds, tie_breaker,
@@ -182,6 +200,28 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "user_id",
     else:
         raise ValueError(f"unknown direction {direction!r}")
     part = [F.col(on)]
+    if split_seconds == "auto":
+        # engine-chosen hot-key split, same probe spirit as the
+        # interval/spatial auto-salt: sample the tagged union at 5 %,
+        # estimate the hottest key's row count and time span; when the
+        # estimate exceeds one window-sort task's budget, pick the
+        # chunk width that caps chunks at ~the budget. The probe only
+        # chooses the integer — the split plan is byte-identical to a
+        # caller-supplied split_seconds.
+        frac = 0.05
+        split_seconds = None
+        row = (u.sample(frac, seed=7)
+               .groupBy(on)
+               .agg(F.count(F.lit(1)).alias("_n"),
+                    F.min(_micros(F.col("_ats"))).alias("_lo"),
+                    F.max(_micros(F.col("_ats"))).alias("_hi"))
+               .orderBy(F.col("_n").desc()).limit(1).collect())
+        if row:
+            est = row[0]["_n"] / frac
+            if est > AUTO_SPLIT_ROWS_PER_CHUNK:
+                span_s = max((row[0]["_hi"] - row[0]["_lo"]) / 1e6, 1.0)
+                n_chunks = -(-int(est) // AUTO_SPLIT_ROWS_PER_CHUNK)
+                split_seconds = max(int(span_s / n_chunks), 1)
     if split_seconds is not None:
         sp_us = int(split_seconds) * 1_000_000
         u = u.withColumn("_ck", F.floor(_micros(F.col("_ats")) / sp_us))

@@ -208,6 +208,45 @@ def test_asof_split_empty_chunks_and_single_row_chunks(spark):
     assert fwd.loc["pre", "value_asof"] == 1.0
 
 
+def test_asof_split_auto_decision(spark, monkeypatch):
+    """split_seconds='auto' must engage on a hot key (plan partitions
+    by _ck, result equals the unsplit plan) and stay off on a uniform
+    small input; a typo string fails loudly."""
+    import extract_sf_r_parallel_spark.operators.asof as A
+    import numpy as np
+    import pytest
+    rng = np.random.default_rng(31)
+    n = 4000
+    users = np.where(rng.random(n) < 0.95, 7, rng.integers(0, 4, n))
+    right = pd.DataFrame({
+        "user_id": users,
+        "ts": [T0 + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 50_000, n)],
+        "value": rng.normal(size=n).round(3)})
+    left = pd.DataFrame({
+        "probe": range(500),
+        "user_id": np.where(rng.random(500) < 0.95, 7,
+                            rng.integers(0, 4, 500)),
+        "ts": [T0 + pd.Timedelta(seconds=int(s))
+               for s in rng.integers(0, 50_000, 500)]})
+    ldf, rdf = spark.createDataFrame(left), spark.createDataFrame(right)
+    monkeypatch.setattr(A, "AUTO_SPLIT_ROWS_PER_CHUNK", 500)
+    auto = A.asof_join(ldf, rdf, on="user_id", payload=("value",),
+                       split_seconds="auto")
+    assert "_ck" in auto._jdf.queryExecution().analyzed().toString()
+    plain = A.asof_join(ldf, rdf, on="user_id", payload=("value",)) \
+        .toPandas().sort_values("probe").reset_index(drop=True)
+    got = auto.toPandas().sort_values("probe").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, got, check_like=True)
+    # uniform + under budget → single-window plan
+    monkeypatch.setattr(A, "AUTO_SPLIT_ROWS_PER_CHUNK", 4_000_000)
+    cool = A.asof_join(ldf, rdf, on="user_id", payload=("value",),
+                       split_seconds="auto")
+    assert "_ck" not in cool._jdf.queryExecution().analyzed().toString()
+    with pytest.raises(ValueError, match="'auto'"):
+        A.asof_join(ldf, rdf, on="user_id", split_seconds="Auto")
+
+
 def test_asof_split_plan_partitions_by_chunk(spark):
     """The split plan's fill window must partition by (key, chunk) —
     the property that bounds the largest sort partition to one chunk
