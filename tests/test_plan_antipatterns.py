@@ -27,6 +27,9 @@ LAZY = [
     "text_quality", "lang_markers", "tumbling_window", "sessions",
     "simhash_pairs", "asof_join", "asof_join_fwd", "interval_join",
     "dist_quantiles",
+    # r06 additions (all lazily built)
+    "spatial_antijoin", "traj_stats", "idw_interp", "geo_median",
+    "layer_overlay", "sobel_stats", "convex_hull", "image_extract",
 ]
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
