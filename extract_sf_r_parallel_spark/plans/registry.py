@@ -1804,6 +1804,7 @@ _GATE_FIRST = [
     "convex_hull", "sobel_stats", "idw_interp", "traj_stats",
     "spatial_antijoin", "geo_median", "layer_overlay",
     "geofence", "geofence_stream", "image_extract",
+    "zonal_stats",
 ]
 
 

@@ -1235,6 +1235,68 @@ GROUP BY 1
 """
 
 
+# --- zonal statistics (r06): per-zone raster aggregation, the raster
+# family's `extract()/zonal()` op the reference approximates with
+# per-buffer summaries. Zones = the part rects; raster = a 25 m value
+# grid over the fixture window whose cell value is a closed-form
+# integer hash (SQL-parity, like the geotag LCGs). The engine runs
+# the real distributed plan — zone bboxes exploded over covered cells,
+# broadcast, ONE equi join against the materialized raster (which
+# never shuffles), groupBy zone with LEFT empty-zone defaults — while
+# the oracle never materializes a raster at all: it enumerates each
+# rect's covered cells with LATERAL generate_series and computes the
+# value in place. Agreement proves the cover enumeration, the join,
+# the center-in-zone refinement, and the empty-group defaults.
+RSTEP = 25.0                      # raster pitch (m)
+_RN = int(G.WINDOW / RSTEP)       # 800 cells per axis
+_RVAL = "((cx * 2654435761 + cy * 40503 + 7) % 4294967291) % 1000"
+
+
+def raster_df(spark: SparkSession) -> DataFrame:
+    """The deterministic 800×800 integer raster as sparse rows
+    (cx, cy, v) — generated distributed (spark.range), pure Column
+    arithmetic, no driver materialization."""
+    r = spark.range(_RN * _RN)
+    return r.select(
+        (F.col("id") % _RN).alias("cx"),
+        (F.col("id") / _RN).cast("long").alias("cy"),
+    ).withColumn("v", F.expr(_RVAL))
+
+
+def q_zonal_stats(spark, sf_dir):
+    from ..operators.zonal import zonal_stats
+    return zonal_stats(rects_df(spark, sf_dir).drop("geom"),
+                       raster_df(spark), RSTEP)
+
+
+ORACLE["zonal_stats"] = f"""
+WITH rects AS ({_RECTS_SQL}),
+cand AS (
+  SELECT fid, ux.cx AS cx, uy.cy AS cy
+  FROM rects,
+  LATERAL (SELECT UNNEST(generate_series(
+      CAST(FLOOR(rxmin / {RSTEP}) AS BIGINT),
+      CAST(FLOOR(rxmax / {RSTEP}) AS BIGINT))) AS cx) ux,
+  LATERAL (SELECT UNNEST(generate_series(
+      CAST(FLOOR(rymin / {RSTEP}) AS BIGINT),
+      CAST(FLOOR(rymax / {RSTEP}) AS BIGINT))) AS cy) uy
+  WHERE rxmin <= (ux.cx + 0.5) * {RSTEP} AND (ux.cx + 0.5) * {RSTEP} <= rxmax
+    AND rymin <= (uy.cy + 0.5) * {RSTEP} AND (uy.cy + 0.5) * {RSTEP} <= rymax
+    AND ux.cx BETWEEN 0 AND {_RN - 1} AND uy.cy BETWEEN 0 AND {_RN - 1}
+),
+agg AS (
+  SELECT fid, COUNT(*) AS n_cells,
+         CAST(SUM({_RVAL}) AS BIGINT) AS sum_v,
+         CAST(SUM({_RVAL}) AS DOUBLE) / COUNT(*) AS mean_v,
+         CAST(MAX({_RVAL}) AS BIGINT) AS max_v
+  FROM cand GROUP BY fid
+)
+SELECT r.fid, COALESCE(n_cells, 0) AS n_cells,
+       COALESCE(sum_v, 0) AS sum_v, mean_v, max_v
+FROM rects r LEFT JOIN agg USING (fid)
+"""
+
+
 # --- Douglas–Peucker simplification (r05): the sf st_simplify family
 # op. Fixture: 100 deterministic wiggle+spike polylines derived from
 # the orders keys (x = idx·250; y = small LCG wiggle + a 5000 spike
@@ -1619,4 +1681,5 @@ QUERIES = {
     "convex_hull": q_convex_hull,
     "geo_median": q_geo_median,
     "layer_overlay": q_layer_overlay,
+    "zonal_stats": q_zonal_stats,
 }
