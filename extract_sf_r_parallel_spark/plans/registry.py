@@ -1203,6 +1203,69 @@ FROM g GROUP BY image_id
 """
 
 
+# --- blob detection (r06): threshold channel 0 at 192 (foreground
+# density 1/4 — safely below the 4-connected site-percolation
+# threshold, so blobs stay small and the oracle's closure stays
+# bounded), label the 4-connected components per image, report
+# n_fg / n_blobs / max_blob. The engine runs per-image union-find
+# inside mapInPandas (operators/multimodal.blob_stats); the oracle
+# settles the SAME pixel graph with a RECURSIVE transitive closure —
+# union-find vs closure, the grid_clusters adversarial pattern at
+# image altitude. Neighbor edges join on the packed pixel key
+# (i·10000 + flat, flat < 9216) via key+1 / key+w arithmetic — a
+# single-key equi join, not an inlined coordinate predicate (the
+# sobel oracle's lesson: inlined forms degrade to a per-image
+# quadratic filter).
+def q_blob_stats(spark, sf_dir):
+    from ..operators.multimodal import blob_stats
+    images = spark.createDataFrame(synth.images_pdf(40))
+    return blob_stats(images)
+
+
+ORACLE["blob_stats"] = """
+WITH RECURSIVE imgs AS (
+  SELECT i, printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(40) t(i)
+), fg AS MATERIALIZED (
+  SELECT image_id, i * 10000 + (j // 3) AS key,
+         (j // 3) % w AS pxx, w
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+  WHERE j % 3 = 0
+    AND xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 >= 192
+), e0 AS (
+  SELECT a.key AS src, b.key AS dst
+  FROM fg a JOIN fg b ON b.key = a.key + 1
+  WHERE a.pxx < a.w - 1
+  UNION ALL
+  SELECT a.key, b.key FROM fg a JOIN fg b ON b.key = a.key + a.w
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+), reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS key, LEAST(src, MIN(dst)) AS comp_id FROM reach GROUP BY src
+), blobs AS (
+  SELECT f.image_id, COALESCE(c.comp_id, f.key) AS lab, COUNT(*) AS sz
+  FROM fg f LEFT JOIN comp c ON c.key = f.key
+  GROUP BY 1, 2
+), agg AS (
+  SELECT image_id, CAST(SUM(sz) AS BIGINT) AS n_fg,
+         COUNT(*) AS n_blobs, CAST(MAX(sz) AS BIGINT) AS max_blob
+  FROM blobs GROUP BY image_id
+)
+SELECT i.image_id, COALESCE(n_fg, 0) AS n_fg,
+       COALESCE(n_blobs, 0) AS n_blobs, COALESCE(max_blob, 0) AS max_blob
+FROM imgs i LEFT JOIN agg USING (image_id)
+"""
+
+
 # --- the NORTH-STAR chain in one driver row (r06): the Iceberg-shaped
 # image+caption table (BASELINE.json input_hint) → distributed decode
 # → deterministic geotag → cell-indexed spatial join against the
@@ -1763,6 +1826,7 @@ QUERIES.update({
     "resize_stats": q_resize_stats,
     "resize_stats_cjpg": q_resize_stats_cjpg,
     "sobel_stats": q_sobel_stats,
+    "blob_stats": q_blob_stats,
     "image_extract": q_image_extract,
     "image_dedup": q_image_dedup,
     "wide_merge": q_wide_merge,
@@ -1804,7 +1868,7 @@ _GATE_FIRST = [
     "convex_hull", "sobel_stats", "idw_interp", "traj_stats",
     "spatial_antijoin", "geo_median", "layer_overlay",
     "geofence", "geofence_stream", "image_extract",
-    "zonal_stats",
+    "zonal_stats", "blob_stats",
 ]
 
 

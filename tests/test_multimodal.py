@@ -170,3 +170,56 @@ def test_ahash_dedup_groups_planted_neardups(spark):
         if got.loc[a, "ahash"] == got.loc[b, "ahash"]:
             assert got.loc[b, "canonical_id"] == a
             assert got.loc[a, "canonical_id"] == a
+
+
+def _flood_blobs(mask):
+    """Independent reference: BFS flood fill (no union-find)."""
+    h, w = mask.shape
+    seen = np.zeros_like(mask, dtype=bool)
+    sizes = []
+    for sy in range(h):
+        for sx in range(w):
+            if not mask[sy, sx] or seen[sy, sx]:
+                continue
+            stack, sz = [(sy, sx)], 0
+            seen[sy, sx] = True
+            while stack:
+                y, x = stack.pop()
+                sz += 1
+                for ny, nx in ((y-1, x), (y+1, x), (y, x-1), (y, x+1)):
+                    if (0 <= ny < h and 0 <= nx < w and mask[ny, nx]
+                            and not seen[ny, nx]):
+                        seen[ny, nx] = True
+                        stack.append((ny, nx))
+            sizes.append(sz)
+    return sizes
+
+
+def test_blob_stats_matches_flood_fill(spark, images):
+    got = M.blob_stats(images).toPandas().set_index("image_id")
+    pdf = synth.images_pdf(60)
+    assert len(got) == 60
+    for r in pdf.itertuples():
+        img = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+        sizes = _flood_blobs(img[..., 0] >= 192)
+        row = got.loc[r.image_id]
+        assert row.n_fg == sum(sizes)
+        assert row.n_blobs == len(sizes)
+        assert row.max_blob == (max(sizes) if sizes else 0)
+
+
+def test_blob_stats_degenerate_masks(spark):
+    import pandas as pd
+    # all-background and all-foreground synthetic images
+    lo = np.zeros((8, 8, 3), dtype=np.uint8)
+    hi = np.full((8, 8, 3), 255, dtype=np.uint8)
+    rows = [
+        {"image_id": "blank", "bytes": codec.encode_image(lo, "raw"),
+         "w": 8, "h": 8, "fmt": "raw", "caption": "", "phash": 0},
+        {"image_id": "solid", "bytes": codec.encode_image(hi, "raw"),
+         "w": 8, "h": 8, "fmt": "raw", "caption": "", "phash": 0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), IMAGES_SCHEMA)
+    got = M.blob_stats(df).toPandas().set_index("image_id")
+    assert tuple(got.loc["blank"][["n_fg", "n_blobs", "max_blob"]]) == (0, 0, 0)
+    assert tuple(got.loc["solid"][["n_fg", "n_blobs", "max_blob"]]) == (64, 1, 64)
