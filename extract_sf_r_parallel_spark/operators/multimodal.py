@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 from ..data import codec
 
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
-           "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats"]
+           "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
+           "hist_equalize_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -164,6 +165,50 @@ def blob_stats(images: DataFrame, thresh: int = 192) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _BLOB_SCHEMA.fields])
     return images.mapInPandas(gen, _BLOB_SCHEMA)
+
+
+_HISTEQ_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("eq_sum", T.LongType()),
+    T.StructField("eq_distinct", T.LongType()),
+    T.StructField("eq_max", T.LongType()),
+])
+
+
+def hist_equalize_stats(images: DataFrame) -> DataFrame:
+    """Histogram equalization on channel 0, all-integer: the classic
+    contrast-normalization step of an image-preprocessing pipeline,
+    with the remap eq(v) = ((cdf(v) − cdf_min)·255) // (n − cdf_min)
+    kept in exact integer arithmetic so a second engine reproduces it
+    bit-for-bit (no float CDF an oracle could round differently).
+    Per image: the equalized pixel sum, the count of distinct
+    equalized values (contrast span after remap), and the max (255
+    for any non-constant image). Constant images map to 0.
+
+    Scale: mapInPandas, one 256-bin bincount + cumsum per image — no
+    shuffle, no dense intermediate beyond the histogram."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                hist = np.bincount(v.ravel(), minlength=256).astype(np.int64)
+                cdf = np.cumsum(hist)
+                present = hist > 0
+                n = int(v.size)
+                cdfmin = int(cdf[present].min())
+                den = n - cdfmin
+                if den > 0:
+                    eq = ((cdf - cdfmin) * 255) // den
+                else:           # constant image
+                    eq = np.zeros(256, dtype=np.int64)
+                pe = eq[present]
+                rows.append((r.image_id,
+                             int((pe * hist[present]).sum()),
+                             int(np.unique(pe).size), int(pe.max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _HISTEQ_SCHEMA.fields])
+    return images.mapInPandas(gen, _HISTEQ_SCHEMA)
 
 
 _AHASH_SCHEMA = T.StructType([

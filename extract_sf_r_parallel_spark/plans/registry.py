@@ -1266,6 +1266,53 @@ FROM imgs i LEFT JOIN agg USING (image_id)
 """
 
 
+# --- histogram equalization (r06): the contrast-normalization remap
+# eq(v) = ((cdf(v) − cdf_min)·255) // (n − cdf_min) in exact integer
+# arithmetic. The engine's per-image bincount+cumsum (mapInPandas) is
+# replayed by the oracle as a per-(image, value) GROUP BY plus a
+# CUMULATIVE WINDOW SUM ordered by value — a genuinely different
+# formulation (window algebra vs array scan) over the same Lehmer
+# pixels; integer // keeps both engines bit-identical.
+def q_hist_equalize(spark, sf_dir):
+    from ..operators.multimodal import hist_equalize_stats
+    images = spark.createDataFrame(synth.images_pdf(60))
+    return hist_equalize_stats(images)
+
+
+ORACLE["hist_equalize"] = """
+WITH imgs AS (
+  SELECT i, printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(60) t(i)
+), px AS (
+  SELECT image_id, w * h AS n,
+    xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+  WHERE j % 3 = 0
+), byval AS (
+  SELECT image_id, n, v, COUNT(*) AS cnt FROM px GROUP BY 1, 2, 3
+), cdf AS (
+  SELECT image_id, n, v, cnt,
+         SUM(cnt) OVER (PARTITION BY image_id ORDER BY v) AS c
+  FROM byval
+), eqv AS (
+  SELECT image_id, cnt,
+         ((c - MIN(c) OVER (PARTITION BY image_id)) * 255)
+           // (n - MIN(c) OVER (PARTITION BY image_id)) AS eq
+  FROM cdf
+)
+SELECT image_id,
+  CAST(SUM(eq * cnt) AS BIGINT) AS eq_sum,
+  COUNT(DISTINCT eq) AS eq_distinct,
+  CAST(MAX(eq) AS BIGINT) AS eq_max
+FROM eqv GROUP BY image_id
+"""
+
+
 # --- the NORTH-STAR chain in one driver row (r06): the Iceberg-shaped
 # image+caption table (BASELINE.json input_hint) → distributed decode
 # → deterministic geotag → cell-indexed spatial join against the
@@ -1827,6 +1874,7 @@ QUERIES.update({
     "resize_stats_cjpg": q_resize_stats_cjpg,
     "sobel_stats": q_sobel_stats,
     "blob_stats": q_blob_stats,
+    "hist_equalize": q_hist_equalize,
     "image_extract": q_image_extract,
     "image_dedup": q_image_dedup,
     "wide_merge": q_wide_merge,
@@ -1868,7 +1916,7 @@ _GATE_FIRST = [
     "convex_hull", "sobel_stats", "idw_interp", "traj_stats",
     "spatial_antijoin", "geo_median", "layer_overlay",
     "geofence", "geofence_stream", "image_extract",
-    "zonal_stats", "blob_stats",
+    "zonal_stats", "blob_stats", "hist_equalize",
 ]
 
 

@@ -223,3 +223,31 @@ def test_blob_stats_degenerate_masks(spark):
     got = M.blob_stats(df).toPandas().set_index("image_id")
     assert tuple(got.loc["blank"][["n_fg", "n_blobs", "max_blob"]]) == (0, 0, 0)
     assert tuple(got.loc["solid"][["n_fg", "n_blobs", "max_blob"]]) == (64, 1, 64)
+
+
+def test_hist_equalize_properties(spark, images):
+    """Equalization invariants: max remap = 255 for non-constant
+    images, sums match a direct per-pixel numpy remap, and a constant
+    image maps to all-zero."""
+    import pandas as pd
+    got = M.hist_equalize_stats(images).toPandas().set_index("image_id")
+    pdf = synth.images_pdf(60)
+    for r in pdf.itertuples():
+        v = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)[..., 0]
+        hist = np.bincount(v.ravel(), minlength=256).astype(np.int64)
+        cdf = np.cumsum(hist)
+        cdfmin = int(cdf[hist > 0].min())
+        # direct per-pixel remap (not via the histogram) = independent path
+        eq_px = ((cdf[v.ravel()] - cdfmin) * 255) // (v.size - cdfmin)
+        row = got.loc[r.image_id]
+        assert row.eq_sum == int(eq_px.sum())
+        assert row.eq_max == 255
+        assert row.eq_distinct == len(np.unique(eq_px))
+
+    solid = np.full((8, 8, 3), 77, dtype=np.uint8)
+    df = spark.createDataFrame(pd.DataFrame([{
+        "image_id": "solid", "bytes": codec.encode_image(solid, "raw"),
+        "w": 8, "h": 8, "fmt": "raw", "caption": "", "phash": 0}]),
+        IMAGES_SCHEMA)
+    row = M.hist_equalize_stats(df).collect()[0]
+    assert (row.eq_sum, row.eq_distinct, row.eq_max) == (0, 1, 0)
