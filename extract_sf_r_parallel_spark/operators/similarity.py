@@ -28,6 +28,7 @@ __all__ = ["brute_force_topk", "matmul_topk", "block_topk",
            "hyperplane_buckets",
            "lsh_ann_topk", "ivf_topk", "cosine_dup_pairs",
            "lsh_ann_topk_int", "ivf_topk_sampled", "ivf_topk_lloyd",
+           "semantic_dedup",
            "int_weight_tensor", "QUANT_SCALE"]
 
 
@@ -535,6 +536,81 @@ def lsh_ann_topk_int(queries: DataFrame, corpus: DataFrame, dim: int,
     )
 
 
+def _prefix_centroids(corpus: DataFrame, n_clusters: int, id_c: str,
+                      vec: str) -> tuple[np.ndarray, np.ndarray]:
+    """The corpus-sampled coarse quantizer shared by ivf_topk_sampled
+    and semantic_dedup: centroids are the corpus vectors with
+    id < n_clusters, L2-normalized. Returns (C, centroid_ids)."""
+    cent = corpus.filter(F.col(id_c) < n_clusters) \
+        .select(F.col(id_c).alias("cid"),
+                F.col(vec).cast("array<double>").alias("cv")) \
+        .toPandas().sort_values("cid")
+    # the id-prefix centroid convention requires corpus ids 0..k-1 to
+    # exist; fail with a message instead of an opaque np.stack error,
+    # and surface a silently-degraded quantizer (ADVICE r03)
+    if len(cent) == 0:
+        raise ValueError(
+            "no corpus vectors with id < n_clusters "
+            f"({n_clusters}) — the corpus-sampled quantizer takes its "
+            "centroids from the id prefix; use ivf_topk for arbitrary ids")
+    if len(cent) < n_clusters:
+        import warnings
+        warnings.warn(
+            f"only {len(cent)}/{n_clusters} centroid ids "
+            "present in the corpus — quantizer runs below the advertised "
+            "cluster count", RuntimeWarning, stacklevel=2)
+    C = np.stack([np.asarray(v, np.float64) for v in cent["cv"]])
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    return C, cent["cid"].to_numpy()
+
+
+def semantic_dedup(corpus: DataFrame, n_clusters: int = 32,
+                   threshold: float = 0.3, id_col: str = "vec_id",
+                   vec: str = "embedding", round_dp: int = 5) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    the corpus-sampled coarse quantizer (assignment ranks the ROUNDED
+    cosine with ties to the smaller centroid id — the ivf_topk_sampled
+    contract), pick each cluster's MINIMUM id as the canonical
+    representative, and flag every other member whose rounded cosine
+    to the canonical clears `threshold` as a semantic duplicate.
+
+    This is the scalable shape of embedding dedup: no all-pairs sweep
+    anywhere — one broadcast centroid assignment over the corpus, a
+    per-cluster min (≤ n_clusters rows), and one broadcast join of the
+    canonical VECTORS back onto the members. At 10⁹ vectors the only
+    shuffle is the canonical-min groupBy, keyed on n_clusters values.
+
+    Returns (vec_id, cluster, canonical_id, cos_canon, is_dup)."""
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast(
+        _prefix_centroids(corpus, n_clusters, id_col, vec))
+
+    @F.pandas_udf(T.LongType())
+    def _assign(v: pd.Series) -> pd.Series:
+        Cm, ids = bc.value
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in v])
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ Cm.T, round_dp)
+        order = np.lexsort(
+            (np.broadcast_to(ids, sims.shape), -sims), axis=1)[:, 0]
+        return pd.Series(ids[order])
+
+    mem = corpus.select(F.col(id_col).alias("vec_id"),
+                        F.col(vec).cast("array<double>").alias("v")) \
+        .withColumn("cluster", _assign(F.col("v")))
+    canon = mem.groupBy("cluster").agg(F.min("vec_id").alias("canonical_id"))
+    cvecs = canon.join(
+        corpus.select(F.col(id_col).alias("canonical_id"),
+                      F.col(vec).cast("array<double>").alias("canon_v")),
+        "canonical_id")
+    scored = mem.join(F.broadcast(cvecs), "cluster").withColumn(
+        "cos_canon", F.round(cosine(F.col("v"), F.col("canon_v")), round_dp))
+    return scored.select(
+        "vec_id", "cluster", "canonical_id", "cos_canon",
+        ((F.col("cos_canon") >= threshold)
+         & (F.col("vec_id") != F.col("canonical_id"))).alias("is_dup"))
+
+
 def ivf_topk_sampled(queries: DataFrame, corpus: DataFrame, k: int = 5,
                      n_clusters: int = 32, n_probe: int = 8,
                      id_q: str = "vec_id", id_c: str = "vec_id",
@@ -548,28 +624,8 @@ def ivf_topk_sampled(queries: DataFrame, corpus: DataFrame, k: int = 5,
     embed_top1's ranking is. Plan shape is identical to ivf_topk:
     broadcast centroids, cluster equi join, exact JVM-cosine refine."""
     spark = queries.sparkSession
-    cent = corpus.filter(F.col(id_c) < n_clusters) \
-        .select(F.col(id_c).alias("cid"),
-                F.col(vec).cast("array<double>").alias("cv")) \
-        .toPandas().sort_values("cid")
-    # the id-prefix centroid convention requires corpus ids 0..k-1 to
-    # exist; fail with a message instead of an opaque np.stack error,
-    # and surface a silently-degraded quantizer (ADVICE r03)
-    if len(cent) == 0:
-        raise ValueError(
-            "ivf_topk_sampled: no corpus vectors with id < n_clusters "
-            f"({n_clusters}) — the corpus-sampled quantizer takes its "
-            "centroids from the id prefix; use ivf_topk for arbitrary ids")
-    if len(cent) < n_clusters:
-        import warnings
-        warnings.warn(
-            f"ivf_topk_sampled: only {len(cent)}/{n_clusters} centroid ids "
-            "present in the corpus — quantizer runs below the advertised "
-            "cluster count", RuntimeWarning, stacklevel=2)
-    C = np.stack([np.asarray(v, np.float64) for v in cent["cv"]])
-    C = C / np.linalg.norm(C, axis=1, keepdims=True)
-    cids = cent["cid"].to_numpy()
-    bc = spark.sparkContext.broadcast((C, cids))
+    bc = spark.sparkContext.broadcast(
+        _prefix_centroids(corpus, n_clusters, id_c, vec))
 
     def assign_udf(n_top: int):
         @F.pandas_udf(T.ArrayType(T.LongType()))

@@ -21,6 +21,7 @@ from ..operators.similarity import (
     ivf_topk_sampled,
     lsh_ann_topk_int,
     matmul_topk,
+    semantic_dedup,
 )
 from . import relational, spatial_queries, textops
 from .spatial_queries import points_df, rects_df
@@ -255,6 +256,46 @@ SELECT qid, rk, nid, cos FROM (
   SELECT qid, nid, cos,
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
   FROM scored) WHERE rk <= 1
+"""
+
+
+# --- semantic dedup (r06): the SemDeDup recipe — cluster with the
+# corpus-sampled quantizer, canonical = per-cluster MIN id, flag
+# members whose ROUNDED cosine to the canonical clears the threshold.
+# The scalable embedding-dedup shape: no all-pairs sweep; the oracle
+# replays assignment (rounded cosine, smaller-cid ties), the
+# per-cluster min, and the member→canonical scoring.
+def q_semantic_dedup(spark, sf_dir):
+    return semantic_dedup(_emb(spark, sf_dir), n_clusters=32,
+                          threshold=0.3)
+
+
+ORACLE["semantic_dedup"] = """
+WITH cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 32
+), asg AS (
+  SELECT e.vec_id, c.cid,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY ROUND(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), c.cv), 5) DESC,
+               c.cid) AS ar
+  FROM embeddings e CROSS JOIN cent c
+), mem AS (
+  SELECT vec_id, cid AS cluster FROM asg WHERE ar = 1
+), canon AS (
+  SELECT cluster, MIN(vec_id) AS canonical_id FROM mem GROUP BY cluster
+)
+SELECT m.vec_id, m.cluster, c.canonical_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 5)
+         AS cos_canon,
+       (ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])), 5)
+          >= 0.3 AND m.vec_id <> c.canonical_id) AS is_dup
+FROM mem m JOIN canon c USING (cluster)
+JOIN embeddings a ON a.vec_id = m.vec_id
+JOIN embeddings b ON b.vec_id = c.canonical_id
 """
 
 
@@ -1861,6 +1902,7 @@ QUERIES.update({
     "embed_ann_lsh": q_embed_ann_lsh,
     "embed_ann_ivf": q_embed_ann_ivf,
     "embed_ann_ivf_lloyd": q_embed_ann_ivf_lloyd,
+    "semantic_dedup": q_semantic_dedup,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1916,7 +1958,7 @@ _GATE_FIRST = [
     "convex_hull", "sobel_stats", "idw_interp", "traj_stats",
     "spatial_antijoin", "geo_median", "layer_overlay",
     "geofence", "geofence_stream", "image_extract",
-    "zonal_stats", "blob_stats", "hist_equalize",
+    "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
 ]
 
 

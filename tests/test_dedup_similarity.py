@@ -370,3 +370,32 @@ def test_lloyd_ivf_requires_id_prefix(spark, vectors):
         "vec_id", vectors.vec_id + F.lit(10_000))
     with pytest.raises(ValueError, match="init centroid"):
         S.ivf_topk_lloyd(shifted, shifted, k=1, n_clusters=16)
+
+
+def test_semantic_dedup_flags_planted_neighbours(spark, vectors):
+    """The planted 500+i ≈ i twins share a cluster and cross the
+    cosine bar, so exactly one of each pair is flagged; canonical ids
+    are cluster minima and are never flagged themselves."""
+    out = S.semantic_dedup(vectors, n_clusters=12, threshold=0.9) \
+        .toPandas().set_index("vec_id")
+    assert len(out) == 135
+
+    # canonical = min id of its cluster, never a dup itself
+    for cl, grp in out.groupby("cluster"):
+        assert (grp.canonical_id == grp.index.min()).all()
+        assert not out.loc[grp.index.min()].is_dup
+        assert out.loc[grp.index.min()].cos_canon == 1.0
+
+    # high-threshold flags must be dominated by the planted twins:
+    # every planted twin whose canonical is its base partner is caught
+    caught = 0
+    for i in range(15):
+        twin = out.loc[500 + i]
+        if twin.canonical_id == i:
+            assert twin.is_dup, (i, twin.cos_canon)
+            caught += 1
+    assert caught >= 10  # most twins land on their base as canonical
+
+    # flags respect the threshold on the rounded score
+    assert (out[out.is_dup].cos_canon >= 0.9).all()
+    assert (~out[out.cos_canon < 0.9].is_dup).all()
