@@ -1100,6 +1100,44 @@ FROM ({_PTS_SQL}) GROUP BY 1
 """
 
 
+# --- IceLite MERGE / upsert (r06): the lakehouse CDC step. Base table
+# = two appends split by key parity (two data dirs); the merge batch
+# updates every pid ≡ 0 (mod 3) (x shifted +500000) and inserts fresh
+# keys pid+30000000 for pid ≡ 0 (mod 7). Copy-on-write is FILE-scoped:
+# both parity dirs hold matched keys here, so both rewrite, but the
+# pytest twin (tests/test_streaming_lineage_tables.py) pins the
+# untouched-dir-carries-by-reference invariant. The oracle replays the
+# upsert as a CASE projection + UNION ALL over the same closed-form
+# points — no snapshot machinery on the oracle path, so a hash match
+# proves the anti-join + union + commit semantics end-to-end.
+def q_merge_upsert(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_merge_"))
+    pts = points_df(spark, sf_dir).select("pid", "x", "y")
+    t.append(pts.filter(F.pmod("pid", F.lit(2)) == 0))
+    t.append(pts.filter(F.pmod("pid", F.lit(2)) == 1))
+    upd = pts.filter(F.pmod("pid", F.lit(3)) == 0) \
+        .withColumn("x", F.col("x") + 500000)
+    ins = pts.filter(F.pmod("pid", F.lit(7)) == 0) \
+        .select((F.col("pid") + 30000000).alias("pid"), "x", "y")
+    t.merge_into(spark, upd.unionByName(ins), key="pid")
+    return t.read(spark)
+
+
+ORACLE["merge_upsert"] = f"""
+SELECT pid,
+       CASE WHEN pid % 3 = 0 THEN x + 500000 ELSE x END AS x,
+       y
+FROM ({_PTS_SQL})
+UNION ALL
+SELECT pid + 30000000 AS pid, x, y
+FROM ({_PTS_SQL}) WHERE pid % 7 = 0
+"""
+
+
 # --- Z-order layout (r05): Morton-code the point table and report
 # per-prefix-bucket bbox stats — the driver-visible proof that the
 # curve clusters space (every 8-bit z-prefix bucket covers a compact
@@ -1674,6 +1712,7 @@ QUERIES = {
     "raster_roundtrip": q_raster_roundtrip,
     "shard_roundtrip": q_shard_roundtrip,
     "icelite_evolution": q_icelite_evolution,
+    "merge_upsert": q_merge_upsert,
     "csv_roundtrip": q_csv_roundtrip,
     "spatial_antijoin": q_spatial_antijoin,
     "traj_stats": q_traj_stats,

@@ -152,6 +152,57 @@ class IceLiteTable:
         return self._commit([dirname], df.schema.json(), parent, "overwrite",
                             defaults={}, dropped=[])
 
+    def merge_into(self, spark: SparkSession, updates: DataFrame,
+                   key: str | tuple = ("pid",),
+                   partition_by: tuple[str, ...] = ()) -> dict:
+        """Iceberg-style MERGE (upsert): update rows replace live rows
+        with the same key; unmatched update rows insert. Copy-on-write
+        at DATA-FILE granularity, the part that matters at 100 TB: one
+        distributed pass tags every live file dir and finds which dirs
+        actually hold matched keys (broadcast semi join on the update
+        keys — a CDC batch is small by assumption); only those dirs are
+        rewritten (anti join + union), every untouched dir carries into
+        the new snapshot by reference. Time-travel to pre-merge
+        snapshots is unaffected (old snapshots keep the old file list).
+        """
+        keys = [key] if isinstance(key, str) else list(key)
+        parent = self._current_snapshot()
+        if parent is None:
+            return self.append(updates, partition_by)
+        updates = self._align_to_snapshot(updates, parent)
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+        defaults = parent.get("defaults", {})
+        missing = [k for k in keys if k not in schema.fieldNames()]
+        if missing:
+            raise ValueError(f"merge key(s) {missing} not in table schema")
+        tagged = None
+        for i, p in enumerate(parent["files"]):
+            d = self._project(spark.read.parquet(p), schema, defaults) \
+                .withColumn("_icelite_dir", F.lit(i))
+            tagged = d if tagged is None else tagged.unionByName(d)
+        upd_keys = updates.select(*keys)
+        matched = {
+            r["_icelite_dir"]
+            for r in tagged.join(F.broadcast(upd_keys), keys)
+            .select("_icelite_dir").distinct().collect()
+        }
+        keep = [p for i, p in enumerate(parent["files"]) if i not in matched]
+        new_rows = updates
+        if matched:
+            survivors = (
+                tagged.filter(F.col("_icelite_dir")
+                              .isin(*[int(m) for m in matched]))
+                .drop("_icelite_dir")
+                .join(F.broadcast(upd_keys), keys, "left_anti"))
+            new_rows = survivors.unionByName(updates)
+        dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
+        w = new_rows.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(dirname)
+        return self._commit(keep + [dirname], parent["schema"], parent,
+                            "merge")
+
     # -- schema evolution -------------------------------------------------
     def add_column(self, name: str, sql_type: str, default=None) -> dict:
         """Metadata-only commit: add `name` to the schema with a
@@ -211,19 +262,24 @@ class IceLiteTable:
             raise FileNotFoundError(f"empty table at {self.root}")
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         defaults = snap.get("defaults", {})
-        dfs = []
-        for p in snap["files"]:
-            d = spark.read.parquet(p)
-            have = set(d.columns)
-            cols = []
-            for f in schema.fields:
-                if f.name in have:
-                    cols.append(F.col(f.name))
-                else:
-                    cols.append(F.lit(defaults.get(f.name))
-                                .cast(f.dataType).alias(f.name))
-            dfs.append(d.select(*cols))
+        dfs = [self._project(spark.read.parquet(p), schema, defaults)
+               for p in snap["files"]]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    @staticmethod
+    def _project(d: DataFrame, schema: T.StructType,
+                 defaults: dict) -> DataFrame:
+        """Project one data file's frame to a snapshot schema, filling
+        columns the file predates with their evolution default."""
+        have = set(d.columns)
+        cols = []
+        for f in schema.fields:
+            if f.name in have:
+                cols.append(F.col(f.name))
+            else:
+                cols.append(F.lit(defaults.get(f.name))
+                            .cast(f.dataType).alias(f.name))
+        return d.select(*cols)

@@ -203,3 +203,61 @@ def test_icelite_append_aligns_to_snapshot_schema(spark, tmp_path):
     assert t.read(spark).columns == ["id", "tag"]
     t.append(spark.range(10, 12).withColumn("tag", F.lit("w")))
     assert t.read(spark).count() == 12
+
+
+def test_icelite_merge_file_scoped_cow(spark, tmp_path):
+    """MERGE rewrites only the data dirs that hold matched keys; the
+    untouched dir carries into the new snapshot BY REFERENCE, and
+    time-travel to the pre-merge snapshot still sees the old rows."""
+    t = IceLiteTable(str(tmp_path / "merge"))
+    lo = spark.range(0, 100).select(F.col("id").alias("k"),
+                                    (F.col("id") * 10).alias("v"))
+    hi = spark.range(100, 200).select(F.col("id").alias("k"),
+                                      (F.col("id") * 10).alias("v"))
+    t.append(lo)
+    pre = t.append(hi)
+    pre_files = list(pre["files"])
+
+    # updates touch only keys < 100 (the first dir) + one brand-new key
+    upd = spark.createDataFrame([(5, -5), (7, -7), (1000, 42)], "k long, v long")
+    snap = t.merge_into(spark, upd, key="k")
+    assert snap["operation"] == "merge"
+    # dir #2 (hi) carried by reference; dir #1 (lo) rewritten
+    assert pre_files[1] in snap["files"]
+    assert pre_files[0] not in snap["files"]
+    assert len(snap["files"]) == 2
+
+    back = t.read(spark).toPandas().set_index("k").sort_index()
+    assert len(back) == 201
+    assert back.loc[5, "v"] == -5 and back.loc[7, "v"] == -7
+    assert back.loc[1000, "v"] == 42
+    assert back.loc[6, "v"] == 60 and back.loc[150, "v"] == 1500
+
+    # time-travel: the pre-merge snapshot is untouched
+    old = t.read(spark, snapshot_id=pre["snapshot_id"]).toPandas() \
+        .set_index("k").sort_index()
+    assert len(old) == 200 and old.loc[5, "v"] == 50
+
+
+def test_icelite_merge_pure_insert_keeps_all_dirs(spark, tmp_path):
+    """A merge batch with no matched key is a pure insert: every live
+    dir survives by reference, one new dir holds the batch."""
+    t = IceLiteTable(str(tmp_path / "merge2"))
+    base = t.append(spark.range(10).select(F.col("id").alias("k"),
+                                           F.lit(1).alias("v")))
+    snap = t.merge_into(
+        spark, spark.createDataFrame([(99, 9)], "k long, v long"), key="k")
+    assert base["files"][0] in snap["files"] and len(snap["files"]) == 2
+    assert t.read(spark).count() == 11
+
+
+def test_icelite_merge_validates_key_and_schema(spark, tmp_path):
+    t = IceLiteTable(str(tmp_path / "merge3"))
+    t.append(spark.range(5).select(F.col("id").alias("k"),
+                                   F.lit(1).alias("v")))
+    with pytest.raises(ValueError, match="merge key"):
+        t.merge_into(spark, spark.createDataFrame([(1, 1)],
+                     "k long, v long"), key="nope")
+    with pytest.raises(ValueError, match="not in the live snapshot"):
+        t.merge_into(spark, spark.createDataFrame([(1, 1, 2)],
+                     "k long, v long, extra long"), key="k")
