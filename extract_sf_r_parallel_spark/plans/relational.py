@@ -305,8 +305,33 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# --- column profiling (r06): the ingestion data-quality screen as one
+# single-pass wide aggregate exploded to long layout (operators/
+# profile.py). Metrics are order-free (counts / exact distinct / min /
+# max) so the profile is bit-reproducible; the oracle is the textbook
+# per-column UNION ALL — k scans on the oracle path vs ONE scan on the
+# engine path, which is exactly the claim worth proving.
+_PROFILE_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def q_profile_table(spark, sf_dir):
+    from ..operators.profile import profile_numeric
+    return profile_numeric(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+ORACLE["profile_table"] = "\nUNION ALL\n".join(f"""
+SELECT '{c}' AS col_name, COUNT(*) AS n,
+       COUNT(*) - COUNT({c}) AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS DOUBLE) AS min_v,
+       CAST(MAX({c}) AS DOUBLE) AS max_v
+FROM lineitem
+""" for c in _PROFILE_COLS)
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "profile_table": q_profile_table,
     "filtered_min": q_filtered_min,
     "weighted_mean": q_weighted_mean,
     "multi_join": q_multi_join,
