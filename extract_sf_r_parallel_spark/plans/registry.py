@@ -1959,7 +1959,7 @@ _GATE_FIRST = [
     "spatial_antijoin", "geo_median", "layer_overlay",
     "geofence", "geofence_stream", "image_extract",
     "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
-    "merge_upsert", "profile_table",
+    "merge_upsert", "profile_table", "viewshed",
 ]
 
 

@@ -1287,7 +1287,15 @@ GROUP BY 1
 # the center-in-zone refinement, and the empty-group defaults.
 RSTEP = 25.0                      # raster pitch (m)
 _RN = int(G.WINDOW / RSTEP)       # 800 cells per axis
-_RVAL = "((cx * 2654435761 + cy * 40503 + 7) % 4294967291) % 1000"
+
+
+def _rval(x: str = "cx", y: str = "cy") -> str:
+    """The raster's closed-form cell value, SQL-parity (int64-safe:
+    cx ≤ 800 ⇒ the product stays ≪ 2^63)."""
+    return f"(({x} * 2654435761 + {y} * 40503 + 7) % 4294967291) % 1000"
+
+
+_RVAL = _rval()
 
 
 def raster_df(spark: SparkSession) -> DataFrame:
@@ -1332,6 +1340,56 @@ agg AS (
 SELECT r.fid, COALESCE(n_cells, 0) AS n_cells,
        COALESCE(sum_v, 0) AS sum_v, mean_v, max_v
 FROM rects r LEFT JOIN agg USING (fid)
+"""
+
+
+# --- viewshed (r06): terrain line-of-sight over the closed-form
+# height raster. The engine runs the data path — R-disk clip,
+# DDA-sample explode, ONE broadcast equi join against the heights
+# table, per-target groupBy (operators/viewshed.py) — while the
+# oracle never touches a materialized raster: it re-derives every
+# sampled cell's height from the closed form and settles the same
+# cross-multiplied slope test. The DDA round(k/m) is spelled
+# FLOOR((2k+m)/(2m)) on BOTH sides — positive integers, one exact
+# IEEE division — so a single mis-sampled cell flips visibility and
+# breaks the hash.
+_VS_OX, _VS_OY, _VS_R, _VS_H = 400, 400, 40, 50
+
+
+def q_viewshed(spark, sf_dir):
+    from ..operators.viewshed import viewshed
+    hts = raster_df(spark).withColumnRenamed("v", "h")
+    return viewshed(hts, _VS_OX, _VS_OY, _VS_R, obs_height=_VS_H)
+
+
+ORACLE["viewshed"] = f"""
+WITH obs AS (
+  SELECT {_rval(str(_VS_OX), str(_VS_OY))} + {_VS_H} AS h_obs
+), tgt AS (
+  SELECT {_VS_OX} + dx.dx AS cx, {_VS_OY} + dy.dy AS cy,
+         dx.dx AS dx, dy.dy AS dy,
+         GREATEST(ABS(dx.dx), ABS(dy.dy)) AS m
+  FROM LATERAL (SELECT UNNEST(generate_series(-{_VS_R}, {_VS_R})) AS dx) dx,
+       LATERAL (SELECT UNNEST(generate_series(-{_VS_R}, {_VS_R})) AS dy) dy
+  WHERE NOT (dx.dx = 0 AND dy.dy = 0)
+), samp AS (
+  SELECT t.cx, t.cy, t.m, s.t AS st,
+    t.dx, t.dy,
+    CAST({_VS_OX} + CASE WHEN t.dx < 0 THEN -1 ELSE 1 END
+       * FLOOR((2 * s.t * ABS(t.dx) + t.m) / (2 * t.m)) AS BIGINT) AS px,
+    CAST({_VS_OY} + CASE WHEN t.dy < 0 THEN -1 ELSE 1 END
+       * FLOOR((2 * s.t * ABS(t.dy) + t.m) / (2 * t.m)) AS BIGINT) AS py
+  FROM tgt t, LATERAL (SELECT UNNEST(generate_series(1, t.m - 1)) AS t) s
+), blocked AS (
+  SELECT cx, cy,
+    MAX(CASE WHEN ({_rval('px', 'py')} - h_obs) * m
+               >= ({_rval('cx', 'cy')} - h_obs) * st
+             THEN 1 ELSE 0 END) AS b
+  FROM samp, obs GROUP BY cx, cy
+)
+SELECT t.cx, t.cy, CAST(t.m AS BIGINT) AS m,
+       COALESCE(b.b, 0) = 0 AS visible
+FROM tgt t LEFT JOIN blocked b USING (cx, cy)
 """
 
 
@@ -1721,4 +1779,5 @@ QUERIES = {
     "geo_median": q_geo_median,
     "layer_overlay": q_layer_overlay,
     "zonal_stats": q_zonal_stats,
+    "viewshed": q_viewshed,
 }
