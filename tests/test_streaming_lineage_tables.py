@@ -261,3 +261,33 @@ def test_icelite_merge_validates_key_and_schema(spark, tmp_path):
     with pytest.raises(ValueError, match="not in the live snapshot"):
         t.merge_into(spark, spark.createDataFrame([(1, 1, 2)],
                      "k long, v long, extra long"), key="k")
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast enrichment: the streamed join+windowed
+    agg must equal the same plan run in batch (complete mode drains
+    every window, so no sentinel staging is needed)."""
+    dim = spark.read.parquet(f"{SF_DIR}/nation.parquet") \
+        .select(F.col("n_nationkey").alias("nk"), "n_name")
+
+    def plan(df):
+        return (df.withColumn("nk", F.pmod("user_id", F.lit(25)).cast(
+                    dim.schema["nk"].dataType))
+                .join(F.broadcast(dim), "nk")
+                .groupBy(F.window("ts", "1 hour").alias("win"), "n_name")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("value"), 4).alias("sum_value"))
+                .select(F.col("win.start").alias("hour"), "n_name",
+                        "n", "sum_value"))
+
+    stream = SE.read_events_stream(spark, _events_dir(tmp_path))
+    SE.run_available_now(plan(stream.withWatermark("ts", "1 hour")),
+                         "enrich_sink", str(tmp_path / "ck_enrich"),
+                         output_mode="complete", shuffle_partitions=4)
+    got = spark.table("enrich_sink").toPandas() \
+        .sort_values(["hour", "n_name"]).reset_index(drop=True)
+    want = plan(spark.read.parquet(f"{SF_DIR}/events.parquet")).toPandas() \
+        .sort_values(["hour", "n_name"]).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert (got["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert (got["sum_value"].to_numpy() == want["sum_value"].to_numpy()).all()
