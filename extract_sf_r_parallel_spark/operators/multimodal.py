@@ -37,7 +37,7 @@ from ..data import codec
 
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
-           "hist_equalize_stats"]
+           "hist_equalize_stats", "crop_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -165,6 +165,43 @@ def blob_stats(images: DataFrame, thresh: int = 192) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _BLOB_SCHEMA.fields])
     return images.mapInPandas(gen, _BLOB_SCHEMA)
+
+
+_CROP_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("chip_sum", T.LongType()),
+    T.StructField("chip_max", T.LongType()),
+])
+
+
+def crop_stats(images: DataFrame, x0: str, y0: str,
+               size: int = 16) -> DataFrame:
+    """Training-chip extraction: crop the size×size window whose
+    top-left corner is at per-row columns (`x0`, `y0`) out of channel
+    0 and report the chip's pixel sum and max — the decode→crop step
+    every vision-training pipeline runs when cutting chips around
+    labeled points. Offsets are data (columns), not parameters, so a
+    geotagged table can aim each crop at its own target. Rows whose
+    window falls outside the image fail loudly (a silent clamp would
+    train on the wrong pixels).
+
+    Scale: mapInPandas, decode + one NumPy slice per image; no
+    shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                ox, oy = int(getattr(r, x0)), int(getattr(r, y0))
+                if not (0 <= ox <= r.w - size and 0 <= oy <= r.h - size):
+                    raise ValueError(
+                        f"crop_stats: window ({ox},{oy})+{size} outside "
+                        f"image {r.image_id} ({r.w}x{r.h})")
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                chip = v[oy:oy + size, ox:ox + size].astype(np.int64)
+                rows.append((r.image_id, int(chip.sum()), int(chip.max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _CROP_SCHEMA.fields])
+    return images.mapInPandas(gen, _CROP_SCHEMA)
 
 
 _HISTEQ_SCHEMA = T.StructType([

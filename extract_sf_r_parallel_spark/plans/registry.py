@@ -1396,6 +1396,67 @@ FROM eqv GROUP BY image_id
 """
 
 
+# --- chip extraction (r06): the decode→crop step of a vision
+# training pipeline fused with the geotag — each image's 16×16 chip
+# is cut at a PER-ROW offset (data columns, not parameters:
+# ox = 7i mod (w−15), oy = 11i mod (h−15)), and the image's point
+# lands in a fishnet tile, yielding (chip stats, tile) training rows.
+# The oracle re-derives the chip's pixels from the Lehmer closed form
+# restricted to the crop window — one row off in either axis breaks
+# every sum.
+def q_chip_extract(spark, sf_dir):
+    from ..data import geotag as G
+    from ..operators.multimodal import crop_stats
+
+    n, TILE = 120, 1250
+    imgs = spark.createDataFrame(synth.images_pdf(n)) \
+        .withColumn("i", F.expr("CAST(substring(image_id, 4, 8) AS BIGINT)")) \
+        .withColumn("ox", (F.col("i") * 7 % (F.col("w") - 15)).cast("int")) \
+        .withColumn("oy", (F.col("i") * 11 % (F.col("h") - 15)).cast("int"))
+    chips = crop_stats(imgs, "ox", "oy", size=16)
+    pts = imgs.select(
+        "image_id",
+        F.floor(F.expr(G.sql_point_x("i")) / TILE).cast("int").alias("tile_x"),
+        F.floor(F.expr(G.sql_point_y("i")) / TILE).cast("int").alias("tile_y"))
+    return pts.join(chips, "image_id")
+
+
+def _chip_oracle() -> str:
+    from ..data import geotag as G
+    return f"""
+WITH imgs AS (
+  SELECT i, printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), win AS (
+  SELECT *, (i * 7) % (w - 15) AS ox, (i * 11) % (h - 15) AS oy FROM imgs
+), chip AS (
+  SELECT image_id,
+    CAST(SUM(v) AS BIGINT) AS chip_sum, CAST(MAX(v) AS BIGINT) AS chip_max
+  FROM (
+    SELECT image_id,
+      xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+          ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+          >> 16) % 256 AS v
+    FROM win, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+    WHERE j % 3 = 0
+      AND (j // 3) // w BETWEEN oy AND oy + 15
+      AND (j // 3) % w BETWEEN ox AND ox + 15
+  ) GROUP BY image_id
+)
+SELECT image_id,
+  CAST(FLOOR({G.sql_point_x('i')} / 1250) AS INT) AS tile_x,
+  CAST(FLOOR({G.sql_point_y('i')} / 1250) AS INT) AS tile_y,
+  chip_sum, chip_max
+FROM imgs JOIN chip USING (image_id)
+"""
+
+
+ORACLE["chip_extract"] = _chip_oracle()
+
+
 # --- the NORTH-STAR chain in one driver row (r06): the Iceberg-shaped
 # image+caption table (BASELINE.json input_hint) → distributed decode
 # → deterministic geotag → cell-indexed spatial join against the
@@ -1960,6 +2021,7 @@ QUERIES.update({
     "sobel_stats": q_sobel_stats,
     "blob_stats": q_blob_stats,
     "hist_equalize": q_hist_equalize,
+    "chip_extract": q_chip_extract,
     "image_extract": q_image_extract,
     "image_dedup": q_image_dedup,
     "wide_merge": q_wide_merge,
@@ -2003,6 +2065,7 @@ _GATE_FIRST = [
     "geofence", "geofence_stream", "image_extract",
     "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
     "merge_upsert", "profile_table", "viewshed", "stream_enrich",
+    "chip_extract",
 ]
 
 

@@ -251,3 +251,28 @@ def test_hist_equalize_properties(spark, images):
         IMAGES_SCHEMA)
     row = M.hist_equalize_stats(df).collect()[0]
     assert (row.eq_sum, row.eq_distinct, row.eq_max) == (0, 1, 0)
+
+
+def test_crop_stats_matches_direct_slice(spark, images):
+    import pandas as pd
+    pdf = synth.images_pdf(60)
+    pdf["ox"] = (pdf.index * 7 % (pdf.w - 15)).astype("int32")
+    pdf["oy"] = (pdf.index * 11 % (pdf.h - 15)).astype("int32")
+    df = spark.createDataFrame(pdf)
+    got = M.crop_stats(df, "ox", "oy", size=16).toPandas() \
+        .set_index("image_id")
+    for r in pdf.itertuples():
+        v = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)[..., 0]
+        chip = v[r.oy:r.oy + 16, r.ox:r.ox + 16].astype(np.int64)
+        assert got.loc[r.image_id].chip_sum == chip.sum()
+        assert got.loc[r.image_id].chip_max == chip.max()
+
+
+def test_crop_stats_out_of_bounds_raises(spark, images):
+    import pandas as pd
+    pdf = synth.images_pdf(3)
+    pdf["ox"] = [0, 0, 100]   # 100 > w-16 for every fixture size
+    pdf["oy"] = 0
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="outside"):
+        M.crop_stats(df, "ox", "oy", size=16).collect()
