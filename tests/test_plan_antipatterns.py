@@ -30,6 +30,8 @@ LAZY = [
     # r06 additions (all lazily built)
     "spatial_antijoin", "traj_stats", "idw_interp", "geo_median",
     "layer_overlay", "sobel_stats", "convex_hull", "image_extract",
+    "zonal_stats", "blob_stats", "hist_equalize", "chip_extract",
+    "profile_table", "viewshed",
 ]
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
