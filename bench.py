@@ -60,6 +60,8 @@ HEADLINE = [
     "idw_interp",        # disk-cover cell join + weighted agg
     "layer_overlay",     # feature×feature join, reference-point dedup
     "convex_hull",       # hierarchical monotone chain (salted 2-level)
+    "zonal_stats",       # raster↔vector zonal agg (broadcast cover join)
+    "viewshed",          # integer line-of-sight (DDA explode + slope test)
 ]
 
 HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs

@@ -1343,6 +1343,53 @@ FROM rects r LEFT JOIN agg USING (fid)
 """
 
 
+# --- area-weighted zonal stats (r06): the exactextract-style variant
+# — every partially covered cell contributes by its zone∩cell overlap
+# AREA (exact integer-valued; summed BEFORE the single /step²
+# division, so both engines aggregate order-free — summing the
+# non-dyadic fraction area/625 would round per-row and make the sums
+# order-dependent). Thin zones that center-sampling misses entirely
+# get their true coverage here.
+def q_zonal_weighted(spark, sf_dir):
+    from ..operators.zonal import zonal_stats
+    return zonal_stats(rects_df(spark, sf_dir).drop("geom"),
+                       raster_df(spark), RSTEP, weighted=True)
+
+
+ORACLE["zonal_weighted"] = f"""
+WITH rects AS ({_RECTS_SQL}),
+cand AS (
+  SELECT fid, ux.cx AS cx, uy.cy AS cy,
+    (LEAST(rxmax, (ux.cx + 1) * {RSTEP}) -
+     GREATEST(rxmin, ux.cx * {RSTEP}))
+  * (LEAST(rymax, (uy.cy + 1) * {RSTEP}) -
+     GREATEST(rymin, uy.cy * {RSTEP})) AS w
+  FROM rects,
+  LATERAL (SELECT UNNEST(generate_series(
+      CAST(FLOOR(rxmin / {RSTEP}) AS BIGINT),
+      CAST(FLOOR(rxmax / {RSTEP}) AS BIGINT))) AS cx) ux,
+  LATERAL (SELECT UNNEST(generate_series(
+      CAST(FLOOR(rymin / {RSTEP}) AS BIGINT),
+      CAST(FLOOR(rymax / {RSTEP}) AS BIGINT))) AS cy) uy
+  WHERE ux.cx BETWEEN 0 AND {_RN - 1} AND uy.cy BETWEEN 0 AND {_RN - 1}
+    AND LEAST(rxmax, (ux.cx + 1) * {RSTEP})
+          > GREATEST(rxmin, ux.cx * {RSTEP})
+    AND LEAST(rymax, (uy.cy + 1) * {RSTEP})
+          > GREATEST(rymin, uy.cy * {RSTEP})
+),
+agg AS (
+  SELECT fid, COUNT(*) AS n_cells,
+         SUM(w) / {RSTEP * RSTEP} AS cov,
+         SUM(w * ({_RVAL})) / {RSTEP * RSTEP} AS wsum,
+         SUM(w * ({_RVAL})) / SUM(w) AS wmean
+  FROM cand GROUP BY fid
+)
+SELECT r.fid, COALESCE(n_cells, 0) AS n_cells,
+       COALESCE(cov, 0.0) AS cov, COALESCE(wsum, 0.0) AS wsum, wmean
+FROM rects r LEFT JOIN agg USING (fid)
+"""
+
+
 # --- viewshed (r06): terrain line-of-sight over the closed-form
 # height raster. The engine runs the data path — R-disk clip,
 # DDA-sample explode, ONE broadcast equi join against the heights
@@ -1779,5 +1826,6 @@ QUERIES = {
     "geo_median": q_geo_median,
     "layer_overlay": q_layer_overlay,
     "zonal_stats": q_zonal_stats,
+    "zonal_weighted": q_zonal_weighted,
     "viewshed": q_viewshed,
 }

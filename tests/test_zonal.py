@@ -93,3 +93,51 @@ def test_plan_broadcasts_zones_not_raster(spark, fixtures):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan  # raster side never shuffles
+
+
+def test_weighted_matches_brute_force(spark, fixtures):
+    """Coverage-weighted zonal: exact overlap-area weights vs a direct
+    NumPy computation; total coverage of an in-window zone equals its
+    own area / step^2."""
+    cells, zones = fixtures
+    got = zonal_stats(spark.createDataFrame(zones),
+                      spark.createDataFrame(cells), STEP,
+                      weighted=True).toPandas().set_index("fid")
+    cx = cells.cx.to_numpy()
+    cy = cells.cy.to_numpy()
+    v = cells.v.to_numpy().astype(float)
+    for z in zones.itertuples():
+        ow = np.minimum(z.rxmax, (cx + 1) * STEP) - np.maximum(z.rxmin, cx * STEP)
+        oh = np.minimum(z.rymax, (cy + 1) * STEP) - np.maximum(z.rymin, cy * STEP)
+        w = np.where((ow > 0) & (oh > 0), ow * oh, 0.0)
+        r = got.loc[z.fid]
+        assert r["n_cells"] == int((w > 0).sum())
+        assert r["cov"] == pytest.approx(w.sum() / STEP**2, rel=1e-12)
+        assert r["wsum"] == pytest.approx((w * v).sum() / STEP**2, rel=1e-12)
+        if w.sum() > 0:
+            assert r["wmean"] == pytest.approx((w * v).sum() / w.sum(),
+                                               rel=1e-12)
+        else:
+            assert pd.isna(r["wmean"])
+
+
+def test_weighted_catches_thin_zone_center_misses(spark, fixtures):
+    """A zone thinner than the grid pitch that straddles no cell
+    center: center sampling sees nothing, area weighting sees its true
+    (small) coverage."""
+    cells, _ = fixtures
+    # dense raster for this one: fill in every cell so the thin zone
+    # surely overlaps live cells
+    full = pd.DataFrame({
+        "cx": np.repeat(np.arange(30), 30).astype(np.int64),
+        "cy": np.tile(np.arange(30), 30).astype(np.int64),
+        "v": np.ones(900, dtype=np.int64)})
+    thin = spark.createDataFrame(pd.DataFrame({
+        "fid": [1], "rxmin": [101.0], "rymin": [0.0],
+        "rxmax": [103.0], "rymax": [300.0]}))  # 2 wide, between centers
+    rast = spark.createDataFrame(full)
+    center = zonal_stats(thin, rast, STEP).collect()[0]
+    weighted = zonal_stats(thin, rast, STEP, weighted=True).collect()[0]
+    assert center.n_cells == 0
+    assert weighted.n_cells == 30
+    assert weighted.cov == pytest.approx(2.0 * 300 / STEP**2)
