@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["focal_stats", "pyramid_rollup"]
+__all__ = ["focal_stats", "pyramid_rollup", "hillshade"]
 
 
 def focal_stats(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
@@ -85,3 +85,77 @@ def pyramid_rollup(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out
+
+
+def hillshade(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+              value: str = "value",
+              light: tuple[int, int, int] = (2, 3, 6),
+              block: int = 25) -> DataFrame:
+    """Lambertian hillshade over a sparse height raster — the terrain
+    rendering/analysis op of the R raster family (`hillShade()`),
+    kept bit-reproducible across engines:
+
+    - central differences gx = h(x+1,y) − h(x−1,y) (gy mirrored) via
+      the SCATTER plan: each cell emits its ±value to the 4 stencil
+      targets in one literal explode, ONE groupBy — no self-join; a
+      target is interior iff all 4 contributions arrive (n = 4),
+      matching the dense stencil exactly on a sparse table;
+    - shade = (−lx·gx − ly·gy + 2·lz) / (|L|·sqrt(gx² + gy² + 4)).
+      The default light (2,3,6) has |L| = 7 EXACTLY, the numerator is
+      an exact integer-valued double, and sqrt/× /÷ are each single
+      correctly-rounded IEEE ops — so two engines agree to the last
+      bit with no rounding step;
+    - per-(block × block) tile summary: n_interior, min/max shade.
+      Min/max (order-free) rather than a float SUM, which would be
+      accumulation-order-dependent and break cross-engine parity.
+    """
+    lx, ly, lz = light
+    offs = F.array(
+        F.struct(F.lit(-1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit(-1).alias("gx"), F.lit(0).alias("gy")),
+        F.struct(F.lit(1).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit(1).alias("gx"), F.lit(0).alias("gy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(-1).alias("dy"),
+                 F.lit(0).alias("gx"), F.lit(-1).alias("gy")),
+        F.struct(F.lit(0).alias("dx"), F.lit(1).alias("dy"),
+                 F.lit(0).alias("gx"), F.lit(1).alias("gy")),
+    )
+    # source cell c contributes to target t = c − d with coefficient
+    # +g (so that at t, the sum collects h(t+d)·g over the stencil)
+    scattered = (
+        cells.select(x, y, value)
+        .withColumn("_o", F.explode(offs))
+        .select((F.col(x) - F.col("_o.dx")).alias(x),
+                (F.col(y) - F.col("_o.dy")).alias(y),
+                (F.col("_o.gx") * F.col(value)).alias("_gx"),
+                (F.col("_o.gy") * F.col(value)).alias("_gy"))
+        .groupBy(x, y)
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.sum("_gx").alias("gx"), F.sum("_gy").alias("gy"))
+        .filter(F.col("_n") == 4)
+    )
+    norm = float(_exact_norm(lx * lx + ly * ly + lz * lz))
+    shade = ((-lx * F.col("gx") - ly * F.col("gy") + 2 * lz)
+             / (norm * F.sqrt(F.col("gx") * F.col("gx")
+                              + F.col("gy") * F.col("gy") + 4.0)))
+    shaded = scattered.join(cells.select(x, y), [x, y]) \
+        .withColumn("shade", shade)
+    return (shaded.groupBy(
+                F.floor(F.col(x) / block).cast("long").alias("bx"),
+                F.floor(F.col(y) / block).cast("long").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_interior"),
+                 F.min("shade").alias("min_shade"),
+                 F.max("shade").alias("max_shade")))
+
+
+def _exact_norm(v: int) -> float:
+    """sqrt of a small int; raises if the norm is not exact — the
+    bit-reproducibility contract requires an exactly representable
+    |L| (e.g. (2,3,6) → 7, (1,2,2) → 3, Pythagorean quadruples)."""
+    r = int(v ** 0.5)
+    if r * r != v:
+        raise ValueError(
+            f"hillshade: |light|² = {v} is not a perfect square; pick a "
+            "Pythagorean-quadruple light vector (e.g. (2,3,6) or (1,2,2)) "
+            "so the normalization is exact across engines")
+    return float(r)

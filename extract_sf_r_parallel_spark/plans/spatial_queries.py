@@ -1390,6 +1390,36 @@ FROM rects r LEFT JOIN agg USING (fid)
 """
 
 
+# --- hillshade (r06): Lambertian terrain shading over the closed-form
+# height raster. Engine = the 4-target SCATTER stencil (one explode +
+# one groupBy, interior = all 4 contributions arrived) + the
+# bit-reproducible shade (light (2,3,6) ⇒ |L| = 7 exactly; integer
+# numerator; sqrt/×/÷ single correctly-rounded IEEE ops — NO rounding
+# anywhere). Oracle computes gradients DIRECTLY from the closed form —
+# no join, no scatter — and must still match min/max shade per block
+# to the last bit.
+def q_hillshade(spark, sf_dir):
+    from ..operators.focal import hillshade
+    return hillshade(raster_df(spark), x="cx", y="cy", value="v")
+
+
+ORACLE["hillshade"] = f"""
+WITH g AS (
+  SELECT cx // 25 AS bx, cy // 25 AS by,
+         {_rval('(cx + 1)', 'cy')} - {_rval('(cx - 1)', 'cy')} AS gx,
+         {_rval('cx', '(cy + 1)')} - {_rval('cx', '(cy - 1)')} AS gy
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+  WHERE cx BETWEEN 1 AND {_RN - 2} AND cy BETWEEN 1 AND {_RN - 2}
+)
+SELECT bx, by, COUNT(*) AS n_interior,
+       MIN((-2 * gx - 3 * gy + 12)
+           / (7 * SQRT(gx * gx + gy * gy + 4.0))) AS min_shade,
+       MAX((-2 * gx - 3 * gy + 12)
+           / (7 * SQRT(gx * gx + gy * gy + 4.0))) AS max_shade
+FROM g GROUP BY 1, 2
+"""
+
+
 # --- viewshed (r06): terrain line-of-sight over the closed-form
 # height raster. The engine runs the data path — R-disk clip,
 # DDA-sample explode, ONE broadcast equi join against the heights
@@ -1828,4 +1858,5 @@ QUERIES = {
     "zonal_stats": q_zonal_stats,
     "zonal_weighted": q_zonal_weighted,
     "viewshed": q_viewshed,
+    "hillshade": q_hillshade,
 }

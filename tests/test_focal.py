@@ -79,3 +79,36 @@ def test_pyramid_levels_conserve_total(spark, cells_pdf):
     want = {(x // 8, y // 8) for x, y in
             zip(cells_pdf.cell_x, cells_pdf.cell_y)}
     assert set(zip(lv3.cell_x, lv3.cell_y)) == want
+
+
+def test_hillshade_flat_and_plane(spark):
+    """Flat terrain shades to 12/14 everywhere (gx=gy=0); a uniform
+    x-slope plane h=5x gives gx=10, gy=0 -> shade known in closed
+    form; borders (missing stencil neighbours) are excluded."""
+    import pandas as pd
+
+    n = 10
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    flat = pd.DataFrame({"cell_x": xs.ravel(), "cell_y": ys.ravel(),
+                         "value": np.zeros(n * n, dtype=np.int64)})
+    from extract_sf_r_parallel_spark.operators.focal import hillshade
+    out = hillshade(spark.createDataFrame(flat), block=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_interior == (n - 2) ** 2
+    assert r.min_shade == r.max_shade == 12.0 / (7 * 2.0)
+
+    plane = flat.assign(value=(5 * xs.ravel()).astype(np.int64))
+    r = hillshade(spark.createDataFrame(plane), block=100).collect()[0]
+    want = (-2 * 10 + 12) / (7 * np.sqrt(10 * 10 + 4.0))
+    assert r.min_shade == r.max_shade == want
+
+
+def test_hillshade_rejects_inexact_light_norm(spark):
+    import pandas as pd
+
+    from extract_sf_r_parallel_spark.operators.focal import hillshade
+    df = spark.createDataFrame(pd.DataFrame(
+        {"cell_x": [0], "cell_y": [0], "value": [0]}))
+    with pytest.raises(ValueError, match="perfect square"):
+        hillshade(df, light=(1, 1, 1))
