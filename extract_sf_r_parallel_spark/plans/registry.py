@@ -2065,7 +2065,7 @@ _GATE_FIRST = [
     "geofence", "geofence_stream", "image_extract",
     "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
     "merge_upsert", "profile_table", "viewshed", "stream_enrich",
-    "chip_extract", "zonal_weighted", "hillshade",
+    "chip_extract", "zonal_weighted", "hillshade", "line_locate",
 ]
 
 

@@ -1420,6 +1420,77 @@ FROM g GROUP BY 1, 2
 """
 
 
+# --- linear referencing (r06): snap points to a route polyline and
+# measure the chainage (st_line_locate_point — the milepost op; the
+# reference's seismic lines ARE such routes). No rounding anywhere:
+# every step is a single correctly-rounded IEEE op over identical
+# inputs, ties break on the segment idx, and the route's cumulative
+# length is an ORDERED window sum (deterministic accumulation on both
+# engines, unlike a groupBy float sum). The oracle replays the
+# projection/clamp/argmin in SQL over the same closed-form route.
+_LR_MAXDIST = 1000.0
+
+
+def _route_segments(spark):
+    # vy ∈ {0, 150}: every segment is (200, 0) or (200, ±150), so
+    # seglen ∈ {200, 250} EXACTLY (3-4-5 Pythagorean) and the route's
+    # cumulative length is a sum of integers — exact under ANY
+    # accumulation order. (A float wiggle made chainage differ at
+    # 1e-11 between engines: DuckDB aggregates window sums with a
+    # segment tree, not sequentially.)
+    r = spark.range(99)
+    vy = "CAST(150 * (((%s * 48271 + 11) %% 999983) %% 2) AS DOUBLE)"
+    return r.select(
+        F.col("id").alias("idx"),
+        (F.col("id") * 200).cast("double").alias("x0"),
+        F.expr(vy % "id").alias("y0"),
+        ((F.col("id") + 1) * 200).cast("double").alias("x1"),
+        F.expr(vy % "(id + 1)").alias("y1"))
+
+
+def q_line_locate(spark, sf_dir):
+    from ..operators.linear_ref import locate_points
+    return locate_points(points_df(spark, sf_dir).drop("pyear"),
+                         _route_segments(spark), _LR_MAXDIST)
+
+
+ORACLE["line_locate"] = f"""
+WITH verts AS (
+  SELECT i, CAST(i * 200 AS DOUBLE) AS vx,
+         CAST(150 * (((i * 48271 + 11) % 999983) % 2) AS DOUBLE) AS vy
+  FROM range(100) t(i)
+), seg0 AS (
+  SELECT a.i AS idx, a.vx AS x0, a.vy AS y0, b.vx AS x1, b.vy AS y1,
+         SQRT((b.vx - a.vx) * (b.vx - a.vx)
+            + (b.vy - a.vy) * (b.vy - a.vy)) AS seglen
+  FROM verts a JOIN verts b ON b.i = a.i + 1
+), seg AS (
+  SELECT *, COALESCE(SUM(seglen) OVER (
+      ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      0.0) AS cumlen
+  FROM seg0
+), cand AS (
+  SELECT pid, idx, t, cumlen + t * seglen AS chainage,
+         SQRT((x - (x0 + t * (x1 - x0))) * (x - (x0 + t * (x1 - x0)))
+            + (y - (y0 + t * (y1 - y0))) * (y - (y0 + t * (y1 - y0))))
+           AS dist
+  FROM (
+    SELECT p.pid, p.x, p.y, s.*,
+           LEAST(GREATEST(
+             ((p.x - s.x0) * (s.x1 - s.x0) + (p.y - s.y0) * (s.y1 - s.y0))
+             / ((s.x1 - s.x0) * (s.x1 - s.x0)
+                + (s.y1 - s.y0) * (s.y1 - s.y0)), 0.0), 1.0) AS t
+    FROM ({_PTS_SQL}) p CROSS JOIN seg s
+  )
+), best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY dist, idx) AS rn
+  FROM cand
+)
+SELECT pid, idx, t, dist, chainage
+FROM best WHERE rn = 1 AND dist < {_LR_MAXDIST}
+"""
+
+
 # --- viewshed (r06): terrain line-of-sight over the closed-form
 # height raster. The engine runs the data path — R-disk clip,
 # DDA-sample explode, ONE broadcast equi join against the heights
@@ -1859,4 +1930,5 @@ QUERIES = {
     "zonal_weighted": q_zonal_weighted,
     "viewshed": q_viewshed,
     "hillshade": q_hillshade,
+    "line_locate": q_line_locate,
 }
