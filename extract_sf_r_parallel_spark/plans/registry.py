@@ -2066,6 +2066,7 @@ _GATE_FIRST = [
     "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
     "merge_upsert", "profile_table", "viewshed", "stream_enrich",
     "chip_extract", "zonal_weighted", "hillshade", "line_locate",
+    "rollup_agg",
 ]
 
 

@@ -329,9 +329,30 @@ SELECT '{c}' AS col_name, COUNT(*) AS n,
 FROM lineitem
 """ for c in _PROFILE_COLS)
 
+# --- OLAP rollup (r06): the GROUPING SETS surface — per-(flag,
+# status) leaf groups, per-flag subtotals, and the grand total in ONE
+# pass (Spark's Expand feeds a single shuffle; at 100 TB this beats
+# three separate scans + a union). grouping_id disambiguates subtotal
+# rows from real NULL keys; both engines encode it MSB-first.
+def q_rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
+ORACLE["rollup_agg"] = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "profile_table": q_profile_table,
+    "rollup_agg": q_rollup_agg,
     "filtered_min": q_filtered_min,
     "weighted_mean": q_weighted_mean,
     "multi_join": q_multi_join,
