@@ -349,10 +349,35 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
+# --- skyline / Pareto frontier (r06): the two-objective "best under
+# both criteria" reduction (the reference's nearest-AND-oldest shape).
+# Engine: two-phase — Arrow-vectorized per-partition staircase prune,
+# then an exact JVM window resolution over the tiny survivor union.
+# Oracle: the textbook quadratic NOT EXISTS dominance anti-join — a
+# genuinely different algorithm; agreement proves the pruning phase
+# never drops a non-dominated row.
+def q_skyline(spark, sf_dir):
+    from ..operators.skyline import skyline_min2
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_retailprice")
+    return skyline_min2(p, "p_size", "p_retailprice")
+
+
+ORACLE["skyline"] = """
+SELECT p_partkey, p_size, p_retailprice
+FROM part q
+WHERE NOT EXISTS (
+  SELECT 1 FROM part p
+  WHERE p.p_size <= q.p_size AND p.p_retailprice <= q.p_retailprice
+    AND (p.p_size < q.p_size OR p.p_retailprice < q.p_retailprice))
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "profile_table": q_profile_table,
     "rollup_agg": q_rollup_agg,
+    "skyline": q_skyline,
     "filtered_min": q_filtered_min,
     "weighted_mean": q_weighted_mean,
     "multi_join": q_multi_join,
