@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["focal_stats", "pyramid_rollup", "hillshade"]
+__all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8"]
 
 
 def focal_stats(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
@@ -159,3 +159,81 @@ def _exact_norm(v: int) -> float:
             "Pythagorean-quadruple light vector (e.g. (2,3,6) or (1,2,2)) "
             "so the normalization is exact across engines")
     return float(r)
+
+
+# (dx, dy, dist², direction code) — D8 codes clockwise from East.
+_D8 = [
+    (1, 0, 1, 1), (1, 1, 2, 2), (0, 1, 1, 3), (-1, 1, 2, 4),
+    (-1, 0, 1, 5), (-1, -1, 2, 6), (0, -1, 1, 7), (1, -1, 2, 8),
+]
+
+
+def flow_d8(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+            value: str = "value", block: int = 25) -> DataFrame:
+    """D8 flow direction — hydrology's first derivative of a DEM
+    (R raster/terra `terrain(opt="flowdir")`): each interior cell
+    drains toward the steepest-descent neighbour among its 8, slope =
+    drop / distance with distance ∈ {1, √2}; cells with no positive
+    drop are pits/flats (code 0). Returns per-(block × block) tile
+    counts by direction code — the drainage-pattern summary.
+
+    Cross-engine determinism: drops are integer-valued doubles,
+    √2 and the division are each one correctly-rounded IEEE op, so
+    both engines compare IDENTICAL doubles; ties broken by the
+    smallest direction code on both sides (max over (slope, −dir)
+    here, `ORDER BY s DESC, dir` in the oracle).
+
+    Plan: one literal 9-offset explode re-keys every cell onto the
+    targets it neighbours PLUS itself (the dir-0 self-emission
+    carries the centre height, so no self-join and no big sort ever
+    happens), then ONE groupBy collects the bounded 8-element
+    contribution list and resolves the argmax with a higher-order
+    `aggregate` — per-cell state is ≤ 9 rows regardless of raster
+    size, and the only shuffle is the scatter's. Only targets
+    receiving all 9 contributions emit (interior cells; the sparse
+    edge never produces a half-windowed direction)."""
+    offs = F.array(*([
+        F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"),
+                 F.lit(0).alias("k"), F.lit(0).alias("dir"))] + [
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(k).alias("k"), F.lit(d).alias("dir"))
+        for dx, dy, k, d in _D8]))
+    scattered = (
+        cells.select(x, y, value)
+        .withColumn("_o", F.explode(offs))
+        .select((F.col(x) - F.col("_o.dx")).alias(x),
+                (F.col(y) - F.col("_o.dy")).alias(y),
+                F.col("_o.k").alias("_k"), F.col("_o.dir").alias("_dir"),
+                F.col(value).alias("_nv")))
+    per_cell = (
+        scattered.groupBy(x, y)
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.max(F.when(F.col("_dir") == 0, F.col("_nv"))).alias("_vc"),
+             F.collect_list(  # null for dir 0 → excluded; ≤ 8 elements
+                 F.when(F.col("_dir") != 0,
+                        F.struct(F.col("_k").alias("k"),
+                                 F.col("_dir").alias("dir"),
+                                 F.col("_nv").alias("nv")))).alias("_c"))
+        .filter(F.col("_n") == 9))
+
+    def _merge(acc, e):
+        s = ((F.col("_vc") - e["nv"]).cast("double")
+             / F.sqrt(e["k"].cast("double")))
+        better = (s > acc["s"]) | ((s == acc["s"]) & (-e["dir"] > acc["nd"]))
+        return F.when(better, F.struct(s.alias("s"),
+                                       (-e["dir"]).alias("nd"))) \
+                .otherwise(acc)
+
+    best = F.aggregate(
+        "_c",
+        F.struct(F.lit(float("-inf")).alias("s"),
+                 F.lit(-9).cast("int").alias("nd")),
+        _merge)
+    per_cell = per_cell.select(
+        x, y,
+        F.when(best["s"] > 0, -best["nd"]).otherwise(F.lit(0)).alias("dir"))
+    return (per_cell.groupBy(
+                F.floor(F.col(x) / block).cast("long").alias("bx"),
+                F.floor(F.col(y) / block).cast("long").alias("by"),
+                "dir")
+            .agg(F.count(F.lit(1)).alias("n")))

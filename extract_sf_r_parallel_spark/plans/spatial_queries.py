@@ -1420,6 +1420,43 @@ FROM g GROUP BY 1, 2
 """
 
 
+# --- D8 flow direction (r06): hydrology's steepest-descent drainage
+# assignment over the same closed-form DEM. Engine = 8-offset scatter
+# + ONE equi join for the centre height + per-target lexicographic
+# struct argmax (max over (slope, −dir) ⇒ steepest slope, smallest
+# code on ties) — one shuffle chain, pure JVM. Determinism: drops are
+# integer-valued doubles, √2 and the division each a single
+# correctly-rounded IEEE op, so both engines rank IDENTICAL doubles.
+# Oracle computes all 8 slopes directly from the closed form and
+# picks via ROW_NUMBER (ORDER BY s DESC, dir) — gather + window vs
+# scatter + argmax.
+def q_flow_d8(spark, sf_dir):
+    from ..operators.focal import flow_d8
+    return flow_d8(raster_df(spark), x="cx", y="cy", value="v")
+
+
+ORACLE["flow_d8"] = f"""
+WITH offs(dx, dy, k, dir) AS (
+  VALUES (1,0,1,1),(1,1,2,2),(0,1,1,3),(-1,1,2,4),
+         (-1,0,1,5),(-1,-1,2,6),(0,-1,1,7),(1,-1,2,8)
+), sl AS (
+  SELECT cx, cy, dir,
+         CAST({_rval('cx', 'cy')} - {_rval('(cx + dx)', '(cy + dy)')}
+              AS DOUBLE) / SQRT(CAST(k AS DOUBLE)) AS s
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy), offs
+  WHERE cx BETWEEN 1 AND {_RN - 2} AND cy BETWEEN 1 AND {_RN - 2}
+), best AS (
+  SELECT cx, cy, dir, s,
+         ROW_NUMBER() OVER (PARTITION BY cx, cy
+                            ORDER BY s DESC, dir) AS rn
+  FROM sl
+)
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CASE WHEN s > 0 THEN dir ELSE 0 END AS dir, COUNT(*) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2, 3
+"""
+
+
 # --- linear referencing (r06): snap points to a route polyline and
 # measure the chainage (st_line_locate_point — the milepost op; the
 # reference's seismic lines ARE such routes). No rounding anywhere:
@@ -1930,5 +1967,6 @@ QUERIES = {
     "zonal_weighted": q_zonal_weighted,
     "viewshed": q_viewshed,
     "hillshade": q_hillshade,
+    "flow_d8": q_flow_d8,
     "line_locate": q_line_locate,
 }
