@@ -37,7 +37,7 @@ from ..data import codec
 
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
-           "hist_equalize_stats", "crop_stats"]
+           "hist_equalize_stats", "crop_stats", "morph_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -388,3 +388,59 @@ def frame_sample(media: DataFrame, every_n: int = 10) -> DataFrame:
                         "container; plug a decoder into data/codec.py")
             yield pd.DataFrame(rows, columns=[f.name for f in _FRAME_SCHEMA.fields])
     return media.mapInPandas(gen, _FRAME_SCHEMA)
+
+
+_MORPH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_fg", T.LongType()),
+    T.StructField("n_eroded", T.LongType()),
+    T.StructField("n_dilated", T.LongType()),
+    T.StructField("n_opened", T.LongType()),
+])
+
+
+def _erode4(m: np.ndarray) -> np.ndarray:
+    """Binary erosion with the 3×3 cross, zero-padded: a pixel
+    survives iff it and its 4 edge-neighbours are foreground (border
+    pixels never survive — their out-of-bounds neighbour is bg)."""
+    out = np.zeros_like(m)
+    if m.shape[0] >= 3 and m.shape[1] >= 3:
+        out[1:-1, 1:-1] = (m[1:-1, 1:-1] & m[:-2, 1:-1] & m[2:, 1:-1]
+                           & m[1:-1, :-2] & m[1:-1, 2:])
+    return out
+
+
+def _dilate4(m: np.ndarray) -> np.ndarray:
+    """Binary dilation with the 3×3 cross (clipped at the border)."""
+    out = m.copy()
+    out[:-1, :] |= m[1:, :]
+    out[1:, :] |= m[:-1, :]
+    out[:, :-1] |= m[:, 1:]
+    out[:, 1:] |= m[:, :-1]
+    return out
+
+
+def morph_stats(images: DataFrame, thresh: int = 192) -> DataFrame:
+    """Mathematical morphology screen: threshold channel 0 at
+    `thresh`, then report the foreground size after erosion, dilation
+    and opening (erode→dilate) with the 3×3 cross — the standard
+    despeckle/denoise diagnostics for vision training data (opening
+    deletes salt noise but preserves solid shapes, so n_fg vs
+    n_opened separates speckle images from structured ones).
+
+    Scale: embarrassingly parallel mapInPandas; each morphology pass
+    is four whole-array NumPy shifts (no per-pixel Python), and one
+    image never spans partitions — zero shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                m = v >= thresh
+                er = _erode4(m)
+                rows.append((r.image_id, int(m.sum()), int(er.sum()),
+                             int(_dilate4(m).sum()),
+                             int(_dilate4(er).sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MORPH_SCHEMA.fields])
+    return images.mapInPandas(gen, _MORPH_SCHEMA)

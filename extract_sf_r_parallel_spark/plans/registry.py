@@ -1356,6 +1356,78 @@ FROM imgs i LEFT JOIN agg USING (image_id)
 # CUMULATIVE WINDOW SUM ordered by value — a genuinely different
 # formulation (window algebra vs array scan) over the same Lehmer
 # pixels; integer // keeps both engines bit-identical.
+# --- mathematical morphology (r06): erosion / dilation / opening
+# with the 3×3 cross over the thresholded channel-0 mask — the
+# despeckle diagnostics of vision data filtering. Engine: four
+# whole-array NumPy shifts per pass inside mapInPandas. Oracle: the
+# SAME sets derived relationally — erosion as a 4-way self equi join
+# on packed neighbour keys (all 4 neighbours present), dilation and
+# opening as a 5-arm UNION-ALL scatter + DISTINCT — set algebra vs
+# array shifts, agreeing pixel-for-pixel through the codec
+# round-trip and the Lehmer closed form.
+def q_morph_stats(spark, sf_dir):
+    from ..operators.multimodal import morph_stats
+    images = spark.createDataFrame(synth.images_pdf(48))
+    return morph_stats(images)
+
+
+_PIX_FG = """xor((((base + j * 2654435761) % 4294967291) * 279470273)
+        % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273)
+        % 4294967291) >> 16) % 256 >= 192"""
+
+ORACLE["morph_stats"] = f"""
+WITH imgs AS (
+  SELECT i, printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(48) t(i)
+), fg AS MATERIALIZED (
+  SELECT image_id, i * 10000 + (j // 3) AS key,
+         (j // 3) % w AS px, (j // 3) // w AS py, w, h
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j) u
+  WHERE j % 3 = 0 AND {_PIX_FG}
+), er AS MATERIALIZED (
+  SELECT a.image_id, a.key, a.px, a.py, a.w, a.h
+  FROM fg a
+  JOIN fg nr ON nr.key = a.key + 1
+  JOIN fg nl ON nl.key = a.key - 1
+  JOIN fg nd ON nd.key = a.key + a.w
+  JOIN fg nu ON nu.key = a.key - a.w
+  WHERE a.px BETWEEN 1 AND a.w - 2 AND a.py BETWEEN 1 AND a.h - 2
+), dil AS (
+  SELECT DISTINCT image_id, key FROM (
+    SELECT image_id, key FROM fg
+    UNION ALL SELECT image_id, key + 1 FROM fg WHERE px < w - 1
+    UNION ALL SELECT image_id, key - 1 FROM fg WHERE px > 0
+    UNION ALL SELECT image_id, key + w FROM fg WHERE py < h - 1
+    UNION ALL SELECT image_id, key - w FROM fg WHERE py > 0
+  ) s
+), op AS (
+  SELECT DISTINCT image_id, key FROM (
+    SELECT image_id, key FROM er
+    UNION ALL SELECT image_id, key + 1 FROM er WHERE px < w - 1
+    UNION ALL SELECT image_id, key - 1 FROM er WHERE px > 0
+    UNION ALL SELECT image_id, key + w FROM er WHERE py < h - 1
+    UNION ALL SELECT image_id, key - w FROM er WHERE py > 0
+  ) s
+)
+SELECT i.image_id,
+       COALESCE(f.n, 0) AS n_fg, COALESCE(e.n, 0) AS n_eroded,
+       COALESCE(d.n, 0) AS n_dilated, COALESCE(o.n, 0) AS n_opened
+FROM imgs i
+LEFT JOIN (SELECT image_id, COUNT(*) AS n FROM fg GROUP BY 1) f
+  USING (image_id)
+LEFT JOIN (SELECT image_id, COUNT(*) AS n FROM er GROUP BY 1) e
+  USING (image_id)
+LEFT JOIN (SELECT image_id, COUNT(*) AS n FROM dil GROUP BY 1) d
+  USING (image_id)
+LEFT JOIN (SELECT image_id, COUNT(*) AS n FROM op GROUP BY 1) o
+  USING (image_id)
+"""
+
+
 def q_hist_equalize(spark, sf_dir):
     from ..operators.multimodal import hist_equalize_stats
     images = spark.createDataFrame(synth.images_pdf(60))
@@ -2020,6 +2092,7 @@ QUERIES.update({
     "resize_stats_cjpg": q_resize_stats_cjpg,
     "sobel_stats": q_sobel_stats,
     "blob_stats": q_blob_stats,
+    "morph_stats": q_morph_stats,
     "hist_equalize": q_hist_equalize,
     "chip_extract": q_chip_extract,
     "image_extract": q_image_extract,
@@ -2066,7 +2139,7 @@ _GATE_FIRST = [
     "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
     "merge_upsert", "profile_table", "viewshed", "stream_enrich",
     "chip_extract", "zonal_weighted", "hillshade", "line_locate",
-    "rollup_agg",
+    "rollup_agg", "skyline", "flow_d8", "morph_stats",
 ]
 
 

@@ -32,6 +32,9 @@ LAZY = [
     "layer_overlay", "sobel_stats", "convex_hull", "image_extract",
     "zonal_stats", "blob_stats", "hist_equalize", "chip_extract",
     "profile_table", "viewshed",
+    # r06 third wave
+    "zonal_weighted", "hillshade", "line_locate", "rollup_agg",
+    "skyline", "flow_d8", "morph_stats",
 ]
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
