@@ -74,9 +74,26 @@ def _stats_fn(gcols):
                       .astype(np.float64))
         perim = float(seg.sum()) if len(hv) >= 3 else (
             2.0 * float(seg[0]) if len(hv) == 2 else 0.0)
+        # exact polygon-centroid numerators: Σ(xi+xj)·cross_ij — per
+        # DIRECTED edge, so the sum needs no vertex ordering beyond
+        # the ring's own (cf. the maximal-edge oracle, which finds the
+        # same directed edges unordered). centroid = num / (3·area2).
+        # Python ints (hull rings are tiny), so the triple product
+        # can NOT wrap int64 the way a numpy multiply would.
+        cx_num = cy_num = 0
+        if len(hv) >= 3:
+            for i, j in enumerate(nxt):
+                cr = int(xs[i]) * int(ys[j]) - int(xs[j]) * int(ys[i])
+                cx_num += (int(xs[i]) + int(xs[j])) * cr
+                cy_num += (int(ys[i]) + int(ys[j])) * cr
+            if max(abs(cx_num), abs(cy_num)) >= 2 ** 63:
+                raise ValueError(
+                    "hull centroid numerator exceeds int64 — coords too "
+                    "large for the exact path (needs |coord|³·n < 2^63)")
         row = {c: pdf[c].iloc[0] for c in gcols}
         row.update({"hull_n": len(hv), "area2": area2,
-                    "perim": round(perim, 4)})
+                    "perim": round(perim, 4),
+                    "cx_num": cx_num, "cy_num": cy_num})
         return pd.DataFrame([row])
     return _one
 
@@ -121,4 +138,5 @@ def convex_hull_stats(df: DataFrame, group: str = "gid",
     gt = dict(df.dtypes)[group]
     return pts.groupBy(group).applyInPandas(
         _stats_fn([group]),
-        f"{group} {gt}, hull_n int, area2 long, perim double")
+        f"{group} {gt}, hull_n int, area2 long, perim double, "
+        "cx_num long, cy_num long")

@@ -1858,6 +1858,68 @@ FROM edges GROUP BY gid
 """
 
 
+# --- hull centroid (r06): st_centroid of the per-group hull polygon,
+# bit-exact — the centroid numerators Σ(xi+xj)·cross are summed per
+# DIRECTED hull edge, so the oracle's unordered maximal-edge set
+# yields the same exact integers as the engine's ordered ring; the
+# final num/(3·area2) is one IEEE division of exactly represented
+# integers on both sides. NO rounding anywhere.
+def q_hull_centroid(spark, sf_dir):
+    from ..operators.hull import convex_hull_stats
+    pts = points_df(spark, sf_dir).filter(F.col("pid") % 2 == 0) \
+        .withColumn("gid", F.expr("(pid div 2) % 150"))
+    st = convex_hull_stats(
+        pts.select("gid", "x", "y"), group="gid", pre_reduce_salt=4)
+    return st.select(
+        "gid", "hull_n", "area2",
+        F.when(F.col("area2") != 0,
+               F.col("cx_num") / (3.0 * F.col("area2"))).alias("cent_x"),
+        F.when(F.col("area2") != 0,
+               F.col("cy_num") / (3.0 * F.col("area2"))).alias("cent_y"))
+
+
+ORACLE["hull_centroid"] = f"""
+WITH pts AS (
+  SELECT pid, x, y, (pid // 2) % 150 AS gid
+  FROM ({_PTS_SQL}) WHERE pid % 2 = 0
+), edges AS (
+  SELECT a.gid, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b ON a.gid = b.gid AND a.pid <> b.pid
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.gid = a.gid AND c.pid <> a.pid AND c.pid <> b.pid
+      AND NOT (
+        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+        OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+            AND ((a.x <> b.x AND c.x > LEAST(a.x, b.x)
+                            AND c.x < GREATEST(a.x, b.x))
+              OR (a.x = b.x AND c.y > LEAST(a.y, b.y)
+                           AND c.y < GREATEST(a.y, b.y))))
+      )
+  )
+), agg AS (
+  SELECT gid, CAST(COUNT(*) AS INT) AS hull_n,
+    CAST(SUM(CAST(ax AS BIGINT) * CAST(by AS BIGINT)
+           - CAST(bx AS BIGINT) * CAST(ay AS BIGINT)) AS BIGINT) AS area2,
+    CAST(SUM((CAST(ax AS BIGINT) + CAST(bx AS BIGINT))
+           * (CAST(ax AS BIGINT) * CAST(by AS BIGINT)
+            - CAST(bx AS BIGINT) * CAST(ay AS BIGINT))) AS BIGINT)
+      AS cx_num,
+    CAST(SUM((CAST(ay AS BIGINT) + CAST(by AS BIGINT))
+           * (CAST(ax AS BIGINT) * CAST(by AS BIGINT)
+            - CAST(bx AS BIGINT) * CAST(ay AS BIGINT))) AS BIGINT)
+      AS cy_num
+  FROM edges GROUP BY gid
+)
+SELECT gid, hull_n, area2,
+       CASE WHEN area2 <> 0
+            THEN cx_num / (3.0 * area2) END AS cent_x,
+       CASE WHEN area2 <> 0
+            THEN cy_num / (3.0 * area2) END AS cent_y
+FROM agg
+"""
+
+
 # --- geometric median (r06): fixed-depth Weiszfeld refinement — the
 # engine's iterative-algorithm pattern (cf. the IVF quantizer's Lloyd
 # steps) driver-oracled by UNROLLING the same three updates into SQL
@@ -1961,6 +2023,7 @@ QUERIES = {
     "traj_stats": q_traj_stats,
     "idw_interp": q_idw_interp,
     "convex_hull": q_convex_hull,
+    "hull_centroid": q_hull_centroid,
     "geo_median": q_geo_median,
     "layer_overlay": q_layer_overlay,
     "zonal_stats": q_zonal_stats,

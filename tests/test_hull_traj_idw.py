@@ -248,3 +248,35 @@ def test_sobel_matches_direct_convolution(spark):
         g = np.abs(gx) + np.abs(gy)
         assert got.loc[r.image_id, "edge_energy"] == g.sum()
         assert got.loc[r.image_id, "max_grad"] == g.max()
+
+
+# ------------------------------------------------------------ hull centroid
+def test_hull_centroid_closed_forms(spark):
+    # unit squares / triangles with known centroids, two groups
+    rows = []
+    for gid, pts, _cent in [
+        (0, [(0, 0), (6, 0), (6, 6), (0, 6), (3, 3)], (3.0, 3.0)),
+        (1, [(0, 0), (9, 0), (0, 9), (1, 1), (2, 3)], (3.0, 3.0)),
+    ]:
+        rows += [(gid, float(px), float(py)) for px, py in pts]
+    df = spark.createDataFrame(rows, "gid int, x double, y double")
+    st = convex_hull_stats(df, group="gid").toPandas().set_index("gid")
+    for gid, pts, cent in [(0, None, (3.0, 3.0)), (1, None, (3.0, 3.0))]:
+        a2 = st.loc[gid, "area2"]
+        assert a2 > 0
+        assert st.loc[gid, "cx_num"] / (3.0 * a2) == cent[0]
+        assert st.loc[gid, "cy_num"] / (3.0 * a2) == cent[1]
+
+
+def test_hull_centroid_salted_equals_plain(spark):
+    rng = np.random.default_rng(23)
+    pdf = pd.DataFrame({
+        "gid": rng.integers(0, 5, 600),
+        "x": rng.integers(0, 10_000, 600).astype(float),
+        "y": rng.integers(0, 10_000, 600).astype(float)})
+    df = spark.createDataFrame(pdf)
+    plain = convex_hull_stats(df, group="gid").toPandas() \
+        .sort_values("gid").reset_index(drop=True)
+    salted = convex_hull_stats(df, group="gid", pre_reduce_salt=7) \
+        .toPandas().sort_values("gid").reset_index(drop=True)
+    pd.testing.assert_frame_equal(plain, salted)
