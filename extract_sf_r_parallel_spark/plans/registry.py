@@ -2139,7 +2139,8 @@ _GATE_FIRST = [
     "zonal_stats", "blob_stats", "hist_equalize", "semantic_dedup",
     "merge_upsert", "profile_table", "viewshed", "stream_enrich",
     "chip_extract", "zonal_weighted", "hillshade", "line_locate",
-    "rollup_agg", "skyline", "flow_d8", "morph_stats",
+    "rollup_agg", "skyline", "flow_d8", "morph_stats", "hull_centroid",
+    "rep_ngram", "contam_check",
 ]
 
 

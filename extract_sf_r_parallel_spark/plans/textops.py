@@ -192,6 +192,102 @@ FROM base LEFT JOIN sc USING (doc_id)
 """
 
 
+def _word_grams(n: int) -> "F.Column":
+    """Word n-gram array from a pre-split `ws` column — pure Column
+    (transform over sequence; no UDF). Empty for docs under n words
+    (sequence() would otherwise count DOWNWARD and fabricate grams)."""
+    terms = ", ".join(f"ws[i+{k}]" if k else "ws[i]" for k in range(n))
+    return F.expr(
+        f"CASE WHEN size(ws) >= {n} THEN transform(sequence(0, "
+        f"size(ws)-{n}), i -> concat_ws(' ', {terms})) "
+        "ELSE cast(array() as array<string>) END")
+
+
+# --- repetition quality (r06): the Gopher-style "fraction of
+# duplicated n-grams" filter — the standard screen for boilerplate /
+# template spam in LLM training corpora. dup_frac = 1 − distinct/total
+# word-3-grams; top_frac = the most common 3-gram's share. Pure JVM
+# (split → transform → explode → two groupBys, partial-agg friendly);
+# all outputs are exact-integer ratios, divided once (bit-parity).
+def q_rep_ngram(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    g = (d.select("doc_id", F.split("text", " ").alias("ws"))
+         .select("doc_id", F.explode(_word_grams(3)).alias("gram")))
+    per = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("cmax"))
+    return (d.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        F.when(F.col("n_grams") > 0,
+               (F.col("n_grams") - F.col("n_distinct")).cast("double")
+               / F.col("n_grams")).alias("dup_frac"),
+        F.when(F.col("n_grams") > 0,
+               F.col("cmax").cast("double") / F.col("n_grams"))
+         .alias("top_frac")))
+
+
+ORACLE["rep_ngram"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, list_aggregate(ws[i:i+2], 'string_agg', ' ') AS gram
+  FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 1)) AS i) u
+), per AS (
+  SELECT doc_id, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+), agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         COUNT(*) AS n_distinct, MAX(c) AS cmax
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+       COALESCE(n_distinct, 0) AS n_distinct,
+       CASE WHEN n_grams > 0 THEN
+         CAST(n_grams - n_distinct AS DOUBLE) / n_grams END AS dup_frac,
+       CASE WHEN n_grams > 0 THEN
+         CAST(cmax AS DOUBLE) / n_grams END AS top_frac
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+# --- benchmark contamination check (r06): which training docs share
+# a word-4-gram with the held-out "benchmark" slice (doc_id % 97 = 0)
+# — the decontamination sweep every LLM data pipeline runs before
+# training. Engine: benchmark grams are DISTINCT (gram, bench_id)
+# pairs and tiny → broadcast; the 100 TB train side never shuffles
+# before its per-doc aggregation. Exact counts, no hashing (the
+# MinHash/SimHash family handles the fuzzy variant).
+def q_contam_check(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    g = (d.select("doc_id", F.split("text", " ").alias("ws"))
+         .select("doc_id", F.explode(_word_grams(4)).alias("gram")))
+    bench = (g.filter(F.col("doc_id") % 97 == 0)
+             .select("gram", F.col("doc_id").alias("bench_id")).distinct())
+    train = g.filter(F.col("doc_id") % 97 != 0)
+    return (train.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("gram").alias("n_shared"),
+                 F.countDistinct("bench_id").alias("n_bench_docs")))
+
+
+ORACLE["contam_check"] = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, list_aggregate(ws[i:i+3], 'string_agg', ' ') AS gram
+  FROM w, LATERAL (SELECT UNNEST(range(1, len(ws) - 2)) AS i) u
+), bench AS (
+  SELECT DISTINCT gram, doc_id AS bench_id FROM g WHERE doc_id % 97 = 0
+)
+SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared,
+       COUNT(DISTINCT bench_id) AS n_bench_docs
+FROM g JOIN bench USING (gram)
+WHERE g.doc_id % 97 <> 0
+GROUP BY g.doc_id
+"""
+
+
 # --- deterministic split + stratified sampling (r05): assignment is
 # md5(doc_id ':' salt) → 32-bit bucket vs integer thresholds — md5 is
 # bit-identical across engines, so the oracle replays every row's
@@ -565,6 +661,8 @@ QUERIES = {
     "dedup_canonical_star": q_dedup_canonical_star,
     "simhash_pairs": q_simhash_pairs,
     "bm25": q_bm25,
+    "rep_ngram": q_rep_ngram,
+    "contam_check": q_contam_check,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
 }

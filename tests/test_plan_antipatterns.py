@@ -34,7 +34,8 @@ LAZY = [
     "profile_table", "viewshed",
     # r06 third wave
     "zonal_weighted", "hillshade", "line_locate", "rollup_agg",
-    "skyline", "flow_d8", "morph_stats",
+    "skyline", "flow_d8", "morph_stats", "hull_centroid",
+    "rep_ngram", "contam_check",
 ]
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
