@@ -24,7 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_split", "stratified_sample"]
+__all__ = ["hash_bucket", "hash_split", "stratified_sample",
+           "domain_mix"]
 
 _BUCKETS = 1_000_000
 
@@ -79,3 +80,78 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
     t = t.otherwise(int(default_rate * buckets)) if t is not None \
         else F.lit(int(default_rate * buckets))
     return df.filter(b < t)
+
+
+def domain_mix(df: DataFrame, weights: dict[str, int],
+               strata_col: str = "lang", id_col: str = "doc_id",
+               salt: str = "mix", buckets: int = _BUCKETS,
+               prefix_bins: int = 4096) -> DataFrame:
+    """Domain/language mixing at exact integer proportions — the
+    corpus-rebalancing op of LLM data pipelines ("2 parts web to 1
+    part code"): with integer weights w_s, the largest feasible batch
+    is B = min_s floor(n_s / w_s) and each stratum keeps EXACTLY
+    kept_s = w_s·B rows — the kept_s smallest by (md5 bucket, id), so
+    membership is deterministic, append-stable in distribution, and
+    replayable by an oracle.
+
+    Scale shape (the point of this operator): a naive per-stratum
+    ORDER BY … LIMIT kept_s sorts a whole stratum in one task. Here
+    selection is an exact distributed k-th order statistic instead:
+    (1) one groupBy builds a per-stratum histogram over `prefix_bins`
+    bucket ranges (strata × bins rows — independent of data size);
+    (2) the driver walks each histogram to the bin holding the k-th
+    value; (3) every row in a lower bin is kept by a plain FILTER (no
+    sort anywhere), and only the single boundary bin — expected
+    n_s/prefix_bins rows — is ranked by (bucket, id) to take the
+    remainder. Strata absent from `weights` are dropped (weight 0).
+
+    Build-time cost: two small collect()s (stratum counts and the
+    histogram), both O(strata · bins) — plan parameters, not data."""
+    for s, w in weights.items():
+        if not (isinstance(w, int) and w > 0):
+            raise ValueError(f"domain_mix: weight for {s!r} must be a "
+                             f"positive int, got {w!r}")
+    width = -(-buckets // prefix_bins)  # ceil
+    bkt = hash_bucket(F.col(id_col), salt, buckets)
+    base = (df.filter(F.col(strata_col).isin(*weights))
+            .withColumn("_bkt", bkt)
+            .withColumn("_pfx", (F.col("_bkt") / width).cast("long")))
+
+    counts = {r[0]: r[1] for r in
+              base.groupBy(strata_col).count().collect()}
+    if set(counts) != set(weights) or not counts:
+        missing = sorted(set(weights) - set(counts))
+        raise ValueError(f"domain_mix: strata with no rows: {missing}")
+    batch = min(counts[s] // w for s, w in weights.items())
+    kept = {s: w * batch for s, w in weights.items()}
+
+    hist: dict[str, dict[int, int]] = {s: {} for s in weights}
+    for r in base.groupBy(strata_col, "_pfx").count().collect():
+        hist[r[0]][r[1]] = r[2]
+    boundary: dict[str, tuple[int, int]] = {}  # stratum -> (pfx, take)
+    for s in weights:
+        cum, p_star, take = 0, prefix_bins, 0
+        for p in sorted(hist[s]):
+            if cum + hist[s][p] >= kept[s]:
+                p_star, take = p, kept[s] - cum
+                break
+            cum += hist[s][p]
+        boundary[s] = (p_star, take)
+
+    def _case(m: dict[str, int]) -> F.Column:
+        c = None
+        for s, v in m.items():
+            w = F.when(F.col(strata_col) == s, F.lit(v))
+            c = w if c is None else c.when(F.col(strata_col) == s, F.lit(v))
+        return c
+
+    p_col = _case({s: b for s, (b, _) in boundary.items()})
+    t_col = _case({s: t for s, (_, t) in boundary.items()})
+    below = base.filter(F.col("_pfx") < p_col)
+    from pyspark.sql import Window as _W
+    rn = F.row_number().over(
+        _W.partitionBy(strata_col).orderBy("_bkt", id_col))
+    edge = (base.filter(F.col("_pfx") == p_col)
+            .withColumn("_rn", rn)
+            .filter(F.col("_rn") <= t_col).drop("_rn"))
+    return below.unionByName(edge).drop("_bkt", "_pfx")

@@ -2140,7 +2140,7 @@ _GATE_FIRST = [
     "merge_upsert", "profile_table", "viewshed", "stream_enrich",
     "chip_extract", "zonal_weighted", "hillshade", "line_locate",
     "rollup_agg", "skyline", "flow_d8", "morph_stats", "hull_centroid",
-    "rep_ngram", "contam_check",
+    "rep_ngram", "contam_check", "domain_mix", "geodesic",
 ]
 
 

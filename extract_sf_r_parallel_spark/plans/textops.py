@@ -666,3 +666,45 @@ QUERIES = {
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
 }
+
+
+# --- domain mixing (r06): exact integer-proportion corpus rebalance
+# ("2 parts en to 1 part each other lang"): B = min_s floor(n_s/w_s),
+# stratum s keeps the w_s·B smallest rows by (md5 bucket, doc_id).
+# Engine: exact distributed k-th order-statistic selection (histogram
+# pass + filter + boundary-bin-only rank — no stratum-wide sort);
+# oracle: the one-window QUALIFY formulation. Same EXACT membership
+# from two very different plans.
+_MIX_WEIGHTS = {"en": 2, "de": 1, "es": 1, "fr": 1, "zh": 1}
+
+
+def q_domain_mix(spark, sf_dir):
+    from ..operators.sampling import domain_mix
+    out = domain_mix(_docs(spark, sf_dir), _MIX_WEIGHTS, salt="mix")
+    return out.select("doc_id", "lang")
+
+
+ORACLE["domain_mix"] = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 8))
+         AS BIGINT) % 1000000 AS bkt
+  FROM documents
+  WHERE lang IN ({', '.join(f"'{k}'" for k in _MIX_WEIGHTS)})
+), w(lang, wt) AS (
+  VALUES {', '.join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}
+), cnt AS (
+  SELECT lang, COUNT(*) AS n FROM b GROUP BY 1
+), base AS (
+  SELECT MIN(n // wt) AS bsz FROM cnt JOIN w USING (lang)
+), kept AS (
+  SELECT lang, wt * bsz AS k FROM w, base
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn
+  FROM b
+)
+SELECT r.doc_id, r.lang FROM r JOIN kept USING (lang) WHERE rn <= k
+"""
+
+QUERIES["domain_mix"] = q_domain_mix

@@ -67,3 +67,58 @@ def test_stratified_rates(spark, docs):
     i2 = set(stratified_sample(docs, rates, default_rate=0.0)
              .select("doc_id").toPandas()["doc_id"])
     assert i1 == i2
+
+
+# ----------------------------------------------------------- domain_mix
+def test_domain_mix_exact_proportions_and_membership(spark):
+    import hashlib
+
+    import pandas as pd
+    from extract_sf_r_parallel_spark.operators.sampling import domain_mix
+
+    rng_rows = []
+    sizes = {"a": 217, "b": 71, "c": 64}
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rng_rows.append((i, s))
+            i += 1
+    df = spark.createDataFrame(rng_rows, "doc_id long, lang string")
+    weights = {"a": 3, "b": 1, "c": 1}
+    got = domain_mix(df, weights, salt="t").toPandas()
+    batch = min(sizes[s] // w for s, w in weights.items())  # 64
+    assert dict(got.lang.value_counts()) == {
+        s: w * batch for s, w in weights.items()}
+
+    # membership must be EXACTLY the k smallest by (bucket, id)
+    def bkt(doc_id):
+        h = hashlib.md5(f"{doc_id}:t".encode()).hexdigest()
+        return int(h[:8], 16) % 1_000_000
+
+    pdf = pd.DataFrame(rng_rows, columns=["doc_id", "lang"])
+    pdf["bkt"] = pdf.doc_id.map(bkt)
+    want = set()
+    for s, w in weights.items():
+        sub = pdf[pdf.lang == s].sort_values(["bkt", "doc_id"])
+        want |= set(sub.doc_id.head(w * batch))
+    assert set(got.doc_id) == want
+
+
+def test_domain_mix_invariant_to_bin_count(spark):
+    from extract_sf_r_parallel_spark.operators.sampling import domain_mix
+    df = spark.createDataFrame(
+        [(i, "x" if i % 3 else "y") for i in range(300)],
+        "doc_id long, lang string")
+    a = domain_mix(df, {"x": 2, "y": 1}, prefix_bins=4096).toPandas()
+    b = domain_mix(df, {"x": 2, "y": 1}, prefix_bins=7).toPandas()
+    assert set(a.doc_id) == set(b.doc_id)
+
+
+def test_domain_mix_rejects_bad_input(spark):
+    import pytest as _pytest
+    from extract_sf_r_parallel_spark.operators.sampling import domain_mix
+    df = spark.createDataFrame([(1, "x")], "doc_id long, lang string")
+    with _pytest.raises(ValueError, match="positive int"):
+        domain_mix(df, {"x": 0})
+    with _pytest.raises(ValueError, match="no rows"):
+        domain_mix(df, {"x": 1, "zz": 1})
