@@ -1457,6 +1457,56 @@ FROM best WHERE rn = 1 GROUP BY 1, 2, 3
 """
 
 
+# --- great-circle geodesy (r06): haversine distance + initial
+# bearing from every point (mapped to lon/lat) to a fixed reference —
+# the EPSG:4326 sibling of the planar kernels. sin/cos/asin/atan2 go
+# through each engine's libm (measured ≤ 1.5e-8 m apart over a 20k
+# global probe), so driver-visible values are FLOORED to whole
+# meters / whole degrees — a 1e-8 disagreement window against a
+# ≥1-unit grid. The asin argument is clamped (near-antipodal pairs
+# can exceed 1.0 by an ulp on one engine only).
+_GEO_REF = (48.1, 11.5)  # lat, lon
+
+
+def q_geodesic(spark, sf_dir):
+    from ..functions.geodesic import bearing_deg, haversine_m
+    p = points_df(spark, sf_dir)
+    lon = F.col("x") * 0.018 - 180.0
+    lat = F.col("y") * 0.0085 - 85.0
+    rlat, rlon = (F.lit(_GEO_REF[0]), F.lit(_GEO_REF[1]))
+    d = haversine_m(lat, lon, rlat, rlon)
+    b = bearing_deg(lat, lon, rlat, rlon)
+    return p.select(
+        "pid",
+        F.floor(d).alias("dist_m"),
+        F.floor(b).alias("bear_deg"),
+        F.floor(d / 1000000.0).alias("band_1000km"))
+
+
+ORACLE["geodesic"] = f"""
+WITH pts AS (
+  SELECT pid, x * 0.018 - 180.0 AS lon, y * 0.0085 - 85.0 AS lat
+  FROM ({_PTS_SQL})
+), g AS (
+  SELECT pid,
+    2 * 6371000.0 * ASIN(SQRT(LEAST(1.0,
+        POW(SIN(RADIANS({_GEO_REF[0]} - lat) / 2), 2)
+      + COS(RADIANS(lat)) * COS(RADIANS({_GEO_REF[0]}))
+      * POW(SIN(RADIANS({_GEO_REF[1]} - lon) / 2), 2)))) AS d,
+    (DEGREES(ATAN2(
+        SIN(RADIANS({_GEO_REF[1]} - lon)) * COS(RADIANS({_GEO_REF[0]})),
+        COS(RADIANS(lat)) * SIN(RADIANS({_GEO_REF[0]}))
+      - SIN(RADIANS(lat)) * COS(RADIANS({_GEO_REF[0]}))
+        * COS(RADIANS({_GEO_REF[1]} - lon)))) % 360 + 360) % 360 AS bdeg
+  FROM pts
+)
+SELECT pid, CAST(FLOOR(d) AS BIGINT) AS dist_m,
+       CAST(FLOOR(bdeg) AS BIGINT) AS bear_deg,
+       CAST(FLOOR(d / 1000000.0) AS BIGINT) AS band_1000km
+FROM g
+"""
+
+
 # --- linear referencing (r06): snap points to a route polyline and
 # measure the chainage (st_line_locate_point — the milepost op; the
 # reference's seismic lines ARE such routes). No rounding anywhere:
@@ -2031,5 +2081,6 @@ QUERIES = {
     "viewshed": q_viewshed,
     "hillshade": q_hillshade,
     "flow_d8": q_flow_d8,
+    "geodesic": q_geodesic,
     "line_locate": q_line_locate,
 }
