@@ -29,7 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8"]
+__all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8",
+           "contour_cases"]
 
 
 def focal_stats(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
@@ -236,4 +237,44 @@ def flow_d8(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
                 F.floor(F.col(x) / block).cast("long").alias("bx"),
                 F.floor(F.col(y) / block).cast("long").alias("by"),
                 "dir")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def contour_cases(cells: DataFrame, iso: int, x: str = "cell_x",
+                  y: str = "cell_y", value: str = "value",
+                  block: int = 25) -> DataFrame:
+    """Marching-squares contour classification — the cell-local half
+    of `rasterToContour()`: each 2×2 corner square gets the 4-bit case
+    index Σ 2^i·[corner_i ≥ iso] (corners 0..3 counter-clockwise from
+    the square's lower-left at (x, y)), which fully determines the
+    contour segments crossing the square. Returns per-(block × block)
+    tile counts by case — cases 0 and 15 are contour-free, so
+    n(1..14) per tile is the iso-line density map, and the per-case
+    histogram is exactly what a vectorizer needs to size its output.
+
+    All integer (threshold bits and powers of two — nothing to
+    round). Plan: the same single-shuffle scatter as hillshade/flow —
+    each cell emits its bit to the ≤ 4 squares it corners, one
+    groupBy sums the case index, squares with all 4 corners present
+    (n = 4) emit."""
+    corners = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"),
+                 F.lit(w).alias("w"))
+        # corner i of square s is the cell at s + (dx, dy); the cell
+        # therefore scatters to square s = cell − (dx, dy) with 2^i
+        for dx, dy, w in [(0, 0, 1), (1, 0, 2), (1, 1, 4), (0, 1, 8)]])
+    bit = (F.col(value) >= iso).cast("int")
+    squares = (
+        cells.select(x, y, bit.alias("_b"))
+        .withColumn("_c", F.explode(corners))
+        .select((F.col(x) - F.col("_c.dx")).alias(x),
+                (F.col(y) - F.col("_c.dy")).alias(y),
+                (F.col("_b") * F.col("_c.w")).alias("_t"))
+        .groupBy(x, y)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_t").alias("mcase"))
+        .filter(F.col("_n") == 4))
+    return (squares.groupBy(
+                F.floor(F.col(x) / block).cast("long").alias("bx"),
+                F.floor(F.col(y) / block).cast("long").alias("by"),
+                "mcase")
             .agg(F.count(F.lit(1)).alias("n")))

@@ -1538,6 +1538,81 @@ ORACLE["chip_extract"] = _chip_oracle()
 # pixels are pinned exactly (channel-0 sum re-derived from the Lehmer
 # closed form through the PNG/raw round-trip). Everything else in the
 # registry proves these pieces separately; this row proves the chain.
+# --- median mosaic composite (r06): the multi-image compositing step
+# of every satellite/aerial pipeline (cloud-free mosaic = per-tile
+# MEDIAN across overlapping acquisitions), on the input_hint table:
+# distributed decode → deterministic geotag → fishnet tile → exact
+# per-tile median of the channel-0 integral. Median interpolation at
+# p = 0.5 over integer-valued doubles is exact on both engines
+# ((a+b)/2 — one add, one halving), so NO rounding; the oracle
+# re-derives every pixel sum from the Lehmer closed form and applies
+# DuckDB's type-7 quantile_cont (parity pinned by dist_quantiles).
+def q_mosaic_median(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ..data import codec
+    from ..data import geotag as G
+
+    imgs = spark.createDataFrame(synth.images_pdf(240))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+                rows.append((r.image_id,
+                             int(img[..., 0].astype(np.int64).sum())))
+            yield pd.DataFrame(rows, columns=["image_id", "sum_r"])
+
+    stats = imgs.mapInPandas(gen, "image_id string, sum_r long")
+    pts = (stats
+           .withColumn("i", F.expr("CAST(substring(image_id, 4, 8) "
+                                   "AS BIGINT)"))
+           .withColumn("tile_x", F.floor(
+               F.expr(G.sql_point_x("i")) / 2500).cast("long"))
+           .withColumn("tile_y", F.floor(
+               F.expr(G.sql_point_y("i")) / 2500).cast("long")))
+    return (pts.groupBy("tile_x", "tile_y")
+            .agg(F.count(F.lit(1)).alias("n_imgs"),
+                 F.expr("percentile(sum_r, 0.5)").alias("med_sum"),
+                 F.min("sum_r").alias("min_sum"),
+                 F.max("sum_r").alias("max_sum")))
+
+
+def _mosaic_oracle() -> str:
+    from ..data import geotag as G
+    pix = """xor((((base + j * 2654435761) % 4294967291) * 279470273)
+        % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273)
+        % 4294967291) >> 16) % 256"""
+    return f"""
+WITH imgs AS (
+  SELECT i, printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), sums AS (
+  SELECT i, CAST(SUM({pix}) AS BIGINT) AS sum_r
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j) u
+  WHERE j % 3 = 0 GROUP BY i
+), pts AS (
+  SELECT sum_r,
+    CAST(FLOOR({G.sql_point_x('i')} / 2500) AS BIGINT) AS tile_x,
+    CAST(FLOOR({G.sql_point_y('i')} / 2500) AS BIGINT) AS tile_y
+  FROM sums
+)
+SELECT tile_x, tile_y, COUNT(*) AS n_imgs,
+       quantile_cont(sum_r, 0.5) AS med_sum,
+       MIN(sum_r) AS min_sum, MAX(sum_r) AS max_sum
+FROM pts GROUP BY 1, 2
+"""
+
+
+ORACLE["mosaic_median"] = _mosaic_oracle()
+
+
 def q_image_extract(spark, sf_dir):
     import numpy as np
     import pandas as pd
@@ -2093,6 +2168,7 @@ QUERIES.update({
     "sobel_stats": q_sobel_stats,
     "blob_stats": q_blob_stats,
     "morph_stats": q_morph_stats,
+    "mosaic_median": q_mosaic_median,
     "hist_equalize": q_hist_equalize,
     "chip_extract": q_chip_extract,
     "image_extract": q_image_extract,
@@ -2141,6 +2217,7 @@ _GATE_FIRST = [
     "chip_extract", "zonal_weighted", "hillshade", "line_locate",
     "rollup_agg", "skyline", "flow_d8", "morph_stats", "hull_centroid",
     "rep_ngram", "contam_check", "domain_mix", "geodesic",
+    "contour_cases", "mosaic_median", "compact_files",
 ]
 
 

@@ -1138,6 +1138,46 @@ FROM ({_PTS_SQL}) WHERE pid % 7 = 0
 """
 
 
+# --- IceLite small-file compaction (r06): the maintenance op
+# (Iceberg rewrite_data_files). Base table = 8 tiny appends (pid mod
+# 8) + one large dir; compact folds the 8 small dirs into ONE
+# consolidated dir and carries the large dir BY REFERENCE. The driver
+# row returns the post-compaction table content (grouped sums — must
+# be bit-identical to the raw source) fused with the dir counts
+# before/after, so a hash match proves both the data identity AND the
+# 9 → 2 manifest rewrite. Time travel + by-reference invariants are
+# pinned by the pytest twin.
+def q_compact_files(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_compact_"))
+    pts = points_df(spark, sf_dir).select("pid", "x", "y")
+    big = pts.filter(F.col("pid") % 3 == 0)
+    t.append(big)                                    # large dir (kept)
+    for k in range(8):                               # 8 small dirs
+        t.append(pts.filter((F.col("pid") % 3 != 0)
+                            & (F.pmod("pid", F.lit(8)) == k)))
+    before = len(t._current_snapshot()["files"])
+    big_rows = big.count()
+    t.compact(spark, min_rows=big_rows)              # big dir survives
+    after = len(t._current_snapshot()["files"])
+    return (t.read(spark)
+            .groupBy((F.pmod("pid", F.lit(4))).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sum_x"), F.sum("y").alias("sum_y"))
+            .withColumn("dirs_before", F.lit(before).cast("int"))
+            .withColumn("dirs_after", F.lit(after).cast("int")))
+
+
+ORACLE["compact_files"] = f"""
+SELECT pid % 4 AS g, COUNT(*) AS n, SUM(x) AS sum_x, SUM(y) AS sum_y,
+       9 AS dirs_before, 2 AS dirs_after
+FROM ({_PTS_SQL}) GROUP BY 1
+"""
+
+
 # --- Z-order layout (r05): Morton-code the point table and report
 # per-prefix-bucket bbox stats — the driver-visible proof that the
 # curve clusters space (every 8-bit z-prefix bucket covers a compact
@@ -1454,6 +1494,30 @@ WITH offs(dx, dy, k, dir) AS (
 SELECT cx // 25 AS bx, cy // 25 AS by,
        CASE WHEN s > 0 THEN dir ELSE 0 END AS dir, COUNT(*) AS n
 FROM best WHERE rn = 1 GROUP BY 1, 2, 3
+"""
+
+
+# --- marching-squares contour classification (r06): the cell-local
+# half of rasterToContour() — per 2×2 square the 4-bit iso case
+# index, counted per tile and case. All integer. Engine = the
+# single-shuffle corner SCATTER (each cell emits 2^i to the ≤ 4
+# squares it corners); oracle = the dense closed-form GATHER.
+def q_contour_cases(spark, sf_dir):
+    from ..operators.focal import contour_cases
+    return contour_cases(raster_df(spark), iso=500,
+                         x="cx", y="cy", value="v")
+
+
+ORACLE["contour_cases"] = f"""
+WITH sq AS (
+  SELECT cx // 25 AS bx, cy // 25 AS by,
+         CAST({_rval('cx', 'cy')} >= 500 AS BIGINT)
+       + 2 * CAST({_rval('(cx + 1)', 'cy')} >= 500 AS BIGINT)
+       + 4 * CAST({_rval('(cx + 1)', '(cy + 1)')} >= 500 AS BIGINT)
+       + 8 * CAST({_rval('cx', '(cy + 1)')} >= 500 AS BIGINT) AS mcase
+  FROM range({_RN - 1}) t1(cx), range({_RN - 1}) t2(cy)
+)
+SELECT bx, by, mcase, COUNT(*) AS n FROM sq GROUP BY 1, 2, 3
 """
 
 
@@ -2068,6 +2132,7 @@ QUERIES = {
     "shard_roundtrip": q_shard_roundtrip,
     "icelite_evolution": q_icelite_evolution,
     "merge_upsert": q_merge_upsert,
+    "compact_files": q_compact_files,
     "csv_roundtrip": q_csv_roundtrip,
     "spatial_antijoin": q_spatial_antijoin,
     "traj_stats": q_traj_stats,
@@ -2082,5 +2147,6 @@ QUERIES = {
     "hillshade": q_hillshade,
     "flow_d8": q_flow_d8,
     "geodesic": q_geodesic,
+    "contour_cases": q_contour_cases,
     "line_locate": q_line_locate,
 }

@@ -112,3 +112,40 @@ def test_hillshade_rejects_inexact_light_norm(spark):
         {"cell_x": [0], "cell_y": [0], "value": [0]}))
     with pytest.raises(ValueError, match="perfect square"):
         hillshade(df, light=(1, 1, 1))
+
+
+# ---------------------------------------------------------- contour cases
+def test_contour_cases_match_direct(spark):
+    import numpy as np
+    import pandas as pd
+    from extract_sf_r_parallel_spark.operators.focal import contour_cases
+
+    rng = np.random.default_rng(9)
+    h = rng.integers(0, 10, (9, 9)).astype(np.int64)
+    rows = [(xx, yy, int(h[yy, xx])) for yy in range(9) for xx in range(9)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cx", "cy", "v"]))
+    got = contour_cases(df, iso=5, x="cx", y="cy", value="v",
+                        block=3).toPandas()
+    exp = {}
+    for yy in range(8):           # squares need all 4 corners in-grid
+        for xx in range(8):
+            case = (int(h[yy, xx] >= 5) + 2 * int(h[yy, xx + 1] >= 5)
+                    + 4 * int(h[yy + 1, xx + 1] >= 5)
+                    + 8 * int(h[yy + 1, xx] >= 5))
+            key = (xx // 3, yy // 3, case)
+            exp[key] = exp.get(key, 0) + 1
+    assert {(r.bx, r.by, r.mcase): r.n for r in got.itertuples()} == exp
+    assert got.n.sum() == 64      # every interior square classified once
+
+
+def test_contour_uniform_grid_single_case(spark):
+    import pandas as pd
+    from extract_sf_r_parallel_spark.operators.focal import contour_cases
+    rows = [(xx, yy, 7) for yy in range(5) for xx in range(5)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cx", "cy", "v"]))
+    above = contour_cases(df, iso=3, x="cx", y="cy", value="v",
+                          block=100).toPandas()
+    assert set(above.mcase) == {15} and above.n.sum() == 16
+    below = contour_cases(df, iso=9, x="cx", y="cy", value="v",
+                          block=100).toPandas()
+    assert set(below.mcase) == {0}
