@@ -203,6 +203,43 @@ class IceLiteTable:
         return self._commit(keep + [dirname], parent["schema"], parent,
                             "merge")
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession, min_rows: int = 100_000) -> dict:
+        """Small-file compaction — the table-maintenance op every
+        lakehouse runs (Iceberg `rewrite_data_files`): every data dir
+        holding fewer than `min_rows` rows is folded into ONE new
+        consolidated dir; large dirs carry into the new snapshot BY
+        REFERENCE (never rewritten — the 100 TB property). Row content
+        is bit-identical before and after; pre-compaction snapshots
+        time-travel to the old file list untouched.
+
+        Columns a small file predates are materialized with their
+        recorded evolution defaults in the rewrite — exactly the value
+        a read would have filled, so reads are unchanged. The rewrite
+        is sized to `min_rows`-row output partitions. No-op (returns
+        the live snapshot) when fewer than two dirs are small."""
+        parent = self._current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+        defaults = parent.get("defaults", {})
+        sizes = [(p, spark.read.parquet(p).count())
+                 for p in parent["files"]]
+        small = [p for p, n in sizes if n < min_rows]
+        if len(small) <= 1:
+            return parent
+        keep = [p for p, n in sizes if n >= min_rows]
+        total = sum(n for p, n in sizes if p in set(small))
+        merged = None
+        for p in small:
+            d = self._project(spark.read.parquet(p), schema, defaults)
+            merged = d if merged is None else merged.unionByName(d)
+        dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
+        merged.repartition(max(1, -(-total // min_rows))) \
+            .write.mode("overwrite").parquet(dirname)
+        return self._commit(keep + [dirname], parent["schema"], parent,
+                            "compact")
+
     # -- schema evolution -------------------------------------------------
     def add_column(self, name: str, sql_type: str, default=None) -> dict:
         """Metadata-only commit: add `name` to the schema with a
