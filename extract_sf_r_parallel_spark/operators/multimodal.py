@@ -37,7 +37,7 @@ from ..data import codec
 
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
-           "hist_equalize_stats", "crop_stats", "morph_stats"]
+           "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -444,3 +444,52 @@ def morph_stats(images: DataFrame, thresh: int = 192) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _MORPH_SCHEMA.fields])
     return images.mapInPandas(gen, _MORPH_SCHEMA)
+
+
+_SAT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("total", T.LongType()),
+    T.StructField("mid_sat", T.LongType()),
+    T.StructField("win_sum", T.LongType()),
+])
+
+
+def sat_stats(images: DataFrame, x0: str, y0: str,
+              size: int = 16) -> DataFrame:
+    """Summed-area table (integral image) — the O(1)-window-query
+    primitive of vision feature extraction (Haar features, box blurs,
+    brightness normalization all read it). Per image: the SAT is the
+    2-D inclusive prefix sum of channel 0; this op reports the full
+    total (the SAT's far corner), the SAT value at the image midpoint
+    (w//2, h//2), and a `size`×`size` window sum at per-row offsets
+    (`x0`, `y0`) evaluated THROUGH the 4-corner identity
+    S(x1,y1) − S(x0−1,y1) − S(x1,y0−1) + S(x0−1,y0−1) — so any
+    off-by-one in the cumsum or the corner indexing is caught by an
+    oracle that sums the same regions directly.
+
+    Scale: mapInPandas, two whole-array cumsums per image, no
+    shuffle. Out-of-range windows fail loudly (cf. crop_stats)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                ox, oy = int(getattr(r, x0)), int(getattr(r, y0))
+                if not (0 <= ox <= r.w - size and 0 <= oy <= r.h - size):
+                    raise ValueError(
+                        f"sat_stats: window ({ox},{oy})+{size} outside "
+                        f"image {r.image_id} ({r.w}x{r.h})")
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                sat = v.cumsum(axis=0).cumsum(axis=1)
+
+                def s(yy: int, xx: int) -> int:
+                    return int(sat[yy, xx]) if yy >= 0 and xx >= 0 else 0
+
+                x1, y1 = ox + size - 1, oy + size - 1
+                win = (s(y1, x1) - s(oy - 1, x1)
+                       - s(y1, ox - 1) + s(oy - 1, ox - 1))
+                rows.append((r.image_id, s(r.h - 1, r.w - 1),
+                             s(r.h // 2, r.w // 2), win))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SAT_SCHEMA.fields])
+    return images.mapInPandas(gen, _SAT_SCHEMA)

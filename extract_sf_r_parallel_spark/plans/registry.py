@@ -1538,6 +1538,51 @@ ORACLE["chip_extract"] = _chip_oracle()
 # pixels are pinned exactly (channel-0 sum re-derived from the Lehmer
 # closed form through the PNG/raw round-trip). Everything else in the
 # registry proves these pieces separately; this row proves the chain.
+# --- summed-area table probe (r06): the integral-image primitive.
+# The engine answers a per-row box query THROUGH the SAT's 4-corner
+# identity after two whole-array cumsums; the oracle sums the same
+# three regions DIRECTLY from the Lehmer closed form (prefix-sum
+# algebra vs plain region filters — any cumsum/corner off-by-one
+# breaks a column). Windows at per-row data-driven offsets.
+def q_sat_probe(spark, sf_dir):
+    from ..operators.multimodal import sat_stats
+    n = 60
+    imgs = (spark.createDataFrame(synth.images_pdf(n))
+            .withColumn("i", F.expr("CAST(substring(image_id, 4, 8) "
+                                    "AS BIGINT)"))
+            .withColumn("ox", (F.col("i") * 5 % (F.col("w") - 16)))
+            .withColumn("oy", (F.col("i") * 9 % (F.col("h") - 16))))
+    return sat_stats(imgs, x0="ox", y0="oy", size=16)
+
+
+ORACLE["sat_probe"] = """
+WITH imgs AS (
+  SELECT i, printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(60) t(i)
+), px AS MATERIALIZED (
+  SELECT image_id, w, h, (i * 5) % (w - 16) AS ox, (i * 9) % (h - 16) AS oy,
+         (j // 3) % w AS x, (j // 3) // w AS y,
+         xor((((base + j * 2654435761) % 4294967291) * 279470273)
+             % 4294967291,
+             ((((base + j * 2654435761) % 4294967291) * 279470273)
+             % 4294967291) >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j) u
+  WHERE j % 3 = 0
+)
+SELECT image_id,
+  CAST(SUM(v) AS BIGINT) AS total,
+  CAST(SUM(CASE WHEN x <= w // 2 AND y <= h // 2 THEN v ELSE 0 END)
+       AS BIGINT) AS mid_sat,
+  CAST(SUM(CASE WHEN x >= ox AND x < ox + 16
+                 AND y >= oy AND y < oy + 16 THEN v ELSE 0 END)
+       AS BIGINT) AS win_sum
+FROM px GROUP BY image_id
+"""
+
+
 # --- median mosaic composite (r06): the multi-image compositing step
 # of every satellite/aerial pipeline (cloud-free mosaic = per-tile
 # MEDIAN across overlapping acquisitions), on the input_hint table:
@@ -2169,6 +2214,7 @@ QUERIES.update({
     "blob_stats": q_blob_stats,
     "morph_stats": q_morph_stats,
     "mosaic_median": q_mosaic_median,
+    "sat_probe": q_sat_probe,
     "hist_equalize": q_hist_equalize,
     "chip_extract": q_chip_extract,
     "image_extract": q_image_extract,
@@ -2218,6 +2264,7 @@ _GATE_FIRST = [
     "rollup_agg", "skyline", "flow_d8", "morph_stats", "hull_centroid",
     "rep_ngram", "contam_check", "domain_mix", "geodesic",
     "contour_cases", "mosaic_median", "compact_files",
+    "ohlc_bars", "table_diff", "sat_probe",
 ]
 
 

@@ -305,6 +305,112 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# --- table diff / reconciliation (r06): the backfill-vs-prod audit —
+# FULL OUTER join two table versions on the key and classify every
+# row added / removed / changed / unchanged, plus per-column change
+# counts. The "right" version is derived deterministically from the
+# base (delete %11, reprice %7, insert %13 under new keys), so the
+# oracle rebuilds it independently and the whole reconciliation is
+# exact-integer. One co-partitioned shuffle join + one aggregation.
+def q_table_diff(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    right = (o.filter(k % 11 != 0)
+             .withColumn("o_totalprice",
+                         F.when(k % 7 == 0, F.col("o_totalprice") + 1000)
+                         .otherwise(F.col("o_totalprice"))))
+    ins = o.filter(k % 13 == 0) \
+        .withColumn("o_orderkey", k + 90000000)
+    right = right.unionByName(ins)
+    lhs = o.select(k.alias("k"), F.col("o_totalprice").alias("lp"),
+                   F.col("o_orderstatus").alias("ls"))
+    rhs = right.select(k.alias("k"), F.col("o_totalprice").alias("rp"),
+                       F.col("o_orderstatus").alias("rs"))
+    j = lhs.join(rhs, "k", "full_outer")
+    status = (F.when(F.col("lp").isNull(), "added")
+              .when(F.col("rp").isNull(), "removed")
+              .when((F.col("lp") != F.col("rp"))
+                    | (F.col("ls") != F.col("rs")), "changed")
+              .otherwise("unchanged"))
+    both = F.col("lp").isNotNull() & F.col("rp").isNotNull()
+    return (j.withColumn("status", status).groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(both & (F.col("lp") != F.col("rp")), 1)
+                       .otherwise(0)).alias("n_price_diff"),
+                 F.sum(F.when(both & (F.col("ls") != F.col("rs")), 1)
+                       .otherwise(0)).alias("n_status_diff")))
+
+
+ORACLE["table_diff"] = """
+WITH r0 AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
+              ELSE o_totalprice END AS rp,
+         o_orderstatus AS rs
+  FROM orders WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT o_orderkey + 90000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 13 = 0
+), l AS (
+  SELECT o_orderkey AS k, o_totalprice AS lp, o_orderstatus AS ls
+  FROM orders
+), j AS (
+  SELECT lp, ls, rp, rs FROM l FULL OUTER JOIN r0 USING (k)
+)
+SELECT CASE WHEN lp IS NULL THEN 'added'
+            WHEN rp IS NULL THEN 'removed'
+            WHEN lp <> rp OR ls <> rs THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CASE WHEN lp IS NOT NULL AND rp IS NOT NULL
+                      AND lp <> rp THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_price_diff,
+       CAST(SUM(CASE WHEN lp IS NOT NULL AND rp IS NOT NULL
+                      AND ls <> rs THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_status_diff
+FROM j GROUP BY 1
+"""
+
+
+# --- OHLC bars (r06): the time-series candle aggregation — per
+# (event_type, day) the first/last/min/max of `value` — open and
+# close picked by a lexicographic struct MIN/MAX over (ts, event_id,
+# value), so ties are deterministic and the whole thing is ONE
+# hash aggregation (no window, no second shuffle). Oracle derives
+# open/close the opposite way: two ROW_NUMBER windows + conditional
+# aggregation.
+def q_ohlc_bars(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value"))
+    last = F.max(F.struct("ts", "event_id", "value"))
+    return (e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"),
+                      "event_type")
+            .agg(first["value"].alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 last["value"].alias("close"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("vol")))
+
+
+ORACLE["ohlc_bars"] = """
+WITH r AS (
+  SELECT date_trunc('day', ts) AS day, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts), event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT day, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high, MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS vol
+FROM r GROUP BY 1, 2
+"""
+
+
 # --- column profiling (r06): the ingestion data-quality screen as one
 # single-pass wide aggregate exploded to long layout (operators/
 # profile.py). Metrics are order-free (counts / exact distinct / min /
@@ -378,6 +484,8 @@ QUERIES = {
     "profile_table": q_profile_table,
     "rollup_agg": q_rollup_agg,
     "skyline": q_skyline,
+    "ohlc_bars": q_ohlc_bars,
+    "table_diff": q_table_diff,
     "filtered_min": q_filtered_min,
     "weighted_mean": q_weighted_mean,
     "multi_join": q_multi_join,

@@ -35,10 +35,12 @@ LAZY = [
     # r06 third wave
     "zonal_weighted", "hillshade", "line_locate", "rollup_agg",
     "skyline", "flow_d8", "morph_stats", "hull_centroid",
-    "rep_ngram", "contam_check", "geodesic",
+    "rep_ngram", "contam_check", "geodesic", "contour_cases",
+    "mosaic_median", "ohlc_bars", "table_diff", "sat_probe",
 ]
-# domain_mix collects its histogram at build (plan parameters) — its
-# own tests pin the selection; excluded here like minhash_pairs.
+# domain_mix collects its histogram at build (plan parameters) and
+# compact_files commits table snapshots at build — both pinned by
+# their own tests; excluded here like minhash_pairs.
 
 # embed_dup_pairs routes through a broadcast matmul whose gate runs a
 # count() at build; minhash_pairs localCheckpoints; dissolve/wet/wide
