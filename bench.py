@@ -62,6 +62,7 @@ HEADLINE = [
     "convex_hull",       # hierarchical monotone chain (salted 2-level)
     "zonal_stats",       # raster↔vector zonal agg (broadcast cover join)
     "viewshed",          # integer line-of-sight (DDA explode + slope test)
+    "flow_d8",           # D8 drainage: 5.8M-row scatter + bounded argmax
 ]
 
 HEAVY = {"wide_merge": 2}  # capstone: 19-layer pivot+merge; N=2 runs
