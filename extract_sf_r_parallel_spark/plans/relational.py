@@ -305,6 +305,48 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
 FROM events GROUP BY 1, 2
 """
 
+# --- IQR outlier screen (r06): the data-cleaning reduction — per
+# group the type-7 quartiles, the 1.5·IQR fences, and how many rows
+# fall outside. Quartile interpolation over integer-valued doubles is
+# exact on both engines (dist_quantiles pins percentile ≡
+# quantile_cont to the ulp), the fences are ±(q3−q1)·1.5 — single
+# IEEE ops — and the outlier count is an exact conditional sum
+# against identical fence doubles.
+def q_iqr_outliers(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_quantity, 0.25)").alias("q1"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q3"))
+    g = g.withColumn("lo", F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))) \
+         .withColumn("hi", F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")))
+    out = (li.join(F.broadcast(g), "l_returnflag")
+           .groupBy("l_returnflag")
+           .agg(F.sum(F.when((F.col("l_quantity") < F.col("lo"))
+                             | (F.col("l_quantity") > F.col("hi")), 1)
+                      .otherwise(0)).alias("n_outliers")))
+    return (g.join(out, "l_returnflag")
+            .select("l_returnflag", "n", "q1", "q3", "lo", "hi",
+                    "n_outliers"))
+
+
+ORACLE["iqr_outliers"] = """
+WITH g AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         quantile_cont(l_quantity, 0.25) AS q1,
+         quantile_cont(l_quantity, 0.75) AS q3
+  FROM lineitem GROUP BY 1
+), f AS (
+  SELECT *, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM g
+)
+SELECT f.l_returnflag, f.n, f.q1, f.q3, f.lo, f.hi,
+       CAST(SUM(CASE WHEN li.l_quantity < f.lo OR li.l_quantity > f.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM lineitem li JOIN f USING (l_returnflag)
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
 # --- table diff / reconciliation (r06): the backfill-vs-prod audit —
 # FULL OUTER join two table versions on the key and classify every
 # row added / removed / changed / unchanged, plus per-column change
@@ -485,6 +527,7 @@ QUERIES = {
     "rollup_agg": q_rollup_agg,
     "skyline": q_skyline,
     "ohlc_bars": q_ohlc_bars,
+    "iqr_outliers": q_iqr_outliers,
     "table_diff": q_table_diff,
     "filtered_min": q_filtered_min,
     "weighted_mean": q_weighted_mean,

@@ -1138,6 +1138,47 @@ FROM ({_PTS_SQL}) WHERE pid % 7 = 0
 """
 
 
+# --- grouped OLS regression (r06): per-group least-squares trend —
+# the "is this metric drifting" reduction, closed-form from five
+# sums. On this fixture x and y are integer-valued doubles with
+# Σxy < 2^53, so every sum is EXACT and order-free, and slope =
+# (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) is exact integer arithmetic
+# followed by one IEEE division — bit-identical across engines, no
+# rounding. One map-side-combinable aggregation; no window, no
+# second pass.
+def q_group_ols(spark, sf_dir):
+    p = points_df(spark, sf_dir)
+    g = p.groupBy("pyear").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den)
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return g.select("pyear", "n", slope.alias("slope"),
+                    intercept.alias("intercept"))
+
+
+
+ORACLE["group_ols"] = f"""
+WITH g AS (
+  SELECT pyear, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM ({_PTS_SQL}) GROUP BY pyear
+)
+SELECT pyear, n,
+  CASE WHEN n * sxx - sx * sx <> 0
+       THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+  (sy - CASE WHEN n * sxx - sx * sx <> 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx)
+    / n AS intercept
+FROM g
+"""
+
+
 # --- IceLite small-file compaction (r06): the maintenance op
 # (Iceberg rewrite_data_files). Base table = 8 tiny appends (pid mod
 # 8) + one large dir; compact folds the 8 small dirs into ONE
@@ -2133,6 +2174,7 @@ QUERIES = {
     "icelite_evolution": q_icelite_evolution,
     "merge_upsert": q_merge_upsert,
     "compact_files": q_compact_files,
+    "group_ols": q_group_ols,
     "csv_roundtrip": q_csv_roundtrip,
     "spatial_antijoin": q_spatial_antijoin,
     "traj_stats": q_traj_stats,

@@ -37,6 +37,7 @@ LAZY = [
     "skyline", "flow_d8", "morph_stats", "hull_centroid",
     "rep_ngram", "contam_check", "geodesic", "contour_cases",
     "mosaic_median", "ohlc_bars", "table_diff", "sat_probe",
+    "group_ols", "iqr_outliers",
 ]
 # domain_mix collects its histogram at build (plan parameters) and
 # compact_files commits table snapshots at build — both pinned by
