@@ -708,3 +708,62 @@ SELECT r.doc_id, r.lang FROM r JOIN kept USING (lang) WHERE rn <= k
 """
 
 QUERIES["domain_mix"] = q_domain_mix
+
+
+# --- BPE vocabulary induction (r06): tokenizer training, distributed.
+# Corpus → (word, count) → 3 merge rounds, each ONE weighted
+# pair-count aggregation + a driver argmax (the iterative-algorithm
+# pattern: Lloyd, Weiszfeld) + a pure-Column double-replace rewrite
+# (literal replace semantics probed identical JVM vs DuckDB,
+# two passes fold odd run members = greedy left-to-right BPE). Ties
+# break lexicographically on both engines. Oracle unrolls the three
+# rounds into SQL CTEs — pair extraction via 1-based list lateral,
+# best-of via ORDER BY/LIMIT, the same padded double replace.
+def q_bpe_vocab(spark, sf_dir):
+    from ..operators.bpe import bpe_token_freqs, learn_bpe
+    w = (_docs(spark, sf_dir)
+         .select(F.explode(F.split("text", " ")).alias("word"))
+         .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    _, reprs = learn_bpe(w, iters=3)
+    return bpe_token_freqs(reprs)
+
+
+def _bpe_oracle(iters: int = 3) -> str:
+    parts = ["""
+WITH w AS (
+  SELECT word, COUNT(*) AS cnt FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS word FROM documents) s
+  GROUP BY 1
+), r0 AS (
+  SELECT word, cnt,
+         ' ' || list_aggregate(string_split(word, ''), 'string_agg', ' ')
+             || ' ' AS repr
+  FROM w
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", p{k} AS (
+  SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS total
+  FROM (SELECT cnt, string_split(trim(repr), ' ') AS t FROM r{k-1}) s,
+       LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+  GROUP BY 1
+), b{k} AS (
+  SELECT p, replace(p, ' ', '') AS m
+  FROM p{k} ORDER BY total DESC, p LIMIT 1
+), r{k} AS (
+  SELECT word, cnt,
+         replace(replace(repr, ' ' || b{k}.p || ' ', ' ' || b{k}.m || ' '),
+                 ' ' || b{k}.p || ' ', ' ' || b{k}.m || ' ') AS repr
+  FROM r{k-1}, b{k}
+)""")
+    parts.append(f"""
+SELECT tok AS token, CAST(SUM(cnt) AS BIGINT) AS freq
+FROM (SELECT cnt, UNNEST(string_split(trim(repr), ' ')) AS tok
+      FROM r{iters}) s
+GROUP BY 1
+""")
+    return "".join(parts)
+
+
+ORACLE["bpe_vocab"] = _bpe_oracle()
+
+QUERIES["bpe_vocab"] = q_bpe_vocab
