@@ -2264,7 +2264,9 @@ _GATE_FIRST = [
     "rollup_agg", "skyline", "flow_d8", "morph_stats", "hull_centroid",
     "rep_ngram", "contam_check", "domain_mix", "geodesic",
     "contour_cases", "mosaic_median", "compact_files",
-    "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers", "bpe_vocab",
+    "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers",
+    "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
+    "pmi_bigrams", "edit_blocks",
 ]
 
 

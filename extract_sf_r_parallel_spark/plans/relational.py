@@ -542,3 +542,147 @@ QUERIES = {
     "sort_limit": q_sort_limit,
     "tumbling_window": q_tumbling_window,
 }
+
+
+# --- HyperLogLog distinct sketch (r06): the register TABLE is the
+# query output, so the driver verifies every register bit-for-bit
+# (md5 / conv / bin all probed engine-identical). The float estimate
+# on top is pytest-covered (operators/sketch.py, hll_estimate).
+def q_hll_users(spark, sf_dir):
+    from ..operators.sketch import hll_registers
+    return hll_registers(_t(spark, sf_dir, "events"), "user_id", p=9)
+
+
+ORACLE["hll_users"] = """
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'),
+                             1, 15)) AS BIGINT) AS hv
+  FROM events
+), r AS (
+  SELECT hv % 512 AS register, hv // 512 AS w FROM h
+)
+SELECT register,
+       MAX(CASE WHEN w = 0 THEN 52 ELSE 52 - length(bin(w)) END) AS max_rho
+FROM r GROUP BY 1
+"""
+
+
+# --- cohort retention (r06): classic product-analytics matrix. Weeks
+# are exact integer day-arithmetic from a fixed epoch (no engine week
+# conventions); counts are exact.
+def q_cohort_retention(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").withColumn(
+        "week", F.expr("datediff(to_date(ts), date'2024-01-01') div 7"))
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size = first.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size"))
+    act = (e.join(first, "user_id")
+           .withColumn("week_offset", F.col("week") - F.col("cohort_week"))
+           .groupBy("cohort_week", "week_offset")
+           .agg(F.countDistinct("user_id").alias("n_active")))
+    return act.join(size, "cohort_week").select(
+        "cohort_week", "week_offset", "n_active", "cohort_size")
+
+
+ORACLE["cohort_retention"] = """
+WITH e AS (
+  SELECT user_id,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+), first AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY 1
+), size AS (
+  SELECT cohort_week, COUNT(DISTINCT user_id) AS cohort_size
+  FROM first GROUP BY 1
+), act AS (
+  SELECT f.cohort_week, e.week - f.cohort_week AS week_offset,
+         COUNT(DISTINCT e.user_id) AS n_active
+  FROM e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week, a.week_offset,
+       CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size
+FROM act a JOIN size s USING (cohort_week)
+"""
+
+
+# --- damped random-walk centrality (PageRank) over the per-user
+# event-property transition graph (r06). The iterative-algorithm
+# pattern (Lloyd IVF, Weiszfeld, BPE): each round is ONE edge join +
+# ONE grouped sum. All mass arithmetic is INTEGER (start 10^6 per
+# node, per-edge send = mass*c div tot, damping (85·in + 15·10^6)
+# div 100) so three unrolled rounds replay exactly in SQL — floor
+# remainders evaporate identically on both engines. Sink nodes
+# (no out-edges) leak their damped mass by design; documented, same
+# both sides.
+_PR_ITERS = 3
+_PR_BASE = 1_000_000
+
+
+def q_pagerank_walk(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(F.col("k").alias("dst"),
+                 F.lag("k").over(w).alias("src")).filter("src IS NOT NULL")
+    g = s.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c"))
+    tot = g.groupBy("src").agg(F.sum("c").alias("tot"))
+    gt = g.join(tot, "src")
+    nodes = e.select(F.col("k").alias("node")).distinct()
+    mass = nodes.withColumn("mass", F.lit(_PR_BASE).cast("long"))
+    for _ in range(_PR_ITERS):
+        inc = (gt.join(mass, gt.src == mass.node)
+               .select(F.col("dst").alias("node"),
+                       F.expr("mass * c div tot").alias("send"))
+               .groupBy("node").agg(F.sum("send").alias("inc")))
+        mass = (nodes.join(inc, "node", "left")
+                .select("node",
+                        F.expr(f"(85 * coalesce(inc, 0L) + 15 * {_PR_BASE}) "
+                               "div 100").alias("mass")))
+    return mass
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    parts = [f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), s AS (
+  SELECT k AS dst,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM e
+), g AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c
+  FROM s WHERE src IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM g GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT k AS node FROM e
+), m0 AS (
+  SELECT node, CAST({_PR_BASE} AS BIGINT) AS mass FROM nodes
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", c{k} AS (
+  SELECT g.dst AS node, SUM(m.mass * g.c // t.tot) AS inc
+  FROM g JOIN tot t USING (src) JOIN m{k-1} m ON m.node = g.src
+  GROUP BY 1
+), m{k} AS (
+  SELECT n.node,
+         CAST((85 * COALESCE(c.inc, 0) + 15 * {_PR_BASE}) // 100
+              AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN c{k} c USING (node)
+)""")
+    parts.append(f"""
+SELECT node, mass FROM m{iters}
+""")
+    return "".join(parts)
+
+
+ORACLE["pagerank_walk"] = _pagerank_oracle()
+
+QUERIES["hll_users"] = q_hll_users
+QUERIES["cohort_retention"] = q_cohort_retention
+QUERIES["pagerank_walk"] = q_pagerank_walk

@@ -767,3 +767,104 @@ GROUP BY 1
 ORACLE["bpe_vocab"] = _bpe_oracle()
 
 QUERIES["bpe_vocab"] = q_bpe_vocab
+
+
+# --- PMI collocation mining (r06): bigram pointwise mutual
+# information over the corpus, kept EXACT by cross-multiplication —
+# "PMI > ln 2" becomes the integer predicate c_xy·N > 2·c_x·c_y, so
+# no log/float ever enters the comparison and both engines hash
+# identically. c_x / c_y are positional marginals over the bigram
+# table (count as first / as second element), the standard bigram-PMI
+# convention. All c_xy ≥ 3 bigrams are returned with their exact
+# numerator/denominator and the collocation verdict as a flag, so the
+# driver checks the predicate on every candidate, not just the
+# survivors. The guarded sequence() explode avoids Spark's
+# descending-sequence trap on single-token docs.
+def q_pmi_bigrams(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(F.split("text", " ").alias("t"))
+    bi = d.select(F.explode(F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t)-2), "
+               "i -> struct(t[i] AS w1, t[i+1] AS w2))")
+    ).otherwise(F.expr("array()"))).alias("b")).select("b.w1", "b.w2")
+    c = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    cx = c.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
+    cy = c.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
+    n = c.agg(F.sum("c_xy").alias("n_bigrams"))
+    return (c.join(cx, "w1").join(cy, "w2").crossJoin(F.broadcast(n))
+            .filter(F.col("c_xy") >= 3)
+            .select("w1", "w2", "c_xy", "c_x", "c_y",
+                    (F.col("c_xy") * F.col("n_bigrams")).alias("pmi_num"),
+                    (2 * F.col("c_x") * F.col("c_y")).alias("pmi_den2"),
+                    (F.col("c_xy") * F.col("n_bigrams") >
+                     2 * F.col("c_x") * F.col("c_y")).alias("is_colloc")))
+
+
+ORACLE["pmi_bigrams"] = """
+WITH t AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), b AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM t, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+), c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy FROM b GROUP BY 1, 2
+), cx AS (
+  SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_x FROM c GROUP BY 1
+), cy AS (
+  SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_y FROM c GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bigrams FROM c
+)
+SELECT w1, w2, c_xy, c_x, c_y,
+       CAST(c_xy * n_bigrams AS BIGINT) AS pmi_num,
+       CAST(2 * c_x * c_y AS BIGINT) AS pmi_den2,
+       c_xy * n_bigrams > 2 * c_x * c_y AS is_colloc
+FROM c JOIN cx USING (w1) JOIN cy USING (w2), n
+WHERE c_xy >= 3
+"""
+
+QUERIES["pmi_bigrams"] = q_pmi_bigrams
+
+
+# --- blocked edit-distance near-dup screen (r06): the third dedup
+# modality next to MinHash-Jaccard and SimHash-Hamming. Candidate
+# pairs are blocked on (lang, n_chars div 64) — length-incompatible
+# pairs can't be near-dups at small thresholds — and scored with
+# levenshtein() over a 120-char prefix (probed bit-identical between
+# the JVM and DuckDB on this corpus). Per-block aggregates keep the
+# output non-degenerate on an all-distinct corpus; the positive-pair
+# path (perturbed near-dups actually caught) is pytest-covered.
+def q_edit_blocks(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang",
+        F.expr("n_chars div 64").alias("bkt"),
+        F.substring("text", 1, 120).alias("pfx"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang")) &
+                       (F.col("a.bkt") == F.col("b.bkt")) &
+                       (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.lang").alias("lang"),
+                     F.col("a.bkt").alias("bkt"),
+                     F.levenshtein("a.pfx", "b.pfx").alias("dist")))
+    return pairs.groupBy("lang", "bkt").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("dist").alias("min_dist"),
+        F.sum(F.when(F.col("dist") <= 60, 1).otherwise(0)).alias("n_close"))
+
+
+ORACLE["edit_blocks"] = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 120) AS pfx
+  FROM documents
+)
+SELECT a.lang, a.bkt,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(levenshtein(a.pfx, b.pfx)) AS min_dist,
+       CAST(SUM(CASE WHEN levenshtein(a.pfx, b.pfx) <= 60
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES["edit_blocks"] = q_edit_blocks

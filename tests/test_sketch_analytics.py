@@ -1,0 +1,175 @@
+"""Wave-5 analytics operators: HyperLogLog sketch (accuracy + merge
+semilattice), integer-mass PageRank (vs a serial reference), cohort
+retention, PMI collocations, and the blocked edit-distance screen's
+positive path (perturbed near-dups actually caught)."""
+
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_sf_r_parallel_spark.operators.sketch import (
+    hll_estimate, hll_merge, hll_registers)
+
+
+# ---------------------------------------------------------------- HLL
+
+def test_hll_estimate_within_error_bound(spark):
+    # p=9 → m=512, standard error 1.04/sqrt(512) ≈ 4.6%. The hash is
+    # fixed so the observed error is deterministic; assert 3σ.
+    n = 50_000
+    df = spark.range(n).withColumnRenamed("id", "uid")
+    regs = [(r.register, r.max_rho)
+            for r in hll_registers(df, "uid", p=9).collect()]
+    assert len(regs) <= 512
+    est = hll_estimate(regs, p=9)
+    assert abs(est - n) / n < 0.14
+
+
+def test_hll_small_range_linear_counting(spark):
+    df = spark.range(30).withColumnRenamed("id", "uid")
+    regs = [(r.register, r.max_rho)
+            for r in hll_registers(df, "uid", p=9).collect()]
+    est = hll_estimate(regs, p=9)
+    assert abs(est - 30) < 5
+
+
+def test_hll_merge_equals_union_sketch(spark):
+    a = spark.range(0, 6000).withColumnRenamed("id", "uid")
+    b = spark.range(4000, 10000).withColumnRenamed("id", "uid")  # overlap
+    whole = spark.range(0, 10000).withColumnRenamed("id", "uid")
+    merged = hll_merge(hll_registers(a, "uid"), hll_registers(b, "uid"))
+    direct = hll_registers(whole, "uid")
+    got = {(r.register, r.max_rho) for r in merged.collect()}
+    want = {(r.register, r.max_rho) for r in direct.collect()}
+    assert got == want  # max-semilattice: merge IS the union's sketch
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    once = spark.range(1000).withColumnRenamed("id", "uid")
+    thrice = once.unionAll(once).unionAll(once)
+    got = {(r.register, r.max_rho)
+           for r in hll_registers(thrice, "uid").collect()}
+    want = {(r.register, r.max_rho)
+            for r in hll_registers(once, "uid").collect()}
+    assert got == want
+
+
+def test_hll_p_out_of_range_raises(spark):
+    df = spark.range(10).withColumnRenamed("id", "uid")
+    with pytest.raises(ValueError, match="out of"):
+        hll_registers(df, "uid", p=3)
+
+
+# ----------------------------------------------------- PageRank walk
+
+def _serial_pagerank(edges, nodes, iters=3, base=1_000_000):
+    g = Counter()
+    for s, d in edges:
+        g[(s, d)] += 1
+    tot = Counter()
+    for (s, _), c in g.items():
+        tot[s] += c
+    mass = {v: base for v in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for (s, d), c in g.items():
+            inc[d] += mass[s] * c // tot[s]
+        mass = {v: (85 * inc.get(v, 0) + 15 * base) // 100 for v in nodes}
+    return mass
+
+
+def test_pagerank_walk_matches_serial(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_pagerank_walk
+    got = {r.node: r.mass
+           for r in q_pagerank_walk(spark, "/root/testdata/sf0.001").collect()}
+    e = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+         .select("user_id", "ts", "event_id",
+                 F.regexp_extract("props", r'"k": (\d+)', 1)
+                 .cast("long").alias("k"))
+         .orderBy("user_id", "ts", "event_id").collect())
+    edges, prev_user, prev_k = [], None, None
+    for r in e:
+        if r.user_id == prev_user:
+            edges.append((prev_k, r.k))
+        prev_user, prev_k = r.user_id, r.k
+    nodes = {r.k for r in e}
+    want = _serial_pagerank(edges, nodes)
+    assert got == want
+    # a sink-free damped walk conserves ≤ total base mass
+    assert sum(got.values()) <= len(nodes) * 1_000_000
+
+
+# ------------------------------------------------------------ cohort
+
+def test_cohort_retention_offsets_nonnegative_and_bounded(spark):
+    from extract_sf_r_parallel_spark.plans.relational import (
+        q_cohort_retention)
+    rows = q_cohort_retention(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.week_offset >= 0
+        assert 0 < r.n_active <= r.cohort_size
+    # offset 0 = the cohort's own first week: everyone is active
+    for r in rows:
+        if r.week_offset == 0:
+            assert r.n_active == r.cohort_size
+
+
+# --------------------------------------------------------------- PMI
+
+def test_pmi_bigrams_matches_serial(spark):
+    texts = ["a b a b a b c", "a b x y x y", "q r q r q r", "z z z z"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    from extract_sf_r_parallel_spark.plans.textops import q_pmi_bigrams
+    import os
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.withColumn("lang", F.lit("en")) \
+          .withColumn("source", F.lit("s")) \
+          .withColumn("n_chars", F.length("text")) \
+          .write.parquet(os.path.join(td, "documents.parquet"))
+        got = {(r.w1, r.w2): (r.c_xy, r.c_x, r.c_y, r.is_colloc)
+               for r in q_pmi_bigrams(spark, td).collect()}
+    big = Counter()
+    for t in texts:
+        w = t.split(" ")
+        for x, y in zip(w, w[1:]):
+            big[(x, y)] += 1
+    n = sum(big.values())
+    cx, cy = Counter(), Counter()
+    for (x, y), c in big.items():
+        cx[x] += c
+        cy[y] += c
+    want = {(x, y): (c, cx[x], cy[y], c * n > 2 * cx[x] * cy[y])
+            for (x, y), c in big.items() if c >= 3}
+    assert got == want
+    assert got[("a", "b")][3]          # a·b is a true collocation
+    assert ("z", "z") in got           # run bigram: c=3 from 'z z z z'
+
+
+# ------------------------------------------------- edit-distance dup
+
+def test_edit_blocks_catches_perturbed_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base[:-10] + "lazy cat x"          # small edit
+    far = "completely different content " * 6
+    rows = [(0, base), (1, near), (2, far)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("s")) \
+        .withColumn("n_chars", F.length("text"))
+    import os
+    import tempfile
+    from extract_sf_r_parallel_spark.plans.textops import q_edit_blocks
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_edit_blocks(spark, td).collect()
+    # base/near share a length bucket and have tiny prefix distance;
+    # far lands in its own bucket (distinct n_chars div 64) → no pair
+    by_block = {(r.lang, r.bkt): r for r in out}
+    blocks_with_pairs = [r for r in out if r.n_pairs > 0]
+    assert len(blocks_with_pairs) == 1
+    assert blocks_with_pairs[0].min_dist == 0  # 120-char prefixes equal
+    assert blocks_with_pairs[0].n_close == 1
