@@ -37,7 +37,8 @@ from ..data import codec
 
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
-           "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats"]
+           "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
+           "median_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -493,3 +494,45 @@ def sat_stats(images: DataFrame, x0: str, y0: str,
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _SAT_SCHEMA.fields])
     return images.mapInPandas(gen, _SAT_SCHEMA)
+
+
+_MEDIAN_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("sum_median", T.LongType()),
+    T.StructField("n_changed", T.LongType()),
+    T.StructField("max_absdiff", T.LongType()),
+])
+
+
+def median_stats(images: DataFrame) -> DataFrame:
+    """3×3 median filter on channel 0 — the NONLINEAR rank filter next
+    to the linear stencils (Sobel, box/focal mean): the classic
+    salt-and-pepper denoiser, and the impulse-noise screen for vision
+    training data (a large n_changed / max_absdiff means speckle).
+    Per image, over interior pixels: Σ median, #(median ≠ center), and
+    max |median − center| — all exact integers (the median of 9 ints
+    IS the 5th order statistic, no interpolation ever happens).
+
+    Implementation: stack the 9 shifted views, ONE partial sort
+    (np.partition at k=4) along the stack axis — O(1) per pixel, no
+    per-pixel Python. Shuffle-free mapInPandas, like every per-image
+    op in this module.
+    """
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                stack = np.stack([v[1 + dr:v.shape[0] - 1 + dr,
+                                    1 + dc:v.shape[1] - 1 + dc]
+                                  for dr in (-1, 0, 1)
+                                  for dc in (-1, 0, 1)])
+                med = np.partition(stack, 4, axis=0)[4]
+                ctr = v[1:-1, 1:-1]
+                diff = np.abs(med - ctr)
+                rows.append((r.image_id, int(med.sum()),
+                             int((diff > 0).sum()), int(diff.max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MEDIAN_SCHEMA.fields])
+    return images.mapInPandas(gen, _MEDIAN_SCHEMA)

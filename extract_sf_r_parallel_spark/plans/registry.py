@@ -2192,6 +2192,61 @@ QUERIES = {"sessions": q_sessions, "sessions_stream": q_sessions_stream,
 QUERIES.update(relational.QUERIES)
 QUERIES.update(spatial_queries.QUERIES)
 QUERIES.update(textops.QUERIES)
+# --- 3×3 median rank filter (r06): the NONLINEAR stencil next to the
+# linear ones (Sobel, focal mean) — salt-and-pepper denoise / impulse
+# noise screen. Engine: one np.partition per image inside shuffle-free
+# mapInPandas. Oracle: the 9-offset gather join (sobel pattern) with
+# DuckDB's median() per pixel — the median of 9 ints is the 5th order
+# statistic, no interpolation, so every per-pixel value is exact and
+# the per-image sums/counts hash bit-identically.
+def q_median_filter(spark, sf_dir):
+    from ..operators.multimodal import median_stats
+    n = 60  # first 60 of the 240-image fixture; matches range(60)
+    images = spark.createDataFrame(synth.images_pdf(n))
+    return median_stats(images)
+
+
+ORACLE["median_filter"] = """
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(60) t(i)
+), px AS (
+  SELECT image_id, w, h,
+    (j // 3) // w AS py,
+    (j // 3) % w AS pxx,
+    xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+  WHERE j % 3 = 0
+), offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (VALUES (-1), (0), (1)) dr(dr), (VALUES (-1), (0), (1)) dc(dc)
+), tgt AS (
+  SELECT c.image_id, c.py, c.pxx, c.v AS ctr,
+         c.py + o.dr AS npy, c.pxx + o.dc AS npx
+  FROM px c CROSS JOIN offs o
+  WHERE c.py >= 1 AND c.py <= c.h - 2
+    AND c.pxx >= 1 AND c.pxx <= c.w - 2
+), m AS (
+  SELECT t.image_id, t.py, t.pxx, t.ctr,
+         CAST(median(n.v) AS BIGINT) AS med
+  FROM tgt t
+  JOIN px n ON n.image_id = t.image_id
+           AND n.py = t.npy AND n.pxx = t.npx
+  GROUP BY t.image_id, t.py, t.pxx, t.ctr
+)
+SELECT image_id,
+  CAST(SUM(med) AS BIGINT) AS sum_median,
+  CAST(SUM(CASE WHEN med <> ctr THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(MAX(ABS(med - ctr)) AS BIGINT) AS max_absdiff
+FROM m GROUP BY image_id
+"""
+
+
 QUERIES.update({
     "embed_top1": q_embed_top1,
     "embed_dup_pairs": q_embed_dup_pairs,
@@ -2225,6 +2280,7 @@ QUERIES.update({
     "asof_join_fwd": q_asof_join_fwd,
     "asof_nearest": q_asof_nearest,
     "interval_join": q_interval_join,
+    "median_filter": q_median_filter,
 })
 
 # Driver-gate ordering: the gate records registry entries in dict
@@ -2266,7 +2322,7 @@ _GATE_FIRST = [
     "contour_cases", "mosaic_median", "compact_files",
     "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers",
     "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
-    "pmi_bigrams", "edit_blocks",
+    "pmi_bigrams", "edit_blocks", "median_filter",
 ]
 
 

@@ -276,3 +276,45 @@ def test_crop_stats_out_of_bounds_raises(spark, images):
     df = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="outside"):
         M.crop_stats(df, "ox", "oy", size=16).collect()
+
+
+def test_median_stats_matches_direct_median(spark):
+    import numpy as np
+    from extract_sf_r_parallel_spark.data import synth, codec
+    from extract_sf_r_parallel_spark.operators.multimodal import median_stats
+    pdf = synth.images_pdf(9)
+    got = {r.image_id: (r.sum_median, r.n_changed, r.max_absdiff)
+           for r in median_stats(spark.createDataFrame(pdf)).collect()}
+    for r in pdf.itertuples():
+        v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0].astype(np.int64)
+        med = np.zeros((r.h - 2, r.w - 2), dtype=np.int64)
+        for i in range(1, r.h - 1):
+            for j in range(1, r.w - 1):
+                med[i - 1, j - 1] = int(np.median(v[i - 1:i + 2, j - 1:j + 2]))
+        ctr = v[1:-1, 1:-1]
+        want = (int(med.sum()), int((med != ctr).sum()),
+                int(np.abs(med - ctr).max()))
+        assert got[r.image_id] == want
+
+
+def test_median_stats_flattens_salt_noise(spark):
+    # a constant image with isolated salt pixels: the median filter
+    # restores every interior pixel, so sum_median = const·area and
+    # every salted interior pixel counts as changed
+    import numpy as np
+    import pandas as pd
+    from extract_sf_r_parallel_spark.data import codec
+    from extract_sf_r_parallel_spark.operators.multimodal import median_stats
+    h = w = 16
+    img = np.full((h, w, 3), 50, dtype=np.uint8)
+    salted = [(3, 4), (8, 9), (12, 5)]     # isolated → 8 clean neighbors
+    for (i, j) in salted:
+        img[i, j, 0] = 255
+    raw = codec.encode_image(img, "png")
+    df = spark.createDataFrame(pd.DataFrame(
+        [("salt0", raw, w, h, "png", "cap", 0)],
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]))
+    r = median_stats(df).collect()[0]
+    assert r.sum_median == 50 * (h - 2) * (w - 2)
+    assert r.n_changed == len(salted)
+    assert r.max_absdiff == 205
