@@ -2322,7 +2322,7 @@ _GATE_FIRST = [
     "contour_cases", "mosaic_median", "compact_files",
     "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers",
     "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
-    "pmi_bigrams", "edit_blocks", "median_filter",
+    "pmi_bigrams", "edit_blocks", "median_filter", "hilbert_stats",
 ]
 
 

@@ -2192,3 +2192,38 @@ QUERIES = {
     "contour_cases": q_contour_cases,
     "line_locate": q_line_locate,
 }
+
+
+# --- Hilbert-curve layout (r06): the second space-filling curve next
+# to zorder_stats — same bucket-bbox report, different curve. The
+# engine unrolls the 8-level xy2d rotation fold into chained integer
+# projections (operators/hilbert.py); the oracle replays the SAME
+# unroll as chained CTEs, so one wrong flip/swap at any level breaks
+# every bucket. Pytest pins the curve properties (unit-step
+# Hamiltonian walk, bijectivity) that the bucket stats alone can't.
+def q_hilbert_stats(spark, sf_dir):
+    from ..operators.hilbert import with_hilbert_code
+    pts = points_df(spark, sf_dir)
+    return (with_hilbert_code(pts, "x", "y")
+            .withColumn("hb", F.shiftright(F.col("hd"), 8))
+            .groupBy("hb").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"), F.max("y").alias("max_y")))
+
+
+def _hilbert_oracle() -> str:
+    from ..operators.hilbert import hilbert_sql
+    return f"""
+WITH __hilbert_src AS ({_PTS_SQL}),
+{hilbert_sql("x", "y", keys="x, y")}
+SELECT hd >> 8 AS hb, COUNT(*) AS n,
+       MIN(x) AS min_x, MAX(x) AS max_x,
+       MIN(y) AS min_y, MAX(y) AS max_y
+FROM h0 GROUP BY 1
+"""
+
+
+ORACLE["hilbert_stats"] = _hilbert_oracle()
+
+QUERIES["hilbert_stats"] = q_hilbert_stats
