@@ -38,7 +38,7 @@ from ..data import codec
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
-           "median_stats"]
+           "median_stats", "orient_hist", "glcm_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -536,3 +536,87 @@ def median_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _MEDIAN_SCHEMA.fields])
     return images.mapInPandas(gen, _MEDIAN_SCHEMA)
+
+
+_ORIENT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("obin", T.IntegerType()),
+    T.StructField("n", T.LongType()),
+])
+
+
+def orient_hist(images: DataFrame) -> DataFrame:
+    """Gradient-orientation histogram (HOG-lite) on channel 0 — the
+    descriptor family behind HOG/SIFT, reduced to its exact-integer
+    core so an SQL oracle can replay it: Sobel (gx, gy) per interior
+    pixel, orientation binned into 8 sectors by SIGN/MAGNITUDE
+    comparisons only (obin = 4·[gy<0] + 2·[gx<0] + [|gy|>|gx|]; ties
+    |gy|=|gx| fall to the [ax≥ay] side), zero-gradient pixels in
+    their own bin −1. No atan2, no floats, nothing an engine could
+    round differently. Output long-format (image_id, obin, n).
+
+    Scale: shuffle-free mapInPandas like every per-image op here;
+    NumPy does the binning (no per-pixel Python)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                gx = ((v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2]))
+                gy = ((v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:]))
+                flat = (gx == 0) & (gy == 0)
+                obin = (4 * (gy < 0) + 2 * (gx < 0)
+                        + (np.abs(gy) > np.abs(gx))).astype(np.int64)
+                obin[flat] = -1
+                vals, cnts = np.unique(obin, return_counts=True)
+                rows.extend((r.image_id, int(b), int(c))
+                            for b, c in zip(vals, cnts))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _ORIENT_SCHEMA.fields])
+    return images.mapInPandas(gen, _ORIENT_SCHEMA)
+
+
+_GLCM_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("contrast", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("n_pairs", T.LongType()),
+])
+
+
+def glcm_stats(images: DataFrame, levels: int = 4) -> DataFrame:
+    """Texture features from the gray-level co-occurrence matrix
+    (Haralick 1973, the classic texture descriptor): quantize channel
+    0 to `levels` gray levels (v div (256/levels) — exact), count
+    horizontally-adjacent level pairs P(i,j), and report the two
+    integer-exact Haralick moments — contrast Σ(i−j)²·P(i,j) and
+    energy Σ P(i,j)² — plus the pair count. Smooth images score low
+    contrast / high energy; noise scores the reverse: the texture
+    screen for vision training data.
+
+    Everything stays integer (no normalization — the moments over raw
+    counts carry the same signal and hash identically), so the oracle
+    can rebuild the full GLCM from an adjacency self-join."""
+    if 256 % levels:
+        raise ValueError(f"glcm_stats: levels={levels} must divide 256")
+    q = 256 // levels
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                lv = (v // q).astype(np.int64)
+                a, b = lv[:, :-1], lv[:, 1:]
+                pair = a * levels + b
+                cnts = np.bincount(pair.ravel(), minlength=levels * levels)
+                i = np.arange(levels * levels) // levels
+                j = np.arange(levels * levels) % levels
+                contrast = int(((i - j) ** 2 * cnts).sum())
+                energy = int((cnts.astype(object) ** 2).sum())
+                rows.append((r.image_id, contrast, energy, int(cnts.sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _GLCM_SCHEMA.fields])
+    return images.mapInPandas(gen, _GLCM_SCHEMA)

@@ -2247,6 +2247,101 @@ FROM m GROUP BY image_id
 """
 
 
+# --- gradient-orientation histogram / HOG-lite (r06): the HOG/SIFT
+# descriptor core with the angle binning reduced to exact sign +
+# magnitude comparisons (obin = 4·[gy<0] + 2·[gx<0] + [|gy|>|gx|],
+# flat pixels → −1) — no atan2, so both engines agree bit-for-bit.
+def q_orient_hist(spark, sf_dir):
+    from ..operators.multimodal import orient_hist
+    images = spark.createDataFrame(synth.images_pdf(60))
+    return orient_hist(images)
+
+
+ORACLE["orient_hist"] = """
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(60) t(i)
+), px AS (
+  SELECT image_id, w, h,
+    (j // 3) // w AS py,
+    (j // 3) % w AS pxx,
+    xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+  WHERE j % 3 = 0
+), offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (VALUES (-1), (0), (1)) dr(dr), (VALUES (-1), (0), (1)) dc(dc)
+), tgt AS (
+  SELECT c.image_id, c.py, c.pxx, o.dr, o.dc,
+         c.py + o.dr AS npy, c.pxx + o.dc AS npx
+  FROM px c CROSS JOIN offs o
+  WHERE c.py >= 1 AND c.py <= c.h - 2
+    AND c.pxx >= 1 AND c.pxx <= c.w - 2
+), g AS (
+  SELECT t.image_id, t.py, t.pxx,
+    SUM(n.v * t.dc * (2 - ABS(t.dr))) AS gx,
+    SUM(n.v * t.dr * (2 - ABS(t.dc))) AS gy
+  FROM tgt t
+  JOIN px n ON n.image_id = t.image_id
+           AND n.py = t.npy AND n.pxx = t.npx
+  GROUP BY t.image_id, t.py, t.pxx
+)
+SELECT image_id,
+  CAST(CASE WHEN gx = 0 AND gy = 0 THEN -1
+       ELSE 4 * (CASE WHEN gy < 0 THEN 1 ELSE 0 END)
+          + 2 * (CASE WHEN gx < 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN ABS(gy) > ABS(gx) THEN 1 ELSE 0 END)
+       END AS INT) AS obin,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY 1, 2
+"""
+
+
+# --- GLCM texture moments (r06): Haralick's gray-level co-occurrence
+# matrix over horizontally-adjacent 4-level pairs; contrast and energy
+# over RAW counts (no normalization → everything integer-exact). The
+# oracle rebuilds the full GLCM from an adjacency self-join.
+def q_glcm_texture(spark, sf_dir):
+    from ..operators.multimodal import glcm_stats
+    images = spark.createDataFrame(synth.images_pdf(120))
+    return glcm_stats(images)
+
+
+ORACLE["glcm_texture"] = """
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), px AS (
+  SELECT image_id, w, h,
+    (j // 3) // w AS py,
+    (j // 3) % w AS pxx,
+    (xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256) // 64 AS lv
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+  WHERE j % 3 = 0
+), glcm AS (
+  SELECT a.image_id, a.lv AS i, b.lv AS j, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM px a JOIN px b
+    ON b.image_id = a.image_id AND b.py = a.py AND b.pxx = a.pxx + 1
+  GROUP BY 1, 2, 3
+)
+SELECT image_id,
+  CAST(SUM((i - j) * (i - j) * cnt) AS BIGINT) AS contrast,
+  CAST(SUM(cnt * cnt) AS BIGINT) AS energy,
+  CAST(SUM(cnt) AS BIGINT) AS n_pairs
+FROM glcm GROUP BY 1
+"""
+
+
 QUERIES.update({
     "embed_top1": q_embed_top1,
     "embed_dup_pairs": q_embed_dup_pairs,
@@ -2281,6 +2376,8 @@ QUERIES.update({
     "asof_nearest": q_asof_nearest,
     "interval_join": q_interval_join,
     "median_filter": q_median_filter,
+    "orient_hist": q_orient_hist,
+    "glcm_texture": q_glcm_texture,
 })
 
 # Driver-gate ordering: the gate records registry entries in dict
@@ -2323,6 +2420,7 @@ _GATE_FIRST = [
     "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers",
     "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
     "pmi_bigrams", "edit_blocks", "median_filter", "hilbert_stats",
+    "orient_hist", "glcm_texture",
 ]
 
 

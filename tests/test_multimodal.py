@@ -318,3 +318,84 @@ def test_median_stats_flattens_salt_noise(spark):
     assert r.sum_median == 50 * (h - 2) * (w - 2)
     assert r.n_changed == len(salted)
     assert r.max_absdiff == 205
+
+
+def test_orient_hist_matches_direct_binning(spark):
+    import numpy as np
+    from extract_sf_r_parallel_spark.data import synth, codec
+    from extract_sf_r_parallel_spark.operators.multimodal import orient_hist
+    pdf = synth.images_pdf(9)
+    got = {}
+    for r in orient_hist(spark.createDataFrame(pdf)).collect():
+        got[(r.image_id, r.obin)] = r.n
+    want = {}
+    for r in pdf.itertuples():
+        v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0].astype(np.int64)
+        for i in range(1, r.h - 1):
+            for j in range(1, r.w - 1):
+                win = v[i - 1:i + 2, j - 1:j + 2]
+                gx = int((win[:, 2] * np.array([1, 2, 1])).sum()
+                         - (win[:, 0] * np.array([1, 2, 1])).sum())
+                gy = int((win[2, :] * np.array([1, 2, 1])).sum()
+                         - (win[0, :] * np.array([1, 2, 1])).sum())
+                if gx == 0 and gy == 0:
+                    b = -1
+                else:
+                    b = 4 * (gy < 0) + 2 * (gx < 0) + (abs(gy) > abs(gx))
+                want[(r.image_id, b)] = want.get((r.image_id, b), 0) + 1
+    assert got == want
+
+
+def test_orient_hist_bins_cover_interior(spark):
+    from extract_sf_r_parallel_spark.data import synth
+    from extract_sf_r_parallel_spark.operators.multimodal import orient_hist
+    pdf = synth.images_pdf(6)
+    rows = orient_hist(spark.createDataFrame(pdf)).collect()
+    per_img = {}
+    for r in rows:
+        assert -1 <= r.obin <= 7
+        per_img[r.image_id] = per_img.get(r.image_id, 0) + r.n
+    for r in pdf.itertuples():
+        assert per_img[r.image_id] == (r.h - 2) * (r.w - 2)
+
+
+def test_glcm_stats_matches_direct_and_separates_texture(spark):
+    import numpy as np
+    import pandas as pd
+    from extract_sf_r_parallel_spark.data import codec
+    from extract_sf_r_parallel_spark.operators.multimodal import glcm_stats
+    # smooth gradient vs checkerboard: contrast must separate them
+    h = w = 16
+    smooth = np.repeat(np.linspace(0, 255, w).astype(np.uint8)[None, :],
+                       h, axis=0)[..., None].repeat(3, axis=2)
+    checker = (np.indices((h, w)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    checker = checker[..., None].repeat(3, axis=2)
+    rows = [("smooth", codec.encode_image(smooth, "png"), w, h, "png", "c", 0),
+            ("checker", codec.encode_image(checker, "png"), w, h, "png", "c", 0)]
+    df = spark.createDataFrame(pd.DataFrame(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption",
+                       "phash"]))
+    got = {r.image_id: r for r in glcm_stats(df).collect()}
+    assert got["smooth"].contrast < got["checker"].contrast
+    # checkerboard: every horizontal pair flips 0<->3 → contrast 9/pair
+    assert got["checker"].contrast == 9 * got["checker"].n_pairs
+    # direct replay for the smooth image
+    lv = (smooth[..., 0] // 64).astype(int)
+    pairs = {}
+    for i in range(h):
+        for j in range(w - 1):
+            k = (lv[i, j], lv[i, j + 1])
+            pairs[k] = pairs.get(k, 0) + 1
+    want_contrast = sum((a - b) ** 2 * c for (a, b), c in pairs.items())
+    want_energy = sum(c * c for c in pairs.values())
+    assert got["smooth"].contrast == want_contrast
+    assert got["smooth"].energy == want_energy
+
+
+def test_glcm_stats_levels_validation(spark):
+    import pytest as _pytest
+    from extract_sf_r_parallel_spark.data import synth
+    from extract_sf_r_parallel_spark.operators.multimodal import glcm_stats
+    df = spark.createDataFrame(synth.images_pdf(1))
+    with _pytest.raises(ValueError, match="must divide 256"):
+        glcm_stats(df, levels=7)
