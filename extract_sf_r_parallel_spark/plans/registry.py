@@ -2046,6 +2046,46 @@ def q_sessions_stream(spark, sf_dir):
 # sentinel closes every real window, whose own far-future window is
 # filtered out. Answers the SAME SQL oracle as the batch twin
 # (tumbling_window) — stream ≡ batch, driver-visible.
+# --- LIVE streaming HLL (r06): the distinct-count sketch under a
+# watermark — approximate distinct users per hour as a live register
+# table. The max() register fold is the ideal streaming state shape
+# (bounded, monotone); the drained sink must equal the batch register
+# table over the same rows, which the DuckDB oracle re-derives
+# bit-for-bit (same md5/'0x'/bin arithmetic as hll_users, grouped by
+# hour). The far-future flush sentinel's window is cut by the same
+# 2025 filter windowed_stream uses.
+def q_hll_stream(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    hs = SE.windowed_hll(stream, window="1 hour", watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="hll_stream_ck_")
+    SE.run_available_now(hs, "hll_stream_sink", ck, shuffle_partitions=4)
+    return (
+        spark.table("hll_stream_sink")
+        .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
+        .select("hour", "register", "max_rho")
+    )
+
+
+ORACLE["hll_stream"] = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':hll'),
+                              1, 15)) AS BIGINT) AS hv
+  FROM events
+)
+SELECT hour, hv % 512 AS register,
+       MAX(CASE WHEN hv // 512 = 0 THEN 52
+                ELSE 52 - length(bin(hv // 512)) END) AS max_rho
+FROM h GROUP BY 1, 2
+"""
+
+
 def q_windowed_stream(spark, sf_dir):
     import tempfile
 
@@ -2378,6 +2418,7 @@ QUERIES.update({
     "median_filter": q_median_filter,
     "orient_hist": q_orient_hist,
     "glcm_texture": q_glcm_texture,
+    "hll_stream": q_hll_stream,
 })
 
 # Driver-gate ordering: the gate records registry entries in dict
@@ -2420,7 +2461,7 @@ _GATE_FIRST = [
     "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers",
     "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
     "pmi_bigrams", "edit_blocks", "median_filter", "hilbert_stats",
-    "orient_hist", "glcm_texture",
+    "orient_hist", "glcm_texture", "hll_stream",
 ]
 
 

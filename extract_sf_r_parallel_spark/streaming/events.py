@@ -24,7 +24,8 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 __all__ = ["EVENTS_SCHEMA", "read_events_stream", "windowed_counts",
-           "dedup_stream", "funnel_join", "run_available_now"]
+           "windowed_hll", "dedup_stream", "funnel_join",
+           "run_available_now"]
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -47,6 +48,35 @@ def windowed_counts(stream: DataFrame, window: str = "1 hour",
              F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("win.start").alias("hour"), "event_type", "n", "sum_value")
     )
+
+
+def windowed_hll(stream: DataFrame, window: str = "1 hour",
+                 watermark: str = "1 hour", col: str = "user_id",
+                 p: int = 9, salt: str = "hll") -> DataFrame:
+    """Per-window HyperLogLog register table — live approximate
+    distinct-users-per-hour, the sketch (operators/sketch.py) composed
+    with watermarked streaming. The register fold is max(), a monotone
+    semilattice, so it is exactly the incremental-aggregation shape
+    Structured Streaming's state store wants: bounded state (≤2^p rows
+    per open window), append-only emission when the watermark closes a
+    window. Same hash/register/rho arithmetic as the batch operator,
+    so the batch register table over the same rows IS the oracle."""
+    m = 1 << p
+    wbits = 60 - p
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col(col).cast("string"), F.lit(":" + salt))),
+        1, 15), 16, 10).cast("long")
+    w = F.expr(f"_h div {m}")
+    rho = F.when(w == 0, F.lit(wbits + 1)) \
+        .otherwise(wbits + 1 - F.length(F.bin(w)))
+    s = (stream.withWatermark("ts", watermark)
+         .select("ts", h.alias("_h"))
+         .select("ts", (F.col("_h") % m).alias("register"),
+                 rho.alias("rho")))
+    return (s.groupBy(F.window("ts", window).alias("win"), "register")
+            .agg(F.max("rho").alias("max_rho"))
+            .select(F.col("win.start").alias("hour"), "register",
+                    "max_rho"))
 
 
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -173,3 +173,27 @@ def test_edit_blocks_catches_perturbed_near_dups(spark):
     assert len(blocks_with_pairs) == 1
     assert blocks_with_pairs[0].min_dist == 0  # 120-char prefixes equal
     assert blocks_with_pairs[0].n_close == 1
+
+
+# ------------------------------------------------- streaming HLL
+
+def test_hll_stream_equals_batch_registers(spark):
+    from extract_sf_r_parallel_spark.plans.registry import q_hll_stream
+    sf = "/root/testdata/sf0.001"
+    got = {(r.hour, r.register): r.max_rho
+           for r in q_hll_stream(spark, sf).collect()}
+    # batch twin in ONE job: same hash/register/rho arithmetic, keyed
+    # by hour — stream ≡ batch is the property under test
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":hll"))),
+        1, 15), 16, 10).cast("long")
+    e = (spark.read.parquet(f"{sf}/events.parquet")
+         .select(F.date_trunc("hour", "ts").alias("hour"),
+                 h.alias("_h"))
+         .select("hour", (F.col("_h") % 512).alias("register"),
+                 F.when(F.expr("_h div 512") == 0, F.lit(52))
+                 .otherwise(52 - F.length(F.bin(F.expr("_h div 512"))))
+                 .alias("rho"))
+         .groupBy("hour", "register").agg(F.max("rho").alias("max_rho")))
+    want = {(r.hour, r.register): r.max_rho for r in e.collect()}
+    assert got == want
