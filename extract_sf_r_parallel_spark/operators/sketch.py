@@ -33,7 +33,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_registers", "hll_merge", "hll_estimate"]
+__all__ = ["hll_registers", "hll_merge", "hll_estimate",
+           "bloom_bits", "bloom_probe", "cms_grid", "cms_estimate"]
 
 _HASH_BITS = 60  # 15 md5 hex chars — fits a signed 64-bit long
 
@@ -85,3 +86,95 @@ def hll_estimate(registers: list[tuple[int, int]], p: int = 9) -> float:
     if e <= 2.5 * m and zeros > 0:
         return m * math.log(m / zeros)
     return e
+
+
+# --------------------------------------------------------------------
+# Bloom filter — the semi-join pre-filter: build a tiny bitset over the
+# small side's keys, broadcast it, and drop non-members of the 100 TB
+# side at the SCAN, before any shuffle. Same register-table design as
+# the HLL above: the filter IS a table of set bit positions (≤ k·n
+# rows, deduped), OR-mergeable by plain union+distinct, and every bit
+# is md5-derived so a SQL oracle replays membership exactly —
+# INCLUDING the false positives, which are deterministic given
+# (m, k, salt).
+# --------------------------------------------------------------------
+
+def _bloom_pos(col: Column, i: int, m: int, salt: str) -> Column:
+    h = F.md5(F.concat(col.cast("string"), F.lit(f":{salt}{i}")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m
+
+
+def bloom_bits(df: DataFrame, col: str, m: int = 4096, k: int = 3,
+               salt: str = "bloom") -> DataFrame:
+    """The set-bit table of a Bloom filter over `col`: one row per
+    distinct set position (`bit` ∈ [0, m)). Build is k projections +
+    one distinct — map-side combinable, output ≤ m rows regardless of
+    input size."""
+    parts = [df.select(_bloom_pos(F.col(col), i, m, salt).alias("bit"))
+             for i in range(k)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def bloom_probe(probe: DataFrame, bits: DataFrame, col: str,
+                m: int = 4096, k: int = 3,
+                salt: str = "bloom", out: str = "in_bloom") -> DataFrame:
+    """Flag each probe row: `out` = true iff ALL k of its bit positions
+    are set (member OR false positive — never a false negative). The
+    bits table broadcasts (≤ m rows); each position check is one
+    broadcast LEFT join, so the probe side never shuffles."""
+    marked = bits.withColumn("_set", F.lit(1))
+    res = probe
+    flags = []
+    for i in range(k):
+        b = marked.withColumnRenamed("bit", f"_b{i}") \
+                  .withColumnRenamed("_set", f"_s{i}")
+        res = res.withColumn(f"_p{i}", _bloom_pos(F.col(col), i, m, salt))
+        res = res.join(F.broadcast(b), res[f"_p{i}"] == b[f"_b{i}"], "left")
+        flags.append(F.col(f"_s{i}").isNotNull())
+    cond = flags[0]
+    for f in flags[1:]:
+        cond = cond & f
+    drop = [c for i in range(k) for c in (f"_p{i}", f"_b{i}", f"_s{i}")]
+    return res.withColumn(out, cond).drop(*drop)
+
+
+# --------------------------------------------------------------------
+# Count–Min sketch — the frequency twin of the Bloom filter: a
+# depth×width counter grid, est(x) = min over rows of grid[i][h_i(x)]
+# (always ≥ the true count). ADDITIVE — two sketches merge by
+# elementwise sum — so per-partition/per-day sketches roll up without
+# rescanning, the property that makes it the heavy-hitter screen at
+# 100 TB. The grid is exact integer counts over md5-derived columns,
+# so the oracle rebuilds every cell.
+# --------------------------------------------------------------------
+
+def cms_grid(df: DataFrame, col: str, width: int = 256, depth: int = 4,
+             salt: str = "cms") -> DataFrame:
+    """The CMS counter grid over `col`: (sk_row, cell, cnt) for occupied
+    cells — ≤ depth·width rows regardless of input size. One explode
+    over `depth` literal rows + one map-side-combinable groupBy."""
+    rows = None
+    for i in range(depth):
+        p = df.select(F.lit(i).alias("sk_row"),
+                      (_bloom_pos(F.col(col), i, width, salt)).alias("cell"))
+        rows = p if rows is None else rows.unionByName(p)
+    return rows.groupBy("sk_row", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(grid: list[tuple[int, int, int]], key,
+                 width: int = 256, depth: int = 4,
+                 salt: str = "cms") -> int:
+    """Driver-side point estimate from collected grid rows: min over
+    the key's depth cells (0 if any cell is unoccupied)."""
+    import hashlib
+    occupied = {(r, c): n for r, c, n in grid}
+    est = None
+    for i in range(depth):
+        h = hashlib.md5(f"{key}:{salt}{i}".encode()).hexdigest()
+        cell = int(h[:15], 16) % width
+        v = occupied.get((i, cell), 0)
+        est = v if est is None else min(est, v)
+    return est or 0

@@ -2461,7 +2461,8 @@ _GATE_FIRST = [
     "ohlc_bars", "table_diff", "sat_probe", "group_ols", "iqr_outliers",
     "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
     "pmi_bigrams", "edit_blocks", "median_filter", "hilbert_stats",
-    "orient_hist", "glcm_texture", "hll_stream",
+    "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
+    "cms_grid",
 ]
 
 

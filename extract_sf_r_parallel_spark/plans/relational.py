@@ -686,3 +686,94 @@ ORACLE["pagerank_walk"] = _pagerank_oracle()
 QUERIES["hll_users"] = q_hll_users
 QUERIES["cohort_retention"] = q_cohort_retention
 QUERIES["pagerank_walk"] = q_pagerank_walk
+
+
+# --- Bloom-filter semi-join pre-filter (r06): build the bitset over
+# high-balance customers, probe every ordering customer. The bits are
+# md5-derived so the oracle replays MEMBERSHIP exactly — including the
+# deterministic false positives (in_bloom=true, is_member=false rows
+# are expected and pinned); false negatives are impossible and the
+# driver row would catch one instantly.
+def q_bloom_probe(spark, sf_dir):
+    from ..operators.sketch import bloom_bits, bloom_probe
+    cust = (_t(spark, sf_dir, "customer").filter("c_acctbal > 5000")
+            .select(F.col("c_custkey").alias("key")).distinct())
+    bits = bloom_bits(cust, "key")
+    probe = (_t(spark, sf_dir, "orders")
+             .select(F.col("o_custkey").alias("key")).distinct())
+    flagged = bloom_probe(probe, bits, "key")
+    truth = cust.withColumn("_m", F.lit(1))
+    return (flagged.join(F.broadcast(truth), "key", "left")
+            .select(F.col("key").alias("o_custkey"), "in_bloom",
+                    F.col("_m").isNotNull().alias("is_member")))
+
+
+ORACLE["bloom_probe"] = """
+WITH keys AS (
+  SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal > 5000
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom0'),
+                                1, 15)) AS BIGINT) % 4096 AS bit FROM keys
+    UNION
+    SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom1'),
+                                1, 15)) AS BIGINT) % 4096 FROM keys
+    UNION
+    SELECT CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom2'),
+                                1, 15)) AS BIGINT) % 4096 FROM keys
+  )
+), probe AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+), ph AS (
+  SELECT key,
+    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom0'),
+                         1, 15)) AS BIGINT) % 4096 AS h0,
+    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom1'),
+                         1, 15)) AS BIGINT) % 4096 AS h1,
+    CAST(('0x' || substr(md5(CAST(key AS VARCHAR) || ':bloom2'),
+                         1, 15)) AS BIGINT) % 4096 AS h2
+  FROM probe
+)
+SELECT p.key AS o_custkey,
+       (EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.h0)
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.h1)
+        AND EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.h2)) AS in_bloom,
+       EXISTS (SELECT 1 FROM keys k WHERE k.key = p.key) AS is_member
+FROM ph p
+"""
+
+
+# --- Count–Min sketch grid (r06): the frequency twin of the Bloom
+# filter — additive (grids merge by elementwise sum), est = min over
+# depth cells, never an undercount. The grid itself is the driver
+# output, every counter exact; point estimates are pytest-covered
+# (operators/sketch.py::cms_estimate).
+def q_cms_grid(spark, sf_dir):
+    from ..operators.sketch import cms_grid
+    return cms_grid(_t(spark, sf_dir, "events"), "user_id")
+
+
+ORACLE["cms_grid"] = """
+WITH s AS (
+  SELECT 0 AS sk_row,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms0'),
+                              1, 15)) AS BIGINT) % 256 AS cell FROM events
+  UNION ALL
+  SELECT 1,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms1'),
+                              1, 15)) AS BIGINT) % 256 FROM events
+  UNION ALL
+  SELECT 2,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms2'),
+                              1, 15)) AS BIGINT) % 256 FROM events
+  UNION ALL
+  SELECT 3,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms3'),
+                              1, 15)) AS BIGINT) % 256 FROM events
+)
+SELECT sk_row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM s GROUP BY 1, 2
+"""
+
+QUERIES["bloom_probe"] = q_bloom_probe
+QUERIES["cms_grid"] = q_cms_grid

@@ -197,3 +197,58 @@ def test_hll_stream_equals_batch_registers(spark):
          .groupBy("hour", "register").agg(F.max("rho").alias("max_rho")))
     want = {(r.hour, r.register): r.max_rho for r in e.collect()}
     assert got == want
+
+
+# ---------------------------------------------------- Bloom filter
+
+def test_bloom_no_false_negatives_and_bounded_fp(spark):
+    from extract_sf_r_parallel_spark.operators.sketch import (
+        bloom_bits, bloom_probe)
+    members = spark.range(0, 500).withColumnRenamed("id", "key")
+    others = spark.range(500, 4500).withColumnRenamed("id", "key")
+    bits = bloom_bits(members, "key")          # n=500·k=3 vs m=4096
+    got_m = bloom_probe(members, bits, "key").collect()
+    assert all(r.in_bloom for r in got_m)      # never a false negative
+    got_o = bloom_probe(others, bits, "key").collect()
+    fp = sum(r.in_bloom for r in got_o) / len(got_o)
+    # load ≈ 1−e^{−kn/m} ≈ 0.31 → fp ≈ 0.31³ ≈ 3%; assert a loose 3×
+    assert fp < 0.10
+
+
+def test_bloom_bits_union_is_filter_of_union(spark):
+    from extract_sf_r_parallel_spark.operators.sketch import bloom_bits
+    a = spark.range(0, 300).withColumnRenamed("id", "key")
+    b = spark.range(200, 600).withColumnRenamed("id", "key")
+    merged = bloom_bits(a, "key").unionByName(bloom_bits(b, "key")) \
+        .distinct()
+    direct = bloom_bits(a.unionByName(b), "key")
+    assert {r.bit for r in merged.collect()} == \
+           {r.bit for r in direct.collect()}
+
+
+# ------------------------------------------------ Count-Min sketch
+
+def test_cms_never_undercounts_and_merges_additively(spark):
+    from collections import Counter
+    from extract_sf_r_parallel_spark.operators.sketch import (
+        cms_estimate, cms_grid)
+    import pandas as pd
+    keys = [i % 40 for i in range(2000)]       # skewed: key k appears 50×
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    grid = [(r.sk_row, r.cell, r.cnt) for r in cms_grid(df, "k").collect()]
+    truth = Counter(keys)
+    for k, n in truth.items():
+        assert cms_estimate(grid, k) >= n      # CMS invariant
+    # total mass per sketch row = input size (counts are exact)
+    per_row = Counter()
+    for r, c, n in grid:
+        per_row[r] += n
+    assert set(per_row.values()) == {len(keys)}
+    # additivity: grid(a) + grid(b) cellwise == grid(a ∪ b)
+    a = spark.createDataFrame(pd.DataFrame({"k": keys[:1000]}))
+    b = spark.createDataFrame(pd.DataFrame({"k": keys[1000:]}))
+    merged = Counter()
+    for part in (a, b):
+        for r in cms_grid(part, "k").collect():
+            merged[(r.sk_row, r.cell)] += r.cnt
+    assert merged == {(r, c): n for r, c, n in grid}
