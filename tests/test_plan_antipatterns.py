@@ -38,6 +38,11 @@ LAZY = [
     "rep_ngram", "contam_check", "geodesic", "contour_cases",
     "mosaic_median", "ohlc_bars", "table_diff", "sat_probe",
     "group_ols", "iqr_outliers",
+    # r06 fifth wave (bpe_vocab drives per-round argmax collects and
+    # hll_stream drains a live stream — both excluded like minhash)
+    "hll_users", "cohort_retention", "pagerank_walk", "pmi_bigrams",
+    "edit_blocks", "median_filter", "hilbert_stats", "orient_hist",
+    "glcm_texture", "bloom_probe", "cms_grid",
 ]
 # domain_mix collects its histogram at build (plan parameters) and
 # compact_files commits table snapshots at build — both pinned by
