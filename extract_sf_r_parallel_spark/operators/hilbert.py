@@ -72,11 +72,17 @@ def with_hilbert_code(df: DataFrame, x: str = "x", y: str = "y",
 
 
 def hilbert_sql(x: str, y: str, extent: float = 20000.0,
-                bits: int = 8, keys: str = "*") -> str:
+                bits: int = 8, keys: str = "x, y") -> str:
     """The DuckDB replay of with_hilbert_code as a chained-CTE SQL
     fragment: `WITH h{bits} AS (...), ..., h0 AS (...)` — select from
     `h0`, which carries `keys` plus the final `hd`. Same unroll, same
-    integer ops, so every code matches bit-for-bit."""
+    integer ops, so every code matches bit-for-bit. `keys` must be an
+    explicit column list (never `*` — the working columns _hx/_hy/hd
+    would collide with themselves at every level)."""
+    if "*" in keys:
+        raise ValueError("hilbert_sql: keys must list columns "
+                         "explicitly ('*' collides with the working "
+                         "columns at every level)")
     s0 = 1 << bits
     e = int(extent)
     parts = [f"""h{bits} AS (
