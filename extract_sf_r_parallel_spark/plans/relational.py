@@ -777,3 +777,38 @@ FROM s GROUP BY 1, 2
 
 QUERIES["bloom_probe"] = q_bloom_probe
 QUERIES["cms_grid"] = q_cms_grid
+
+
+# --- rolling time-range window features (r06): per-user trailing-hour
+# activity (count + sum) at every event — the classic point-in-time
+# feature-engineering op (no leakage: each row sees only its past
+# hour). RANGE frames are SET-based (every row with sec in
+# [cur−3599, cur]), so tie order can't change results; seconds are
+# floored identically on both engines and the double sum rounds at 4
+# (the module's float-determinism rule).
+def q_rolling_stats(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_timestamp("ts").alias("sec"))
+    w = (W.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3599, W.currentRow))
+    return e.select(
+        "user_id", "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_1h"))
+
+
+ORACLE["rolling_stats"] = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS n_1h,
+       ROUND(SUM(value) OVER w, 4) AS sum_1h
+FROM (
+  SELECT user_id, event_id, value,
+         CAST(floor(date_part('epoch', ts)) AS BIGINT) AS sec
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["rolling_stats"] = q_rolling_stats

@@ -252,3 +252,27 @@ def test_cms_never_undercounts_and_merges_additively(spark):
         for r in cms_grid(part, "k").collect():
             merged[(r.sk_row, r.cell)] += r.cnt
     assert merged == {(r, c): n for r, c, n in grid}
+
+
+# ------------------------------------------- rolling window features
+
+def test_rolling_stats_matches_serial_trailing_hour(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_rolling_stats
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_id: (r.n_1h, r.sum_1h)
+           for r in q_rolling_stats(spark, sf).collect()}
+    rows = (spark.read.parquet(f"{sf}/events.parquet")
+            .select("user_id", "event_id", "value",
+                    F.unix_timestamp("ts").alias("sec")).collect())
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for rs in by_user.values():
+        for r in rs:
+            win = [o for o in rs if r.sec - 3599 <= o.sec <= r.sec]
+            n = len(win)
+            s = round(sum(o.value for o in win), 4)
+            assert got[r.event_id][0] == n
+            assert abs(got[r.event_id][1] - s) < 1e-9
+    # no leakage: a row's window never counts future events
+    assert all(n >= 1 for n, _ in got.values())
