@@ -2424,21 +2424,17 @@ QUERIES.update({
 # Driver-gate ordering: the gate records registry entries in dict
 # order and CUTS at a fixed budget (observed: 50 rows), so with >50
 # queries some rows are always truncated. r4/r5 used a static
-# capstone-first list, which protected the headline rows but meant the
-# same truncated tail never got a fresh driver row (VERDICT r05
-# next-#2). The rotation below is self-maintaining: read the NEWEST
-# committed CORRECTNESS_r*.json and front-load every registry key
-# ABSENT from it — i.e. whatever the previous gate truncated, plus any
-# brand-new query. The union of any two consecutive artifacts
-# therefore covers the whole registry (as long as the truncated set
-# fits the budget, which it does by construction: ≤ total − budget).
-# pricing_summary stays first purely as the session warm-up absorber:
-# the first query of a gate pays ~5s of one-time JVM/broadcast/pandas
-# worker spin-up, and that should land on a 0.2s aggregate, not
-# inflate a capstone's recorded time.
-# Within each group (missing-from-latest / present-in-latest), the
-# prior capstone-first order is preserved so headline rows still beat
-# long-proven basics to the budget line.
+# capstone-first list (same tail starved forever, VERDICT r05
+# next-#2); early r06 rotated on "absent from the NEWEST artifact",
+# which stops starving only while registry size ≤ 2× budget. At 130
+# queries the rotation now ranks by STALENESS across ALL committed
+# CORRECTNESS_r*.json artifacts: brand-new queries first (capstone
+# order), then ascending last-verified round — so every query is
+# re-verified by the driver within ceil(N / budget) rounds, whatever
+# N grows to. pricing_summary stays first purely as the session
+# warm-up absorber: the first query of a gate pays ~5s of one-time
+# JVM/broadcast/pandas worker spin-up, and that should land on a
+# 0.2s aggregate, not inflate a capstone's recorded time.
 _GATE_FIRST = [
     "pricing_summary",
     "wide_merge", "areadist_circle", "areadist_circle_join", "knn_ring",
@@ -2466,38 +2462,60 @@ _GATE_FIRST = [
 ]
 
 
-def _latest_gate_rows() -> set:
-    """Query names recorded in the newest parseable CORRECTNESS_r*.json
-    at the repo root (committed driver artifacts — deterministic for a
-    given checkout). Empty set when none exists (fresh clone)."""
+def _gate_last_seen() -> tuple[dict, int]:
+    """(last_seen, newest): for every query name recorded in ANY
+    parseable CORRECTNESS_r*.json at the repo root, the highest round
+    index it appears in, plus the newest round index found. Committed
+    driver artifacts — deterministic for a given checkout. ({}, -1)
+    when none exists (fresh clone)."""
     import glob as _glob
     import json as _json
     import os
+    import re as _re
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
-    for path in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json")),
-                       reverse=True):
+    last_seen: dict = {}
+    newest = -1
+    for path in _glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 data = _json.load(fh)
-            if isinstance(data, dict) and data:
-                return set(data)
         except Exception:  # noqa: BLE001 — in-progress/corrupt artifact
             continue
-    return set()
+        if not isinstance(data, dict) or not data:
+            continue
+        newest = max(newest, rnd)
+        for name in data:
+            last_seen[name] = max(last_seen.get(name, -1), rnd)
+    return last_seen, newest
 
 
 def _gate_order(keys) -> list:
-    recorded = _latest_gate_rows()
+    # With more registered queries than the driver's ~50-row budget,
+    # the gate order must guarantee round-robin coverage, not just
+    # "newest-missing first" (which can starve a tail forever once
+    # registry size > 2× budget). Order:
+    #   1. pricing_summary — the warm-up absorber (one-time JVM/
+    #      broadcast/pandas-worker spin-up lands on a 0.2 s aggregate,
+    #      not on a capstone's recorded time);
+    #   2. brand-new queries (never in any committed artifact), in
+    #      capstone-first (_GATE_FIRST) order;
+    #   3. everything else by ASCENDING last-verified round — the
+    #      stalest rows refresh first, so every query gets a fresh
+    #      driver row within ceil(N / budget) rounds;
+    #   ties: _GATE_FIRST rank, then original registry order (stable
+    #   sort).
+    last_seen, _ = _gate_last_seen()
     rank = {k: i for i, k in enumerate(_GATE_FIRST)}
 
     def sort_key(k):
-        # warm-up absorber first; then everything the last gate missed
-        # (truncated tail + brand-new queries); then the rest — each
-        # group in capstone-first order, original registry order as
-        # the tiebreak.
         return (k != "pricing_summary",
-                bool(recorded) and k in recorded,
+                k in last_seen,                    # never-recorded first
+                last_seen.get(k, -1),              # stalest first
                 rank.get(k, len(_GATE_FIRST)))
 
     order = list(keys)
