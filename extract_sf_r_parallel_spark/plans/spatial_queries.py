@@ -2227,3 +2227,51 @@ FROM h0 GROUP BY 1
 ORACLE["hilbert_stats"] = _hilbert_oracle()
 
 QUERIES["hilbert_stats"] = q_hilbert_stats
+
+
+# --- manifest-stats scan pruning (r06): the 100 TB payoff of the
+# layout operators — per-data-file min/max column stats recorded at
+# append time, and a range read that SKIPS non-overlapping files
+# before a single row is scanned. The fixture appends disjoint
+# key-range files; the [5000, 8000] probe must read exactly the two
+# overlapping ones, and the oracle re-derives both the aggregate and
+# the expected file counts from the same per-bucket min/max rule.
+def q_stats_prune(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_stats_"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .coalesce(1).cache())  # fixture-sized: one task per append
+    buckets = sorted(r.bkt for r in orders.select(
+        F.expr("o_orderkey div 2048").alias("bkt")).distinct().collect())
+    for k in buckets:
+        t.append(orders.filter(F.expr(f"o_orderkey div 2048 = {k}")),
+                 stats_cols=("o_orderkey",))
+    orders.unpersist()
+    df, scanned, total = t.read_pruned(spark, "o_orderkey", 5000, 8000)
+    return (df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 4).alias("sum_price"))
+            .withColumn("files_scanned", F.lit(scanned).cast("int"))
+            .withColumn("files_total", F.lit(total).cast("int")))
+
+
+ORACLE["stats_prune"] = """
+WITH b AS (
+  SELECT o_orderkey // 2048 AS bkt,
+         MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx
+  FROM orders GROUP BY 1
+)
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 4) AS sum_price,
+       CAST((SELECT COUNT(*) FROM b
+             WHERE mx >= 5000 AND mn <= 8000) AS INT) AS files_scanned,
+       CAST((SELECT COUNT(*) FROM b) AS INT) AS files_total
+FROM orders o WHERE o_orderkey BETWEEN 5000 AND 8000
+GROUP BY 1
+"""
+
+QUERIES["stats_prune"] = q_stats_prune

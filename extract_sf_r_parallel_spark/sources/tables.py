@@ -62,12 +62,22 @@ class IceLiteTable:
 
     def _commit(self, files: list[str], schema_json: str, parent: dict | None,
                 op: str, defaults: dict | None = None,
-                dropped: list[str] | None = None) -> dict:
+                dropped: list[str] | None = None,
+                new_stats: dict | None = None) -> dict:
         sid = (parent["snapshot_id"] + 1) if parent else 0
         if defaults is None:
             defaults = dict(parent.get("defaults", {})) if parent else {}
         if dropped is None:
             dropped = list(parent.get("dropped", [])) if parent else []
+        # per-data-file column stats (the Iceberg manifest min/max that
+        # scan planning prunes on): carry the parent's entries for every
+        # file still live, add this commit's. Files without stats are
+        # simply absent — readers treat them conservatively (always
+        # scanned), so stats are strictly an optimization, never a
+        # correctness dependency.
+        stats = {d: v for d, v in (parent.get("stats", {}) if parent
+                                   else {}).items() if d in files}
+        stats.update(new_stats or {})
         snap = {
             "snapshot_id": sid,
             "operation": op,
@@ -75,6 +85,7 @@ class IceLiteTable:
             "files": files,
             "defaults": defaults,
             "dropped": dropped,
+            "stats": stats,
             "parent": parent["snapshot_id"] if parent else None,
         }
         name = f"snap-{sid:06d}.json"
@@ -122,10 +133,14 @@ class IceLiteTable:
                     "(no evolution default recorded)")
         return df.select(*cols)
 
-    def append(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
+    def append(self, df: DataFrame, partition_by: tuple[str, ...] = (),
+               stats_cols: tuple[str, ...] = ()) -> dict:
         """Append df as a new snapshot (previous files remain live).
         The incoming df is validated/aligned against the live snapshot
-        schema — the snapshot schema, not df.schema, is what commits."""
+        schema — the snapshot schema, not df.schema, is what commits.
+        `stats_cols` records this data file's min/max for those columns
+        in the manifest (one tiny aggregate over the appended rows) —
+        the hook `read_pruned` plans against."""
         parent = self._current_snapshot()
         schema_json = df.schema.json()
         if parent is not None:
@@ -136,8 +151,20 @@ class IceLiteTable:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(dirname)
+        new_stats = None
+        if stats_cols:
+            aggs = []
+            for c in stats_cols:
+                aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            row = df.agg(*aggs).collect()[0]
+            per_col = {c: [row[f"_mn_{c}"], row[f"_mx_{c}"]]
+                       for c in stats_cols
+                       if row[f"_mn_{c}"] is not None}  # empty file →
+            # no stats recorded → conservatively always scanned
+            new_stats = {dirname: per_col} if per_col else None
         files = (parent["files"] if parent else []) + [dirname]
-        return self._commit(files, schema_json, parent, "append")
+        return self._commit(files, schema_json, parent, "append",
+                            new_stats=new_stats)
 
     def overwrite(self, df: DataFrame, partition_by: tuple[str, ...] = ()) -> dict:
         """Full replace: df's schema BECOMES the table schema, and the
@@ -305,6 +332,44 @@ class IceLiteTable:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def read_pruned(self, spark: SparkSession, col: str, lo, hi,
+                    snapshot_id: int | None = None
+                    ) -> tuple[DataFrame, int, int]:
+        """Scan-planning against the manifest stats: read only the data
+        files whose recorded [min, max] for `col` overlaps [lo, hi]
+        (files with no recorded stats for `col` are ALWAYS scanned —
+        stats prune, they never filter), then apply the real predicate
+        on top. Returns (df, files_scanned, files_total). This is the
+        100 TB point of the layout operators: cluster_by_zorder/
+        _hilbert + per-file stats turn a range predicate into skipping
+        almost every file before a single row is read."""
+        if snapshot_id is None:
+            snap = self._current_snapshot()
+        else:
+            with open(os.path.join(self.meta,
+                                   f"snap-{snapshot_id:06d}.json")) as f:
+                snap = json.load(f)
+        if snap is None or not snap["files"]:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        stats = snap.get("stats", {})
+        keep = []
+        for d in snap["files"]:
+            s = stats.get(d, {}).get(col)
+            if s is None or (s[1] >= lo and s[0] <= hi):
+                keep.append(d)
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        defaults = snap.get("defaults", {})
+        dfs = [self._project(spark.read.parquet(p), schema, defaults)
+               for p in keep]
+        if not dfs:
+            out = spark.createDataFrame([], schema)
+        else:
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+        out = out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        return out, len(keep), len(snap["files"])
 
     @staticmethod
     def _project(d: DataFrame, schema: T.StructType,

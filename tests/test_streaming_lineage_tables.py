@@ -343,3 +343,41 @@ def test_icelite_compact_materializes_evolution_defaults(spark, tmp_path):
     after = t.read(spark).toPandas().sort_values("k").reset_index(drop=True)
     assert before.equals(after)
     assert set(after.tag) == {"legacy", "fresh"}
+
+
+def test_icelite_stats_pruning_skips_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from extract_sf_r_parallel_spark.sources.tables import IceLiteTable
+    t = IceLiteTable(str(tmp_path / "tbl"))
+    base = spark.range(3000).select(F.col("id").alias("k"),
+                                    (F.col("id") * 2).alias("v"))
+    for lo in (0, 1000, 2000):           # three disjoint key ranges
+        t.append(base.filter((F.col("k") >= lo) & (F.col("k") < lo + 1000)),
+                 stats_cols=("k",))
+    df, scanned, total = t.read_pruned(spark, "k", 1200, 1800)
+    assert (scanned, total) == (1, 3)    # only the middle file read
+    got = {r.k: r.v for r in df.collect()}
+    want = {k: 2 * k for k in range(1200, 1801)}
+    assert got == want
+    # boundary overlap: a range touching two files scans exactly two
+    _, scanned2, _ = t.read_pruned(spark, "k", 999, 1000)
+    assert scanned2 == 2
+
+
+def test_icelite_stats_conservative_without_stats(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from extract_sf_r_parallel_spark.sources.tables import IceLiteTable
+    t = IceLiteTable(str(tmp_path / "tbl"))
+    base = spark.range(100).select(F.col("id").alias("k"))
+    t.append(base.filter("k < 50"), stats_cols=("k",))
+    t.append(base.filter("k >= 50"))     # NO stats recorded
+    df, scanned, total = t.read_pruned(spark, "k", 0, 10)
+    # the stats-less file can never be skipped
+    assert (scanned, total) == (2, 2)
+    assert df.count() == 11
+    # stats survive later commits (carried per live file)
+    t.append(base.filter("k < 0"), stats_cols=("k",))  # empty append
+    df2, scanned2, total2 = t.read_pruned(spark, "k", 60, 70)
+    # file 1 pruned by stats; file 2 (no stats) + empty file 3 scanned
+    assert (scanned2, total2) == (2, 3)
+    assert df2.count() == 11
