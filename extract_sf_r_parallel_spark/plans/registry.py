@@ -2458,7 +2458,7 @@ _GATE_FIRST = [
     "bpe_vocab", "hll_users", "pagerank_walk", "cohort_retention",
     "pmi_bigrams", "edit_blocks", "median_filter", "hilbert_stats",
     "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
-    "cms_grid", "rolling_stats", "stats_prune",
+    "cms_grid", "rolling_stats", "stats_prune", "triangles",
 ]
 
 

@@ -812,3 +812,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY sec
 """
 
 QUERIES["rolling_stats"] = q_rolling_stats
+
+
+# --- triangle counting (r06): the third graph-analytics op next to
+# connected components (dedup_canonical) and PageRank. Edges are the
+# distinct undirected event-property transitions; the engine runs the
+# DEGREE-ORDERED orientation (point each edge at the (deg, node)-
+# larger endpoint) so every wedge join fans out by MIN degree — the
+# standard trick that bounds the self-join at power-law scale, where
+# the naive formulation explodes on hub nodes. The oracle counts the
+# SAME triangles from the unoriented edge set with a<b<c ordering —
+# two different formulations, one answer.
+def q_triangles(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    raw = (e.select(F.col("k").alias("a"), F.lag("k").over(w).alias("b"))
+           .filter("b IS NOT NULL AND a <> b"))
+    und = (raw.select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v")).distinct())
+    deg = (und.select(F.col("u").alias("n")).unionAll(
+           und.select(F.col("v").alias("n")))
+           .groupBy("n").agg(F.count(F.lit(1)).alias("deg")))
+    # orient u→v if (deg(u), u) < (deg(v), v)
+    du = deg.withColumnRenamed("n", "u").withColumnRenamed("deg", "du")
+    dv = deg.withColumnRenamed("n", "v").withColumnRenamed("deg", "dv")
+    o = (und.join(du, "u").join(dv, "v")
+         .select(F.when((F.col("du") < F.col("dv")) |
+                        ((F.col("du") == F.col("dv")) &
+                         (F.col("u") < F.col("v"))),
+                        F.struct("u", "v"))
+                 .otherwise(F.struct(F.col("v").alias("u"),
+                                     F.col("u").alias("v"))).alias("e"))
+         .select("e.u", "e.v"))
+    # wedges at the minimum: o(x→y), o(x→z), y ≠ z — the closing edge
+    # {y, z} is oriented by the SAME (deg, node) rule, so exactly one
+    # of the (y, z) / (z, y) wedge copies matches o and each triangle
+    # counts once (closing by id order instead would silently drop the
+    # triangles whose closing edge points id-backwards)
+    o1 = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    o2 = o.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedge = o1.join(o2, "x").filter(F.col("y") != F.col("z"))
+    tri = wedge.join(o.select(F.col("u").alias("y"),
+                              F.col("v").alias("z")), ["y", "z"])
+    per_node = (tri.select(F.col("x").alias("node"))
+                .unionAll(tri.select(F.col("y").alias("node")))
+                .unionAll(tri.select(F.col("z").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_tri")))
+    return per_node
+
+
+ORACLE["triangles"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), s AS (
+  SELECT k AS a,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM e
+), und AS (
+  SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+  FROM s WHERE b IS NOT NULL AND a <> b
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM und e1
+  JOIN und e2 ON e2.u = e1.v
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (
+  SELECT a AS node FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+GROUP BY 1
+"""
+
+QUERIES["triangles"] = q_triangles

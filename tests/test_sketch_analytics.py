@@ -276,3 +276,44 @@ def test_rolling_stats_matches_serial_trailing_hour(spark):
             assert abs(got[r.event_id][1] - s) < 1e-9
     # no leakage: a row's window never counts future events
     assert all(n >= 1 for n, _ in got.values())
+
+
+# ---------------------------------------------------- triangle count
+
+def test_triangles_matches_serial_on_known_graphs(spark):
+    import itertools
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from extract_sf_r_parallel_spark.plans.relational import q_triangles
+
+    # build an events fixture whose transition graph is K5 ∪ one
+    # 4-cycle (C4 has NO triangles) — walk each edge once per user
+    def events_for(edge_walks):
+        rows = []
+        eid = 0
+        for uid, walk in enumerate(edge_walks):
+            for i, k in enumerate(walk):
+                rows.append((eid, pd.Timestamp("2024-01-01")
+                             + pd.Timedelta(seconds=i), uid, "view",
+                             1.0, '{"k": %d}' % k))
+                eid += 1
+        return pd.DataFrame(rows, columns=[
+            "event_id", "ts", "user_id", "event_type", "value", "props"])
+
+    # K5 on nodes 0-4: one user walks all edges (Eulerian-ish: just
+    # visit every pair adjacently via separate users)
+    walks = [[a, b] for a, b in itertools.combinations(range(5), 2)]
+    walks += [[10, 11], [11, 12], [12, 13], [13, 10]]       # C4: no tri
+    pdf = events_for(walks)
+    with tempfile.TemporaryDirectory() as td:
+        t = pa.Table.from_pandas(pdf)
+        t = t.set_column(t.schema.get_field_index("ts"),
+                         "ts", t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, os.path.join(td, "events.parquet"))
+        got = {r.node: r.n_tri for r in q_triangles(spark, td).collect()}
+    # K5: every node is in C(4,2) = 6 triangles; C4 nodes in none
+    assert got == {n: 6 for n in range(5)}
