@@ -891,3 +891,59 @@ GROUP BY 1
 """
 
 QUERIES["triangles"] = q_triangles
+
+
+# --- declarative data-quality suite (r06): five constraint checks
+# compiled into ONE aggregate pass (k checks must never mean k scans
+# at 100 TB), exploded to the long (check, metric, passed) report. The
+# suite includes one DELIBERATE failure (in_range(o_totalprice,
+# 0, 100)) so the report is non-degenerate — a suite that can only say
+# "passed" proves nothing.
+def q_quality_checks(spark, sf_dir):
+    from ..operators.quality import (accepted_values, in_range, min_rows,
+                                     not_null, run_checks, unique)
+    o = _t(spark, sf_dir, "orders")
+    return run_checks(o, [
+        not_null("o_custkey"),
+        unique("o_orderkey"),
+        in_range("o_totalprice", 0, 100),          # deliberate failure
+        accepted_values("o_orderstatus", ["O", "F", "P"]),
+        min_rows(100),
+    ])
+
+
+ORACLE["quality_checks"] = """
+SELECT 'not_null(o_custkey)' AS check_name,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS metric,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'unique(o_orderkey)',
+       CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+       COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+FROM orders
+UNION ALL
+SELECT 'in_range(o_totalprice,0,100)',
+       CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                 AND (o_totalprice < 0 OR o_totalprice > 100)
+                 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_totalprice IS NOT NULL
+           AND (o_totalprice < 0 OR o_totalprice > 100)
+           THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'accepted_values(o_orderstatus,[O,F,P])',
+       CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                 AND o_orderstatus NOT IN ('O', 'F', 'P')
+                 THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN o_orderstatus IS NOT NULL
+           AND o_orderstatus NOT IN ('O', 'F', 'P')
+           THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'min_rows(100)', CAST(COUNT(*) AS BIGINT), COUNT(*) >= 100
+FROM orders
+"""
+
+QUERIES["quality_checks"] = q_quality_checks

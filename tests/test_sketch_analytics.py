@@ -317,3 +317,40 @@ def test_triangles_matches_serial_on_known_graphs(spark):
         got = {r.node: r.n_tri for r in q_triangles(spark, td).collect()}
     # K5: every node is in C(4,2) = 6 triangles; C4 nodes in none
     assert got == {n: 6 for n in range(5)}
+
+
+# ------------------------------------------------ data-quality suite
+
+def test_quality_checks_one_pass_and_detects_planted_faults(spark):
+    import pandas as pd
+    from extract_sf_r_parallel_spark.operators.quality import (
+        accepted_values, in_range, min_rows, not_null, run_checks, unique)
+    df = spark.createDataFrame(pd.DataFrame({
+        "id": [1, 2, 2, 4],                 # duplicate
+        "val": [5.0, None, 7.0, 99.0],      # null + out-of-range
+        "cat": ["a", "b", "zz", "a"],       # bad category
+    }))
+    got = {r.check_name: (r.metric, r.passed)
+           for r in run_checks(df, [
+               not_null("val"), unique("id"), in_range("val", 0, 10),
+               accepted_values("cat", ["a", "b"]), min_rows(3),
+           ]).collect()}
+    assert got["not_null(val)"] == (1, False)
+    assert got["unique(id)"] == (1, False)
+    assert got["in_range(val,0,10)"] == (1, False)     # 99.0 only; null skipped
+    assert got["accepted_values(cat,[a,b])"] == (1, False)
+    assert got["min_rows(3)"] == (4, True)
+    # the suite is ONE scan: a single Aggregate over the source
+    from extract_sf_r_parallel_spark.operators.quality import run_checks as rc
+    plan = rc(df, [not_null("val"), unique("id"), min_rows(1)]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 1
+
+
+def test_quality_checks_all_green_on_clean_table(spark):
+    from extract_sf_r_parallel_spark.operators.quality import (
+        min_rows, not_null, run_checks, unique)
+    df = spark.range(100).withColumnRenamed("id", "k")
+    rows = run_checks(df, [not_null("k"), unique("k"),
+                           min_rows(100)]).collect()
+    assert all(r.passed for r in rows)
