@@ -2275,3 +2275,54 @@ GROUP BY 1
 """
 
 QUERIES["stats_prune"] = q_stats_prune
+
+
+# --- lakehouse row-level DELETE (r06): the third DML verb next to
+# append and MERGE — file-scoped copy-on-write (only dirs holding a
+# matching row rewrite; the rest carry by reference). The fixture
+# splits orders into 8 disjoint key-range files; the predicate touches
+# keys in [5000, 8000) only, so exactly 2 dirs rewrite and 6 carry —
+# both counts pinned by the oracle from the same bucket rule.
+_DEL_PRED = "o_orderkey >= 5000 AND o_orderkey < 8000 AND o_orderkey % 10 = 3"
+
+
+def q_delete_rows(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_del_"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .coalesce(1).cache())
+    buckets = sorted(r.bkt for r in orders.select(
+        F.expr("o_orderkey div 2048").alias("bkt")).distinct().collect())
+    for k in buckets:
+        t.append(orders.filter(F.expr(f"o_orderkey div 2048 = {k}")))
+    orders.unpersist()
+    snap = t.delete_where(spark, _DEL_PRED)
+    return (t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("sum_key"))
+            .withColumn("deleted_dirs",
+                        F.lit(snap["deleted_dirs"]).cast("int"))
+            .withColumn("carried_dirs",
+                        F.lit(snap["carried_dirs"]).cast("int")))
+
+
+ORACLE["delete_rows"] = f"""
+WITH b AS (
+  SELECT o_orderkey // 2048 AS bkt,
+         MAX(CASE WHEN {_DEL_PRED} THEN 1 ELSE 0 END) AS hit
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST((SELECT SUM(hit) FROM b) AS INT) AS deleted_dirs,
+       CAST((SELECT COUNT(*) - SUM(hit) FROM b) AS INT) AS carried_dirs
+FROM orders WHERE NOT ({_DEL_PRED})
+GROUP BY 1
+"""
+
+QUERIES["delete_rows"] = q_delete_rows

@@ -230,6 +230,47 @@ class IceLiteTable:
         return self._commit(keep + [dirname], parent["schema"], parent,
                             "merge")
 
+    def delete_where(self, spark: SparkSession, predicate: str) -> dict:
+        """Iceberg-style row-level DELETE, completing the DML triad
+        (append / merge_into / delete): copy-on-write at DATA-FILE
+        granularity — one distributed pass finds which live dirs hold
+        ANY row matching `predicate` (a SQL expression string); only
+        those dirs rewrite (survivors = NOT predicate), every untouched
+        dir carries into the new snapshot by reference, and pre-delete
+        snapshots time-travel unchanged. Returns the new snapshot; the
+        commit records how many dirs were rewritten vs carried
+        (`deleted_dirs` / `carried_dirs` keys on the snapshot dict)."""
+        parent = self._current_snapshot()
+        if parent is None:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        schema = T.StructType.fromJson(json.loads(parent["schema"]))
+        defaults = parent.get("defaults", {})
+        tagged = None
+        for i, p in enumerate(parent["files"]):
+            d = self._project(spark.read.parquet(p), schema, defaults) \
+                .withColumn("_icelite_dir", F.lit(i))
+            tagged = d if tagged is None else tagged.unionByName(d)
+        hit = {
+            r["_icelite_dir"]
+            for r in tagged.filter(predicate)
+            .select("_icelite_dir").distinct().collect()
+        }
+        keep = [p for i, p in enumerate(parent["files"]) if i not in hit]
+        files = keep
+        if hit:
+            survivors = (
+                tagged.filter(F.col("_icelite_dir")
+                              .isin(*[int(m) for m in hit]))
+                .drop("_icelite_dir")
+                .filter(f"NOT ({predicate})"))
+            dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
+            survivors.write.mode("overwrite").parquet(dirname)
+            files = keep + [dirname]
+        snap = self._commit(files, parent["schema"], parent, "delete")
+        snap["deleted_dirs"] = len(hit)
+        snap["carried_dirs"] = len(keep)
+        return snap
+
     # -- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession, min_rows: int = 100_000) -> dict:
         """Small-file compaction — the table-maintenance op every

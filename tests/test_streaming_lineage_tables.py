@@ -381,3 +381,29 @@ def test_icelite_stats_conservative_without_stats(spark, tmp_path):
     # file 1 pruned by stats; file 2 (no stats) + empty file 3 scanned
     assert (scanned2, total2) == (2, 3)
     assert df2.count() == 11
+
+
+def test_icelite_delete_where_file_scoped_cow(spark, tmp_path):
+    import os
+    from pyspark.sql import functions as F
+    from extract_sf_r_parallel_spark.sources.tables import IceLiteTable
+    t = IceLiteTable(str(tmp_path / "tbl"))
+    base = spark.range(300).select(F.col("id").alias("k"),
+                                   (F.col("id") % 7).alias("v"))
+    for lo in (0, 100, 200):
+        t.append(base.filter((F.col("k") >= lo) & (F.col("k") < lo + 100)))
+    pre = t._current_snapshot()
+    snap = t.delete_where(spark, "k >= 150 AND k < 160")
+    # only the middle dir rewrote; the other two carried BY REFERENCE
+    assert snap["deleted_dirs"] == 1 and snap["carried_dirs"] == 2
+    assert set(snap["files"]) & set(pre["files"]) == \
+        set(pre["files"]) - {pre["files"][1]}
+    got = sorted(r.k for r in t.read(spark).collect())
+    assert got == [k for k in range(300) if not (150 <= k < 160)]
+    # pre-delete snapshot still time-travels to the full table
+    old = t.read(spark, snapshot_id=pre["snapshot_id"])
+    assert old.count() == 300
+    # deleting nothing carries every dir
+    snap2 = t.delete_where(spark, "k < 0")
+    assert snap2["deleted_dirs"] == 0
+    assert t.read(spark).count() == 290
