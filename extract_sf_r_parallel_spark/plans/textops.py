@@ -868,3 +868,88 @@ GROUP BY 1, 2
 """
 
 QUERIES["edit_blocks"] = q_edit_blocks
+
+
+# --- TextRank keyword scoring (r06): the damped integer-mass walk
+# (operators/graph.py — the PageRank kernel) over the word
+# co-occurrence graph: vocabulary = words with corpus count ≥ 5,
+# edges = adjacent vocab-word pairs, UNDIRECTED (both directions
+# emitted, bigram-count weighted). Mihalcea & Tarau's keyword ranker,
+# exact in integers, 3 unrolled rounds replayed by the oracle.
+def q_textrank(spark, sf_dir):
+    from ..operators.graph import damped_walk
+    toks = (_docs(spark, sf_dir)
+            .select(F.split("text", " ").alias("t")))
+    bi = toks.select(F.explode(F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t)-2), "
+               "i -> struct(t[i] AS w1, t[i+1] AS w2))")
+    ).otherwise(F.expr("array()"))).alias("b")).select("b.w1", "b.w2")
+    vocab = (bi.select(F.col("w1").alias("w"))
+             .unionByName(bi.select(F.col("w2").alias("w")))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+             .filter("n >= 5").select("w"))
+    e = (bi.join(F.broadcast(vocab.withColumnRenamed("w", "w1")), "w1")
+         .join(F.broadcast(vocab.withColumnRenamed("w", "w2")), "w2")
+         .filter("w1 <> w2")
+         .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")))
+    und = (e.select(F.col("w1").alias("src"), F.col("w2").alias("dst"), "c")
+           .unionByName(
+           e.select(F.col("w2").alias("src"), F.col("w1").alias("dst"), "c"))
+           .groupBy("src", "dst").agg(F.sum("c").alias("c")))
+    return damped_walk(und, iters=3).withColumnRenamed("node", "word")
+
+
+def _textrank_oracle(iters: int = 3) -> str:
+    base = 1_000_000
+    parts = ["""
+WITH t AS (
+  SELECT string_split(text, ' ') AS t FROM documents
+), bi AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM t, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+), vocab AS (
+  SELECT w FROM (
+    SELECT w1 AS w FROM bi UNION ALL SELECT w2 FROM bi
+  ) GROUP BY 1 HAVING COUNT(*) >= 5
+), e AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bi
+  WHERE w1 IN (SELECT w FROM vocab) AND w2 IN (SELECT w FROM vocab)
+    AND w1 <> w2
+  GROUP BY 1, 2
+), g AS (
+  SELECT src, dst, CAST(SUM(c) AS BIGINT) AS c FROM (
+    SELECT w1 AS src, w2 AS dst, c FROM e
+    UNION ALL
+    SELECT w2 AS src, w1 AS dst, c FROM e
+  ) GROUP BY 1, 2
+), tot AS (
+  SELECT src, CAST(SUM(c) AS BIGINT) AS tot FROM g GROUP BY 1
+), nodes AS (
+  SELECT DISTINCT src AS node FROM g
+  UNION
+  SELECT DISTINCT dst FROM g
+), m0 AS (
+  SELECT node, CAST(%d AS BIGINT) AS mass FROM nodes
+)""" % base]
+    for k in range(1, iters + 1):
+        parts.append(f""", c{k} AS (
+  SELECT g.dst AS node, SUM(m.mass * g.c // t.tot) AS inc
+  FROM g JOIN tot t USING (src) JOIN m{k-1} m ON m.node = g.src
+  GROUP BY 1
+), m{k} AS (
+  SELECT n.node,
+         CAST((85 * COALESCE(c.inc, 0) + 15 * {base}) // 100
+              AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN c{k} c USING (node)
+)""")
+    parts.append(f"""
+SELECT node AS word, mass FROM m{iters}
+""")
+    return "".join(parts)
+
+
+ORACLE["textrank"] = _textrank_oracle()
+
+QUERIES["textrank"] = q_textrank

@@ -354,3 +354,42 @@ def test_quality_checks_all_green_on_clean_table(spark):
     rows = run_checks(df, [not_null("k"), unique("k"),
                            min_rows(100)]).collect()
     assert all(r.passed for r in rows)
+
+
+# ----------------------------------------------- damped walk / TextRank
+
+def test_damped_walk_matches_serial_on_weighted_graph(spark):
+    from extract_sf_r_parallel_spark.operators.graph import damped_walk
+    edges = [("a", "b", 2), ("b", "a", 2), ("b", "c", 1),
+             ("c", "b", 1), ("c", "a", 3), ("a", "c", 3)]
+    df = spark.createDataFrame(edges, "src string, dst string, c long")
+    got = {r.node: r.mass for r in damped_walk(df, iters=3).collect()}
+    g = {(s, d): c for s, d, c in edges}
+    tot = {}
+    for (s, _), c in g.items():
+        tot[s] = tot.get(s, 0) + c
+    mass = {n: 1_000_000 for n in {x for e in edges for x in e[:2]}}
+    for _ in range(3):
+        inc = {}
+        for (s, d), c in g.items():
+            inc[d] = inc.get(d, 0) + mass[s] * c // tot[s]
+        mass = {n: (85 * inc.get(n, 0) + 15 * 1_000_000) // 100
+                for n in mass}
+    assert got == mass
+
+
+def test_textrank_hub_word_outranks_leaf(spark):
+    import os
+    import tempfile
+    from extract_sf_r_parallel_spark.plans.textops import q_textrank
+    # 'hub' co-occurs with everything; 'leaf' only with 'hub'
+    texts = ["hub %s hub" % w for w in
+             ["w1", "w2", "w3", "w4", "w5"] * 3] + ["hub leaf"] * 5
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        got = {r.word: r.mass for r in q_textrank(spark, td).collect()}
+    assert got["hub"] == max(got.values())
+    assert got["hub"] > got["leaf"]
