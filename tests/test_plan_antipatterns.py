@@ -42,7 +42,10 @@ LAZY = [
     # hll_stream drains a live stream — both excluded like minhash)
     "hll_users", "cohort_retention", "pagerank_walk", "pmi_bigrams",
     "edit_blocks", "median_filter", "hilbert_stats", "orient_hist",
-    "glcm_texture", "bloom_probe", "cms_grid",
+    "glcm_texture", "bloom_probe", "cms_grid", "rolling_stats",
+    "triangles", "quality_checks", "textrank",
+    # stats_prune / delete_rows commit IceLite snapshots at build —
+    # excluded like compact_files; their COW scoping is pytest-pinned
 ]
 # domain_mix collects its histogram at build (plan parameters) and
 # compact_files commits table snapshots at build — both pinned by
