@@ -947,3 +947,113 @@ FROM orders
 """
 
 QUERIES["quality_checks"] = q_quality_checks
+
+
+# --- SCD Type 2 dimension build (r06): the classic warehouse op —
+# collapse a change stream into validity intervals. Each user's
+# event-property value k is treated as a tracked attribute: runs of
+# equal consecutive k collapse into one row with [valid_from,
+# valid_to) and the open row gets valid_to NULL. Run boundaries come
+# from ONE lag comparison + a running sum (the gaps-and-islands
+# pattern) — two window passes, no self-join, no state machine.
+def q_scd2_build(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (e.withColumn(
+        "chg", F.when(F.lag("k").over(w).isNull() |
+                      (F.lag("k").over(w) != F.col("k")), 1).otherwise(0))
+        .withColumn("run_id", F.sum("chg").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    seg = (runs.groupBy("user_id", "run_id")
+           .agg(F.min("ts").alias("valid_from"),
+                F.max("ts").alias("run_end"),
+                F.first("k").alias("k"),
+                F.count(F.lit(1)).alias("n_events")))
+    w2 = W.partitionBy("user_id").orderBy("run_id")
+    return (seg.withColumn("valid_to", F.lead("valid_from").over(w2))
+            .select("user_id", "k", "valid_from", "valid_to", "n_events"))
+
+
+ORACLE["scd2_build"] = """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), marked AS (
+  SELECT *, CASE WHEN LAG(k) OVER w IS NULL OR LAG(k) OVER w <> k
+                 THEN 1 ELSE 0 END AS chg
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), seg AS (
+  SELECT user_id, run_id, MIN(ts) AS valid_from,
+         ANY_VALUE(k) AS k, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY 1, 2
+)
+SELECT user_id, k, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events
+FROM seg
+"""
+
+QUERIES["scd2_build"] = q_scd2_build
+
+
+# --- batch funnel analysis (r06): strictly-ordered 3-step conversion
+# (view → click → purchase) per user — the batch twin of the
+# stream-stream funnel join, extended to 3 stages. Each stage is the
+# MIN event time strictly after the previous stage's completion:
+# t1 = min(view), t2 = min(click > t1), t3 = min(purchase > t2) —
+# three grouped-min passes over a filtered frame, each joinable
+# against the (tiny) per-user stage table by broadcast. Deterministic
+# by construction (mins of distinct timestamps); steps_completed is
+# the funnel depth.
+def q_funnel_steps(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    t1 = (e.filter("event_type = 'view'")
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    t2 = (e.filter("event_type = 'click'")
+          .join(F.broadcast(t1), "user_id")
+          .filter(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    t3 = (e.filter("event_type = 'purchase'")
+          .join(F.broadcast(t2), "user_id")
+          .filter(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (t1.join(t2, "user_id", "left").join(t3, "user_id", "left")
+            .select("user_id", "t1", "t2", "t3",
+                    (F.lit(1) + F.when(F.col("t2").isNotNull(), 1)
+                     .otherwise(0) + F.when(F.col("t3").isNotNull(), 1)
+                     .otherwise(0)).alias("steps_completed")))
+
+
+ORACLE["funnel_steps"] = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY 1
+)
+SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+       1 + CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END
+         AS steps_completed
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+QUERIES["funnel_steps"] = q_funnel_steps

@@ -393,3 +393,63 @@ def test_textrank_hub_word_outranks_leaf(spark):
         got = {r.word: r.mass for r in q_textrank(spark, td).collect()}
     assert got["hub"] == max(got.values())
     assert got["hub"] > got["leaf"]
+
+
+# --------------------------------------------- SCD2 + batch funnel
+
+def _events_fixture(spark, rows):
+    # rows: (user_id, second_offset, event_type, k)
+    import os
+    import tempfile
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pdf = pd.DataFrame(
+        [(i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s),
+          u, et, 1.0, '{"k": %d}' % k)
+         for i, (u, s, et, k) in enumerate(rows)],
+        columns=["event_id", "ts", "user_id", "event_type", "value",
+                 "props"])
+    td = tempfile.mkdtemp()
+    t = pa.Table.from_pandas(pdf)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                     t["ts"].cast(pa.timestamp("us")))
+    pq.write_table(t, os.path.join(td, "events.parquet"))
+    return td
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_scd2_build
+    td = _events_fixture(spark, [
+        (1, 0, "view", 5), (1, 10, "view", 5), (1, 20, "view", 7),
+        (1, 30, "view", 5),          # k returns: NEW interval, not merged
+        (2, 0, "view", 9),
+    ])
+    rows = sorted(q_scd2_build(spark, td).collect(),
+                  key=lambda r: (r.user_id, r.valid_from))
+    u1 = [r for r in rows if r.user_id == 1]
+    assert [(r.k, r.n_events) for r in u1] == [(5, 2), (7, 1), (5, 1)]
+    # intervals chain: each valid_to equals the next valid_from
+    for a, b in zip(u1, u1[1:]):
+        assert a.valid_to == b.valid_from
+    assert u1[-1].valid_to is None          # open current row
+    u2 = [r for r in rows if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].valid_to is None
+
+
+def test_funnel_requires_strict_order(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_funnel_steps
+    td = _events_fixture(spark, [
+        # user 1: full ordered funnel
+        (1, 0, "view", 0), (1, 10, "click", 0), (1, 20, "purchase", 0),
+        # user 2: purchase BEFORE click → only 2 steps
+        (2, 0, "view", 0), (2, 5, "purchase", 0), (2, 10, "click", 0),
+        # user 3: click before view → view only (click not after t1)
+        (3, 5, "view", 0), (3, 0, "click", 0),
+        # user 4: never viewed → not in the funnel at all
+        (4, 0, "click", 0), (4, 1, "purchase", 0),
+    ])
+    got = {r.user_id: r.steps_completed
+           for r in q_funnel_steps(spark, td).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
