@@ -2459,7 +2459,7 @@ _GATE_FIRST = [
     "pmi_bigrams", "edit_blocks", "median_filter", "hilbert_stats",
     "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
     "cms_grid", "rolling_stats", "stats_prune", "triangles",
-    "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps",
+    "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
 ]
 
 

@@ -1057,3 +1057,70 @@ FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
 """
 
 QUERIES["funnel_steps"] = q_funnel_steps
+
+
+# --- A/B test with an EXACT chi-square verdict (r06): variant =
+# user_id parity, conversion = user ever purchased. The 2×2 chi-square
+# statistic χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) compares against the
+# 95% critical value 3.84 by CROSS-MULTIPLICATION — 100·N·(ad−bc)² >
+# 384·denominator — so the significance verdict is pure integer
+# arithmetic: no sqrt, no float, no engine disagreement possible. The
+# same trick as pmi_bigrams (ln) and geodesic (floor): move the
+# irrational to the other side of the comparison. Magnitude bound:
+# the products fit int64 for cell counts up to ~5·10³ (N·det² ≤
+# N⁵/16); past that, cast the arithmetic to DECIMAL(38) on both
+# engines — the comparison stays exact either way.
+def q_ab_chisq(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    users = (e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .alias("converted"))
+        .withColumn("variant", (F.col("user_id") % 2).cast("int")))
+    cells = users.groupBy("variant").agg(
+        F.sum("converted").alias("conv"),
+        F.sum(F.lit(1) - F.col("converted")).alias("nonconv"))
+    a = F.max(F.when(F.col("variant") == 0, F.col("conv")))
+    b = F.max(F.when(F.col("variant") == 0, F.col("nonconv")))
+    c = F.max(F.when(F.col("variant") == 1, F.col("conv")))
+    d = F.max(F.when(F.col("variant") == 1, F.col("nonconv")))
+    w = cells.agg(a.alias("a"), b.alias("b"), c.alias("c2"), d.alias("d"))
+    n = F.col("a") + F.col("b") + F.col("c2") + F.col("d")
+    det = F.col("a") * F.col("d") - F.col("b") * F.col("c2")
+    den = ((F.col("a") + F.col("b")) * (F.col("c2") + F.col("d"))
+           * (F.col("a") + F.col("c2")) * (F.col("b") + F.col("d")))
+    return w.select(
+        "a", "b", "c2", "d",
+        (100 * n * det * det).alias("chisq_num100"),
+        (384 * den).alias("chisq_den384"),
+        (100 * n * det * det > 384 * den).alias("significant_95"))
+
+
+ORACLE["ab_chisq"] = """
+WITH users AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(SUM(converted) AS BIGINT) AS conv,
+         CAST(SUM(1 - converted) AS BIGINT) AS nonconv
+  FROM users GROUP BY 1
+), w AS (
+  SELECT MAX(CASE WHEN variant = 0 THEN conv END) AS a,
+         MAX(CASE WHEN variant = 0 THEN nonconv END) AS b,
+         MAX(CASE WHEN variant = 1 THEN conv END) AS c2,
+         MAX(CASE WHEN variant = 1 THEN nonconv END) AS d
+  FROM cells
+)
+SELECT a, b, c2, d,
+       CAST(100 * (a+b+c2+d) * (a*d - b*c2) * (a*d - b*c2) AS BIGINT)
+         AS chisq_num100,
+       CAST(384 * (a+b) * (c2+d) * (a+c2) * (b+d) AS BIGINT)
+         AS chisq_den384,
+       100 * (a+b+c2+d) * (a*d - b*c2) * (a*d - b*c2)
+         > 384 * (a+b) * (c2+d) * (a+c2) * (b+d) AS significant_95
+FROM w
+"""
+
+QUERIES["ab_chisq"] = q_ab_chisq

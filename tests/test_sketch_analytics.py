@@ -453,3 +453,28 @@ def test_funnel_requires_strict_order(spark):
     got = {r.user_id: r.steps_completed
            for r in q_funnel_steps(spark, td).collect()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+# ------------------------------------------------- exact chi-square
+
+def test_ab_chisq_detects_planted_effect_and_null(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_ab_chisq
+    # planted STRONG effect: even users always purchase, odd never
+    rows = []
+    for u in range(40):
+        rows.append((u, u, "purchase" if u % 2 == 0 else "view", 0))
+    td = _events_fixture(spark, [(u, s, et, k) for (u, s, et, k) in rows])
+    r = q_ab_chisq(spark, td).collect()[0]
+    assert (r.a, r.b, r.c2, r.d) == (20, 0, 0, 20)
+    assert r.significant_95
+    # exact-null fixture: identical conversion in both arms
+    rows2 = []
+    for u in range(40):
+        rows2.append((u, u, "purchase" if u < 20 else "view", 0))
+    td2 = _events_fixture(spark, rows2)
+    r2 = q_ab_chisq(spark, td2).collect()[0]
+    assert not r2.significant_95
+    # χ² value sanity: num/den reproduces the textbook statistic
+    n = r.a + r.b + r.c2 + r.d
+    det = r.a * r.d - r.b * r.c2
+    assert r.chisq_num100 == 100 * n * det * det
