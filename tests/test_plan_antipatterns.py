@@ -43,7 +43,8 @@ LAZY = [
     "hll_users", "cohort_retention", "pagerank_walk", "pmi_bigrams",
     "edit_blocks", "median_filter", "hilbert_stats", "orient_hist",
     "glcm_texture", "bloom_probe", "cms_grid", "rolling_stats",
-    "triangles", "quality_checks", "textrank",
+    "triangles", "quality_checks", "textrank", "scd2_build",
+    "funnel_steps", "ab_chisq",
     # stats_prune / delete_rows commit IceLite snapshots at build —
     # excluded like compact_files; their COW scoping is pytest-pinned
 ]
