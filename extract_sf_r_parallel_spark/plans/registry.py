@@ -2460,6 +2460,7 @@ _GATE_FIRST = [
     "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
     "cms_grid", "rolling_stats", "stats_prune", "triangles",
     "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
+    "cms_stream",
 ]
 
 
@@ -2525,3 +2526,41 @@ def _gate_order(keys) -> list:
 
 
 QUERIES = {k: QUERIES[k] for k in _gate_order(QUERIES)}
+
+
+# --- LIVE streaming Count-Min grid (r06): the ADDITIVE sketch under a
+# watermark (the distinct/frequency pair with hll_stream). Counts sum
+# under the windowed aggregation, state ≤ depth·width rows per open
+# window; the batch grid per hour is the oracle (same md5('key:cms'
+# || row) cell arithmetic, replayed in SQL).
+def q_cms_stream(spark, sf_dir):
+    import tempfile
+
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    cs = SE.windowed_cms(stream, window="1 hour", watermark="1 hour")
+    ck = tempfile.mkdtemp(prefix="cms_stream_ck_")
+    SE.run_available_now(cs, "cms_stream_sink", ck, shuffle_partitions=4)
+    return (
+        spark.table("cms_stream_sink")
+        .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
+        .select("hour", "sk_row", "cell", "cnt")
+    )
+
+
+ORACLE["cms_stream"] = """
+WITH s AS (
+  SELECT date_trunc('hour', ts) AS hour, user_id, i AS sk_row,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms'
+                                  || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 256 AS cell
+  FROM events, LATERAL (SELECT UNNEST(range(0, 4)) AS i) u
+)
+SELECT hour, sk_row, cell, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM s GROUP BY 1, 2, 3
+"""
+
+QUERIES["cms_stream"] = q_cms_stream

@@ -24,8 +24,8 @@ EVENTS_SCHEMA = T.StructType([
 ])
 
 __all__ = ["EVENTS_SCHEMA", "read_events_stream", "windowed_counts",
-           "windowed_hll", "dedup_stream", "funnel_join",
-           "run_available_now"]
+           "windowed_hll", "windowed_cms", "dedup_stream",
+           "funnel_join", "run_available_now"]
 
 
 def read_events_stream(spark: SparkSession, src_dir: str) -> DataFrame:
@@ -77,6 +77,34 @@ def windowed_hll(stream: DataFrame, window: str = "1 hour",
             .agg(F.max("rho").alias("max_rho"))
             .select(F.col("win.start").alias("hour"), "register",
                     "max_rho"))
+
+
+def windowed_cms(stream: DataFrame, window: str = "1 hour",
+                 watermark: str = "1 hour", col: str = "user_id",
+                 width: int = 256, depth: int = 4,
+                 salt: str = "cms") -> DataFrame:
+    """Per-window Count–Min grid — the ADDITIVE sketch live: counts
+    sum under the watermarked window aggregation exactly like any
+    grouped count, state bounded by depth·width rows per open window.
+    Same md5 cell arithmetic as the batch operator
+    (operators/sketch.cms_grid), so the batch grid per hour IS the
+    oracle. Together with windowed_hll this gives the live
+    distinct-AND-frequency pair every event pipeline dashboards on."""
+    # one explode (not a depth-way union): sk_row rides into the salt,
+    # so a single watermarked branch carries all depth hash rows
+    depth_arr = F.array(*[F.lit(i) for i in range(depth)])
+    rows = (stream.withWatermark("ts", watermark)
+            .select("ts", F.col(col).alias("_k"),
+                    F.explode(depth_arr).alias("sk_row")))
+    h = F.md5(F.concat(F.col("_k").cast("string"), F.lit(":" + salt),
+                       F.col("sk_row").cast("string")))
+    cell = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width
+    return (rows.withColumn("cell", cell)
+            .groupBy(F.window("ts", window).alias("win"),
+                     "sk_row", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("hour"), "sk_row", "cell",
+                    "cnt"))
 
 
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -478,3 +478,23 @@ def test_ab_chisq_detects_planted_effect_and_null(spark):
     n = r.a + r.b + r.c2 + r.d
     det = r.a * r.d - r.b * r.c2
     assert r.chisq_num100 == 100 * n * det * det
+
+
+def test_cms_stream_equals_batch_grid(spark):
+    from extract_sf_r_parallel_spark.plans.registry import q_cms_stream
+    sf = "/root/testdata/sf0.001"
+    got = {(r.hour, r.sk_row, r.cell): r.cnt
+           for r in q_cms_stream(spark, sf).collect()}
+    # batch twin in ONE job: same md5(key ':cms' row) cell arithmetic
+    e = (spark.read.parquet(f"{sf}/events.parquet")
+         .select(F.date_trunc("hour", "ts").alias("hour"), "user_id",
+                 F.explode(F.array(*[F.lit(i) for i in range(4)]))
+                 .alias("sk_row")))
+    h = F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":cms"),
+                       F.col("sk_row").cast("string")))
+    cell = F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % 256
+    want = {(r.hour, r.sk_row, r.cell): r.cnt
+            for r in e.withColumn("cell", cell)
+            .groupBy("hour", "sk_row", "cell")
+            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == want
