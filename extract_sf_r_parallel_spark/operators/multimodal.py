@@ -38,7 +38,7 @@ from ..data import codec
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
-           "median_stats", "orient_hist", "glcm_stats"]
+           "median_stats", "orient_hist", "glcm_stats", "motion_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -620,3 +620,41 @@ def glcm_stats(images: DataFrame, levels: int = 4) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _GLCM_SCHEMA.fields])
     return images.mapInPandas(gen, _GLCM_SCHEMA)
+
+
+_MOTION_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("motion_l1", T.LongType()),
+    T.StructField("max_px_diff", T.LongType()),
+])
+
+
+def motion_stats(videos: DataFrame) -> DataFrame:
+    """Frame-differencing motion energy over CPNV videos — the
+    scene-cut / static-clip screen for video training data: for every
+    consecutive frame pair (j−1, j) of channel 0, Σ|Δpixel| and
+    max|Δpixel|, exact int64. A static clip scores ~0; a hard cut
+    spikes max_px_diff. One output row per pair (frame_idx = j ≥ 1);
+    single-frame clips emit nothing.
+
+    Scale: mapInPandas frame walk, frames decoded once per video and
+    differenced with whole-array NumPy — no shuffle, no per-pixel
+    Python. Inter-frame codecs (mp4/webm) still raise upstream in the
+    codec, as documented there."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                frames = codec.cpnv_decode(r.bytes)
+                prev = None
+                for j, f in enumerate(frames):
+                    cur = f[..., 0].astype(np.int64)
+                    if prev is not None:
+                        d = np.abs(cur - prev)
+                        rows.append((r.image_id, j, int(d.sum()),
+                                     int(d.max())))
+                    prev = cur
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MOTION_SCHEMA.fields])
+    return videos.mapInPandas(gen, _MOTION_SCHEMA)

@@ -2460,7 +2460,7 @@ _GATE_FIRST = [
     "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
     "cms_grid", "rolling_stats", "stats_prune", "triangles",
     "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
-    "cms_stream",
+    "cms_stream", "motion_energy",
 ]
 
 
@@ -2528,6 +2528,46 @@ def _gate_order(keys) -> list:
 QUERIES = {k: QUERIES[k] for k in _gate_order(QUERIES)}
 
 
+# --- video motion energy (r06): frame differencing over the CPNV
+# container — the scene-cut / static-clip screen. Every consecutive
+# channel-0 frame pair scores Σ|Δ| and max|Δ|, exact int64; the
+# oracle re-derives BOTH frames of every pair from the Lehmer closed
+# form (per-frame bases) and joins them on pixel position — codec
+# round-trip vs closed form, the multimodal family's strongest
+# pattern.
+def q_motion_energy(spark, sf_dir):
+    from ..operators.multimodal import motion_stats
+    videos = spark.createDataFrame(synth.videos_pdf(24))
+    return motion_stats(videos)
+
+
+ORACLE["motion_energy"] = """
+WITH vids AS (
+  SELECT i, printf('vid%08d', i) AS image_id, 32 AS w,
+         CASE i % 2 WHEN 0 THEN 32 ELSE 48 END AS h,
+         3 + i % 5 AS nf
+  FROM range(24) t(i)
+), fr AS (
+  SELECT image_id, w, h, j,
+         42 * 1000003 + 500000 + i * 64 + j AS base
+  FROM vids, LATERAL (SELECT UNNEST(range(nf)) AS j)
+), px AS (
+  SELECT image_id, j, k,
+    xor((((base + k * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + k * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v
+  FROM fr, LATERAL (SELECT UNNEST(range(w*h*3)) AS k)
+  WHERE k % 3 = 0
+)
+SELECT a.image_id, CAST(a.j AS INT) AS frame_idx,
+       CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS motion_l1,
+       CAST(MAX(ABS(a.v - b.v)) AS BIGINT) AS max_px_diff
+FROM px a JOIN px b
+  ON b.image_id = a.image_id AND b.j = a.j - 1 AND b.k = a.k
+GROUP BY 1, 2
+"""
+
+
 # --- LIVE streaming Count-Min grid (r06): the ADDITIVE sketch under a
 # watermark (the distinct/frequency pair with hll_stream). Counts sum
 # under the windowed aggregation, state ≤ depth·width rows per open
@@ -2564,3 +2604,4 @@ FROM s GROUP BY 1, 2, 3
 """
 
 QUERIES["cms_stream"] = q_cms_stream
+QUERIES["motion_energy"] = q_motion_energy

@@ -399,3 +399,30 @@ def test_glcm_stats_levels_validation(spark):
     df = spark.createDataFrame(synth.images_pdf(1))
     with _pytest.raises(ValueError, match="must divide 256"):
         glcm_stats(df, levels=7)
+
+
+def test_motion_stats_static_vs_cut(spark):
+    import numpy as np
+    import pandas as pd
+    from extract_sf_r_parallel_spark.data import codec
+    from extract_sf_r_parallel_spark.operators.multimodal import motion_stats
+    h = w = 16
+    a = np.full((h, w, 3), 10, dtype=np.uint8)
+    b = a.copy(); b[5, 5, 0] = 14              # tiny motion: one pixel +4
+    c = np.full((h, w, 3), 200, dtype=np.uint8)  # hard cut
+    static = codec.cpnv_encode([a, a, a])
+    cutty = codec.cpnv_encode([a, b, c])
+    single = codec.cpnv_encode([a])
+    df = spark.createDataFrame(pd.DataFrame(
+        [("static", static, w, h, "cpnv", "s", 0),
+         ("cutty", cutty, w, h, "cpnv", "s", 0),
+         ("single", single, w, h, "cpnv", "s", 0)],
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]))
+    rows = motion_stats(df).collect()
+    got = {(r.image_id, r.frame_idx): (r.motion_l1, r.max_px_diff)
+           for r in rows}
+    assert got[("static", 1)] == (0, 0)
+    assert got[("static", 2)] == (0, 0)
+    assert got[("cutty", 1)] == (4, 4)                  # one pixel, +4
+    assert got[("cutty", 2)] == ((200 - 10) * h * w - 4, 190)
+    assert not any(k[0] == "single" for k in got)       # no pairs
