@@ -2460,7 +2460,7 @@ _GATE_FIRST = [
     "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
     "cms_grid", "rolling_stats", "stats_prune", "triangles",
     "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
-    "cms_stream", "motion_energy",
+    "cms_stream", "motion_energy", "stream_sink",
 ]
 
 
@@ -2605,3 +2605,46 @@ FROM s GROUP BY 1, 2, 3
 
 QUERIES["cms_stream"] = q_cms_stream
 QUERIES["motion_energy"] = q_motion_energy
+
+
+# --- streaming → lakehouse sink (r06): the ingestion loop every
+# production pipeline runs — a watermarked file stream lands in the
+# IceLite table via foreachBatch, ONE SNAPSHOT PER MICRO-BATCH
+# (atomic pointer-swap commits, so readers only ever see whole
+# batches; bounded AvailableNow never replays a batch — a continuous
+# deployment would record the batch id in the snapshot for idempotent
+# re-commit, the standard txn-id pattern). The drained table must
+# answer the batch SQL exactly, and the snapshot count must equal the
+# micro-batch count (pinned as a column).
+def q_stream_sink(spark, sf_dir):
+    import tempfile
+
+    from ..sources.tables import IceLiteTable
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_sink_"))
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    ck = tempfile.mkdtemp(prefix="sink_ck_")
+    q = (stream.writeStream
+         .foreachBatch(lambda df, _bid: t.append(df))
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    n_snaps = len(t.snapshots())
+    return (t.read(spark)
+            .filter(F.col("user_id") >= 0)      # drop the flush sentinel
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .withColumn("n_snapshots", F.lit(n_snaps).cast("int")))
+
+
+ORACLE["stream_sink"] = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       4 AS n_snapshots
+FROM events GROUP BY 1
+"""
+
+QUERIES["stream_sink"] = q_stream_sink

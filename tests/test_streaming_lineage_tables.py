@@ -407,3 +407,38 @@ def test_icelite_delete_where_file_scoped_cow(spark, tmp_path):
     snap2 = t.delete_where(spark, "k < 0")
     assert snap2["deleted_dirs"] == 0
     assert t.read(spark).count() == 290
+
+
+def test_stream_sink_one_snapshot_per_microbatch(spark, tmp_path):
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from extract_sf_r_parallel_spark.sources.tables import IceLiteTable
+    from extract_sf_r_parallel_spark.streaming import events as SE
+    # stage 4 tiny event files → 2-per-trigger → 2 micro-batches
+    src = tmp_path / "src"; src.mkdir()
+    for i in range(4):
+        pdf = pd.DataFrame({
+            "event_id": [i], "ts": [pd.Timestamp("2024-01-01")],
+            "user_id": [i], "event_type": ["view"], "value": [1.0],
+            "props": ['{"k": 1}']})
+        t = pa.Table.from_pandas(pdf)
+        t = t.set_column(t.schema.get_field_index("ts"), "ts",
+                         t["ts"].cast(pa.timestamp("us")))
+        pq.write_table(t, os.path.join(src, f"part-{i:03d}.parquet"))
+    tbl = IceLiteTable(str(tmp_path / "tbl"))
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(str(src))
+    q = (stream.writeStream
+         .foreachBatch(lambda df, _b: tbl.append(df))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    snaps = tbl.snapshots()
+    assert len(snaps) == 2                       # one commit per batch
+    assert tbl.read(spark).count() == 4
+    # time-travel to the first commit shows only the first batch
+    first = tbl.read(spark, snapshot_id=snaps[0]["snapshot_id"])
+    assert first.count() == 2
