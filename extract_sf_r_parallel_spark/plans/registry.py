@@ -1,8 +1,8 @@
 """The driver-contract query registry: every implemented operator from
-SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, with a DuckDB
-oracle SQL string wherever the semantics are ANSI-SQL-expressible.
-Rows-only entries (spatial circle kernels, MinHash/SimHash, LSH-ANN,
-multimodal) are pytest-oracled instead (tests/)."""
+SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, each with a
+DuckDB oracle SQL string — since round 3 there are ZERO rows-only
+entries (``len(ORACLE) == len(QUERIES)``; a test asserts this), so
+every registered query is exact-value gated, not just row-counted."""
 
 from __future__ import annotations
 
@@ -2525,7 +2525,11 @@ def _gate_order(keys) -> list:
     return order
 
 
-QUERIES = {k: QUERIES[k] for k in _gate_order(QUERIES)}
+# NOTE: the gate reorder is applied ONCE, at the very END of this
+# module (after the last registration). Re-ordering here would leave
+# any query registered below permanently past the driver's ~50-row
+# budget and invisible to the staleness rotation (the r06 bug that
+# starved cms_stream/motion_energy/stream_sink).
 
 
 # --- video motion energy (r06): frame differencing over the CPNV
@@ -2648,3 +2652,11 @@ FROM events GROUP BY 1
 """
 
 QUERIES["stream_sink"] = q_stream_sink
+
+
+# ---------------------------------------------------------------------------
+# Gate reorder — MUST stay the LAST statement that touches QUERIES.
+# Every registration above (including late waves appended at the end of
+# the module) is visible to the staleness rotation only because this
+# runs after all of them. New queries: register above this line.
+QUERIES = {k: QUERIES[k] for k in _gate_order(QUERIES)}

@@ -77,3 +77,21 @@ def test_entry_smoke(spark):
     assert df.count() > 0
     cols = set(df.columns)
     assert {"PKEY", "AREA150", "PROP565", "NEAR_DIST", "MEANAGE_150"} <= cols
+
+
+def test_gate_order_never_recorded_first():
+    """Regression for the r06 gate-starvation bug: every query that has
+    never received a driver CORRECTNESS row must sit inside the
+    driver's ~50-row budget, i.e. within the first 50 keys of
+    queries(). A late registration after the registry's gate reorder
+    would silently violate this (the reorder must stay the last
+    statement in plans/registry.py)."""
+    from extract_sf_r_parallel_spark.plans import registry
+
+    keys = list(registry.QUERIES)
+    assert list(QUERIES) == keys, "entry queries() must preserve registry order"
+    last_seen, _ = registry._gate_last_seen()
+    never = [k for k in keys if k not in last_seen]
+    budget = set(keys[:50])
+    starved = [k for k in never if k not in budget]
+    assert not starved, f"never-recorded queries outside gate budget: {starved}"
