@@ -15,6 +15,7 @@ from ..operators.areadist_fused import areadist_auto
 from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs, simhash_signatures
 from ..operators.knn import knn_join
 from ..operators.multimodal import decode_stats, frame_sample, pixel_embed
+from ..scratch import scratch_dir
 from ..operators.similarity import (
     cosine_dup_pairs,
     ivf_topk_lloyd,
@@ -561,7 +562,6 @@ ORACLE["windowed_stream"] = relational.ORACLE["tumbling_window"]
 # nation key row-locally; the far-future flush sentinel (user_id −1)
 # pmods onto a real key but lands in the filtered-out future window.
 def q_stream_enrich(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -579,7 +579,7 @@ def q_stream_enrich(spark, sf_dir):
                 F.round(F.sum("value"), 4).alias("sum_value"))
            .select(F.col("win.start").alias("hour"), "n_name",
                    "n", "sum_value"))
-    ck = tempfile.mkdtemp(prefix="stream_enrich_ck_")
+    ck = scratch_dir("stream_enrich_ck_")
     SE.run_available_now(enr, "stream_enrich_sink", ck,
                          shuffle_partitions=4)
     return (spark.table("stream_enrich_sink")
@@ -1906,7 +1906,6 @@ def _stage_events(sf_dir: str, n_files: int = 6,
     would leave one side's watermark at the real maximum and the
     outer join's tail state unresolved."""
     import os
-    import tempfile
     import time
 
     import numpy as np
@@ -1915,7 +1914,7 @@ def _stage_events(sf_dir: str, n_files: int = 6,
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
-    d = tempfile.mkdtemp(prefix="stream_src_")
+    d = scratch_dir("stream_src_")
     cuts = np.linspace(0, t.num_rows, n_files + 1).astype(int)
     for i in range(n_files):
         chunk = t.slice(cuts[i], cuts[i + 1] - cuts[i])
@@ -1964,7 +1963,6 @@ def q_geofence(spark, sf_dir):
 
 
 def q_geofence_stream(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
     from ..streaming.geofence import geofence_stream, with_inside
@@ -1975,7 +1973,7 @@ def q_geofence_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     s = with_inside(stream.select(*cols), fences, buffer=500.0)
     out = geofence_stream(s, watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="geofence_ck_")
+    ck = scratch_dir("geofence_ck_")
     SE.run_available_now(out, "geofence_sink", ck, shuffle_partitions=4)
     return (spark.table("geofence_sink")
             .filter(F.col("user_id") >= 0)
@@ -2018,7 +2016,6 @@ ORACLE["geofence_stream"] = ORACLE["geofence"]
 
 
 def q_sessions_stream(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
     from ..streaming.sessions import sessionize_stream
@@ -2030,7 +2027,7 @@ def q_sessions_stream(spark, sf_dir):
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 2).parquet(d)
     sess = sessionize_stream(stream, gap_minutes=600, watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="sess_stream_ck_")
+    ck = scratch_dir("sess_stream_ck_")
     SE.run_available_now(sess, "sessions_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("sessions_stream_sink")
@@ -2055,7 +2052,6 @@ def q_sessions_stream(spark, sf_dir):
 # hour). The far-future flush sentinel's window is cut by the same
 # 2025 filter windowed_stream uses.
 def q_hll_stream(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -2063,7 +2059,7 @@ def q_hll_stream(spark, sf_dir):
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 2).parquet(d)
     hs = SE.windowed_hll(stream, window="1 hour", watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="hll_stream_ck_")
+    ck = scratch_dir("hll_stream_ck_")
     SE.run_available_now(hs, "hll_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("hll_stream_sink")
@@ -2087,7 +2083,6 @@ FROM h GROUP BY 1, 2
 
 
 def q_windowed_stream(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -2095,7 +2090,7 @@ def q_windowed_stream(spark, sf_dir):
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 2).parquet(d)
     wc = SE.windowed_counts(stream, window="1 hour", watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="win_stream_ck_")
+    ck = scratch_dir("win_stream_ck_")
     SE.run_available_now(wc, "windowed_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("windowed_stream_sink")
@@ -2111,7 +2106,6 @@ def q_windowed_stream(spark, sf_dir):
 # base table's — any leaked duplicate doubles a count and breaks the
 # hash.
 def q_dedup_stream(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -2119,7 +2113,7 @@ def q_dedup_stream(spark, sf_dir):
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 2).parquet(d)
     dd = SE.dedup_stream(stream, watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="dedup_stream_ck_")
+    ck = scratch_dir("dedup_stream_ck_")
     SE.run_available_now(dd, "dedup_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("dedup_stream_sink")
@@ -2143,7 +2137,6 @@ FROM events GROUP BY 1
 # l.ts + 30 min. The staged files are event-time-ordered so nothing is
 # late; the drained sink must equal the batch self-join exactly.
 def q_stream_join(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -2158,7 +2151,7 @@ def q_stream_join(spark, sf_dir):
     right = src().filter((F.col("event_id") % 2 == 1)
                          & (F.col("user_id") >= 0))
     j = SE.funnel_join(left, right, within="30 minutes", watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="stream_join_ck_")
+    ck = scratch_dir("stream_join_ck_")
     SE.run_available_now(j, "stream_join_sink", ck, shuffle_partitions=4)
     return (spark.table("stream_join_sink")
             .select("user_id", "left_event_id", "right_event_id"))
@@ -2184,7 +2177,6 @@ WHERE a.event_id % 2 = 0 AND b.event_id % 2 = 1
 # exists to pin). Sentinels are excluded AFTER the join (user_id ≥ 0),
 # so they advance watermarks without appearing in the result.
 def q_stream_join_outer(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -2198,7 +2190,7 @@ def q_stream_join_outer(spark, sf_dir):
     right = src().filter(F.col("event_id") % 2 == 1)
     j = SE.funnel_join(left, right, within="30 minutes",
                        watermark="1 hour", how="left_outer")
-    ck = tempfile.mkdtemp(prefix="stream_join_outer_ck_")
+    ck = scratch_dir("stream_join_outer_ck_")
     SE.run_available_now(j, "stream_join_outer_sink", ck,
                          shuffle_partitions=4)
     return (spark.table("stream_join_outer_sink")
@@ -2578,7 +2570,6 @@ GROUP BY 1, 2
 # window; the batch grid per hour is the oracle (same md5('key:cms'
 # || row) cell arithmetic, replayed in SQL).
 def q_cms_stream(spark, sf_dir):
-    import tempfile
 
     from ..streaming import events as SE
 
@@ -2586,7 +2577,7 @@ def q_cms_stream(spark, sf_dir):
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 2).parquet(d)
     cs = SE.windowed_cms(stream, window="1 hour", watermark="1 hour")
-    ck = tempfile.mkdtemp(prefix="cms_stream_ck_")
+    ck = scratch_dir("cms_stream_ck_")
     SE.run_available_now(cs, "cms_stream_sink", ck, shuffle_partitions=4)
     return (
         spark.table("cms_stream_sink")
@@ -2621,16 +2612,15 @@ QUERIES["motion_energy"] = q_motion_energy
 # answer the batch SQL exactly, and the snapshot count must equal the
 # micro-batch count (pinned as a column).
 def q_stream_sink(spark, sf_dir):
-    import tempfile
 
     from ..sources.tables import IceLiteTable
     from ..streaming import events as SE
 
     d = _stage_events(sf_dir)
-    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_sink_"))
+    t = IceLiteTable(scratch_dir("icelite_sink_"))
     stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
         .option("maxFilesPerTrigger", 2).parquet(d)
-    ck = tempfile.mkdtemp(prefix="sink_ck_")
+    ck = scratch_dir("sink_ck_")
     q = (stream.writeStream
          .foreachBatch(lambda df, _bid: t.append(df))
          .option("checkpointLocation", ck)

@@ -24,6 +24,7 @@ from pyspark.sql import types as T
 from ..data import geotag as G
 from ..geo import index as I
 from ..operators.range_join import explode_poly_cells, with_cell
+from ..scratch import scratch_dir
 
 ORACLE: dict[str, str] = {}
 
@@ -1076,11 +1077,10 @@ FROM ({_PTS_SQL}) GROUP BY 1
 # coordinate sums from the LCG — lost default fills, dropped files, or
 # wrong-snapshot reads all break the hash.
 def q_icelite_evolution(spark, sf_dir):
-    import tempfile
 
     from ..sources.tables import IceLiteTable
 
-    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_drv_"))
+    t = IceLiteTable(scratch_dir("icelite_drv_"))
     pts = points_df(spark, sf_dir)
     t.append(pts.filter(F.pmod("pid", F.lit(2)) == 0).select("pid", "x", "y"))
     t.add_column("flag", "string", default="old")
@@ -1111,11 +1111,10 @@ FROM ({_PTS_SQL}) GROUP BY 1
 # points — no snapshot machinery on the oracle path, so a hash match
 # proves the anti-join + union + commit semantics end-to-end.
 def q_merge_upsert(spark, sf_dir):
-    import tempfile
 
     from ..sources.tables import IceLiteTable
 
-    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_merge_"))
+    t = IceLiteTable(scratch_dir("icelite_merge_"))
     pts = points_df(spark, sf_dir).select("pid", "x", "y")
     t.append(pts.filter(F.pmod("pid", F.lit(2)) == 0))
     t.append(pts.filter(F.pmod("pid", F.lit(2)) == 1))
@@ -1189,11 +1188,10 @@ FROM g
 # 9 → 2 manifest rewrite. Time travel + by-reference invariants are
 # pinned by the pytest twin.
 def q_compact_files(spark, sf_dir):
-    import tempfile
 
     from ..sources.tables import IceLiteTable
 
-    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_compact_"))
+    t = IceLiteTable(scratch_dir("icelite_compact_"))
     pts = points_df(spark, sf_dir).select("pid", "x", "y")
     big = pts.filter(F.col("pid") % 3 == 0)
     t.append(big)                                    # large dir (kept)
@@ -2237,11 +2235,10 @@ QUERIES["hilbert_stats"] = q_hilbert_stats
 # overlapping ones, and the oracle re-derives both the aggregate and
 # the expected file counts from the same per-bucket min/max rule.
 def q_stats_prune(spark, sf_dir):
-    import tempfile
 
     from ..sources.tables import IceLiteTable
 
-    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_stats_"))
+    t = IceLiteTable(scratch_dir("icelite_stats_"))
     orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
               .coalesce(1).cache())  # fixture-sized: one task per append
     buckets = sorted(r.bkt for r in orders.select(
@@ -2287,11 +2284,10 @@ _DEL_PRED = "o_orderkey >= 5000 AND o_orderkey < 8000 AND o_orderkey % 10 = 3"
 
 
 def q_delete_rows(spark, sf_dir):
-    import tempfile
 
     from ..sources.tables import IceLiteTable
 
-    t = IceLiteTable(tempfile.mkdtemp(prefix="icelite_del_"))
+    t = IceLiteTable(scratch_dir("icelite_del_"))
     orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
               .coalesce(1).cache())
     buckets = sorted(r.bkt for r in orders.select(

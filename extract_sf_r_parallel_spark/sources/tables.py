@@ -63,7 +63,8 @@ class IceLiteTable:
     def _commit(self, files: list[str], schema_json: str, parent: dict | None,
                 op: str, defaults: dict | None = None,
                 dropped: list[str] | None = None,
-                new_stats: dict | None = None) -> dict:
+                new_stats: dict | None = None,
+                extra: dict | None = None) -> dict:
         sid = (parent["snapshot_id"] + 1) if parent else 0
         if defaults is None:
             defaults = dict(parent.get("defaults", {})) if parent else {}
@@ -88,6 +89,8 @@ class IceLiteTable:
             "stats": stats,
             "parent": parent["snapshot_id"] if parent else None,
         }
+        if extra:
+            snap.update(extra)  # op-specific audit keys, persisted
         name = f"snap-{sid:06d}.json"
         with open(os.path.join(self.meta, name), "w") as f:
             json.dump(snap, f)
@@ -139,13 +142,18 @@ class IceLiteTable:
         The incoming df is validated/aligned against the live snapshot
         schema — the snapshot schema, not df.schema, is what commits.
         `stats_cols` records this data file's min/max for those columns
-        in the manifest (one tiny aggregate over the appended rows) —
-        the hook `read_pruned` plans against."""
+        in the manifest (one tiny aggregate over the COMMITTED file —
+        never over `df`, whose lineage Spark would recompute and which
+        could therefore disagree with the rows actually written if the
+        input is non-deterministic) — the hook `read_pruned` plans
+        against."""
         parent = self._current_snapshot()
         schema_json = df.schema.json()
         if parent is not None:
             df = self._align_to_snapshot(df, parent)
             schema_json = parent["schema"]
+        for c in stats_cols:  # fail BEFORE the write, not after
+            self._check_stats_type(df.schema[c].dataType, c)
         dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
         w = df.write.mode("overwrite")
         if partition_by:
@@ -156,8 +164,11 @@ class IceLiteTable:
             aggs = []
             for c in stats_cols:
                 aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
-            row = df.agg(*aggs).collect()[0]
-            per_col = {c: [row[f"_mn_{c}"], row[f"_mx_{c}"]]
+            # Re-read the committed file: the manifest must describe
+            # what's on disk, not what a lineage replay of df yields.
+            row = df.sparkSession.read.parquet(dirname).agg(*aggs).collect()[0]
+            per_col = {c: [self._stat_safe(row[f"_mn_{c}"], -1),
+                           self._stat_safe(row[f"_mx_{c}"], +1)]
                        for c in stats_cols
                        if row[f"_mn_{c}"] is not None}  # empty file →
             # no stats recorded → conservatively always scanned
@@ -191,8 +202,24 @@ class IceLiteTable:
         rewritten (anti join + union), every untouched dir carries into
         the new snapshot by reference. Time-travel to pre-merge
         snapshots is unaffected (old snapshots keep the old file list).
+
+        Like Iceberg MERGE, a CDC batch carrying the same key more than
+        once is rejected (ValueError) — silently inserting every
+        duplicate would corrupt the upsert invariant of one live row
+        per key. Note one documented divergence from full Iceberg
+        semantics: if the TABLE already holds several live rows for a
+        key (it was never deduplicated), all of them are replaced by
+        the single update row rather than raising.
         """
         keys = [key] if isinstance(key, str) else list(key)
+        dup = (updates.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            bad = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge_into updates batch has duplicate key {bad}: "
+                "Iceberg MERGE rejects multiple matches per key — "
+                "deduplicate the CDC batch first")
         parent = self._current_snapshot()
         if parent is None:
             return self.append(updates, partition_by)
@@ -238,8 +265,9 @@ class IceLiteTable:
         those dirs rewrite (survivors = NOT predicate), every untouched
         dir carries into the new snapshot by reference, and pre-delete
         snapshots time-travel unchanged. Returns the new snapshot; the
-        commit records how many dirs were rewritten vs carried
-        (`deleted_dirs` / `carried_dirs` keys on the snapshot dict)."""
+        commit PERSISTS how many dirs were rewritten vs carried
+        (`deleted_dirs` / `carried_dirs` keys inside snap-NNNNNN.json,
+        visible to snapshots() and time-travel readers)."""
         parent = self._current_snapshot()
         if parent is None:
             raise FileNotFoundError(f"empty table at {self.root}")
@@ -266,10 +294,9 @@ class IceLiteTable:
             dirname = os.path.join(self.root, "data", uuid.uuid4().hex)
             survivors.write.mode("overwrite").parquet(dirname)
             files = keep + [dirname]
-        snap = self._commit(files, parent["schema"], parent, "delete")
-        snap["deleted_dirs"] = len(hit)
-        snap["carried_dirs"] = len(keep)
-        return snap
+        return self._commit(files, parent["schema"], parent, "delete",
+                            extra={"deleted_dirs": len(hit),
+                                   "carried_dirs": len(keep)})
 
     # -- maintenance -------------------------------------------------------
     def compact(self, spark: SparkSession, min_rows: int = 100_000) -> dict:
@@ -394,10 +421,16 @@ class IceLiteTable:
         if snap is None or not snap["files"]:
             raise FileNotFoundError(f"empty table at {self.root}")
         stats = snap.get("stats", {})
+        # normalize the probe bounds the same way the manifest stored
+        # its stats (datetime → isoformat, Decimal → widened float) so
+        # the Python <=/>= below compares like with like; widening goes
+        # OUTWARD on the probe too (lo down, hi up) — conservative.
+        lo_n = self._stat_safe(lo, -1)
+        hi_n = self._stat_safe(hi, +1)
         keep = []
         for d in snap["files"]:
             s = stats.get(d, {}).get(col)
-            if s is None or (s[1] >= lo and s[0] <= hi):
+            if s is None or (s[1] >= lo_n and s[0] <= hi_n):
                 keep.append(d)
         schema = T.StructType.fromJson(json.loads(snap["schema"]))
         defaults = snap.get("defaults", {})
@@ -411,6 +444,48 @@ class IceLiteTable:
                 out = out.unionByName(d)
         out = out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return out, len(keep), len(snap["files"])
+
+    # -- manifest-stats value handling --------------------------------------
+    _STATS_OK = (T.NumericType, T.StringType, T.BooleanType,
+                 T.DateType, T.TimestampType, T.TimestampNTZType)
+
+    @classmethod
+    def _check_stats_type(cls, dt: T.DataType, col: str) -> None:
+        """stats_cols must be orderable AND JSON-representable; reject
+        binary/array/map/struct upfront so a bad append fails before
+        any data file lands (no orphaned data dir)."""
+        if not isinstance(dt, cls._STATS_OK):
+            raise TypeError(
+                f"stats_cols column {col!r} has type {dt.simpleString()}; "
+                "manifest min/max stats support numeric, string, boolean, "
+                "date and timestamp columns only")
+
+    @staticmethod
+    def _stat_safe(v, side: int):
+        """Coerce a min/max stat to a JSON-safe primitive whose Python
+        </>= ordering matches the column's ordering. `side` is -1 for a
+        min and +1 for a max: any lossy coercion widens OUTWARD so
+        pruning stays conservative (never skips a matching file).
+
+        datetime/date → isoformat strings (zero-padded → lexicographic
+        order == chronological order); Decimal → float, nudged outward
+        with nextafter when the float rounds inward."""
+        import datetime
+        import decimal
+        import math
+
+        if v is None or isinstance(v, (bool, int, float, str)):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            f = float(v)
+            d = decimal.Decimal(f)
+            if (side < 0 and d > v) or (side > 0 and d < v):
+                f = math.nextafter(f, -math.inf if side < 0 else math.inf)
+            return f
+        raise TypeError(f"cannot serialize manifest stat {v!r} "
+                        f"({type(v).__name__})")
 
     @staticmethod
     def _project(d: DataFrame, schema: T.StructType,

@@ -442,3 +442,74 @@ def test_stream_sink_one_snapshot_per_microbatch(spark, tmp_path):
     # time-travel to the first commit shows only the first batch
     first = tbl.read(spark, snapshot_id=snaps[0]["snapshot_id"])
     assert first.count() == 2
+
+
+def test_icelite_merge_rejects_duplicate_update_keys(spark, tmp_path):
+    """ADVICE r06: a CDC batch carrying the same key twice must raise
+    (Iceberg MERGE semantics), not silently insert both rows."""
+    t = IceLiteTable(str(tmp_path / "tbl_dupkey"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "pid int, v string"))
+    dup = spark.createDataFrame([(2, "x"), (2, "y")], "pid int, v string")
+    with pytest.raises(ValueError, match="duplicate key"):
+        t.merge_into(spark, dup, key="pid")
+    # table unchanged: no snapshot committed, rows intact
+    assert len(t.snapshots()) == 1
+    assert t.read(spark).count() == 2
+
+
+def test_icelite_stats_from_committed_file_and_typed_values(spark, tmp_path):
+    """ADVICE r06: manifest stats must describe the COMMITTED file and
+    must survive JSON for timestamp columns (isoformat, ordering
+    preserved); read_pruned normalizes datetime probes the same way."""
+    import datetime
+
+    t = IceLiteTable(str(tmp_path / "tbl_tsstats"))
+    rows = [(i, datetime.datetime(2024, 1, 1 + i, 12, 0, 0)) for i in range(3)]
+    t.append(spark.createDataFrame(rows, "pid int, ts timestamp"),
+             stats_cols=("pid", "ts"))
+    rows2 = [(i, datetime.datetime(2024, 2, 1 + i, 12, 0, 0)) for i in range(3)]
+    t.append(spark.createDataFrame(rows2, "pid int, ts timestamp"),
+             stats_cols=("pid", "ts"))
+    snap = t._current_snapshot()
+    # stats landed as JSON-safe strings, one entry per file
+    assert len(snap["stats"]) == 2
+    for st in snap["stats"].values():
+        assert isinstance(st["ts"][0], str) and st["ts"][0] <= st["ts"][1]
+    # a datetime range probe prunes to the single overlapping file
+    df, scanned, total = t.read_pruned(
+        spark, "ts",
+        datetime.datetime(2024, 1, 31), datetime.datetime(2024, 2, 28))
+    assert (scanned, total) == (1, 2)
+    assert df.count() == 3
+
+
+def test_icelite_stats_reject_bad_type_before_write(spark, tmp_path):
+    """ADVICE r06: an un-orderable stats column must fail BEFORE any
+    data file is written (no orphaned data dir)."""
+    t = IceLiteTable(str(tmp_path / "tbl_badstats"))
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "pid int, blob binary")
+    with pytest.raises(TypeError, match="stats_cols"):
+        t.append(df, stats_cols=("blob",))
+    assert not os.path.exists(str(tmp_path / "tbl_badstats" / "data"))
+    assert t._current_snapshot() is None
+
+
+def test_icelite_delete_where_persists_audit_counters(spark, tmp_path):
+    """ADVICE r06: deleted_dirs / carried_dirs must be INSIDE the
+    serialized snapshot json, visible to snapshots() readers."""
+    t = IceLiteTable(str(tmp_path / "tbl_delaudit"))
+    t.append(spark.createDataFrame([(1,), (2,)], "pid int"))
+    t.append(spark.createDataFrame([(10,), (20,)], "pid int"))
+    t.delete_where(spark, "pid >= 10")
+    persisted = t.snapshots()[-1]
+    assert persisted["operation"] == "delete"
+    assert persisted["deleted_dirs"] == 1
+    assert persisted["carried_dirs"] == 1
+
+
+def test_scratch_dirs_live_under_one_root():
+    from extract_sf_r_parallel_spark.scratch import _ROOT, scratch_dir
+
+    a, b = scratch_dir("x_"), scratch_dir("y_")
+    assert a != b
+    assert os.path.dirname(a) == os.path.dirname(b) == _ROOT[0]
