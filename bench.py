@@ -178,6 +178,18 @@ def main() -> None:
         .mode("overwrite").save()
     registry.QUERIES["areadist_circle"](spark, sf_dir).limit(200) \
         .write.format("noop").mode("overwrite").save()
+    # pre-warm the heavy capstone (VERDICT r06 next-#2): plan-build
+    # already runs outside the timed loop and the LRU index cache makes
+    # repeat builds free, but the FIRST materialization additionally
+    # ships the fused-index broadcasts to every Python worker and pays
+    # cold shuffle/page-cache costs — one-time serial setup, not the
+    # steady-state signal. One untimed full materialization per HEAVY
+    # query so timed run 1 measures the query, same as run 2.
+    for _name in HEAVY:
+        try:
+            _materialize(registry.QUERIES[_name](spark, sf_dir))
+        except Exception:  # noqa: BLE001 — the timed loop will record it
+            pass
 
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     errors: dict[str, str] = {}

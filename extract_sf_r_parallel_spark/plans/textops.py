@@ -834,37 +834,67 @@ QUERIES["pmi_bigrams"] = q_pmi_bigrams
 # the JVM and DuckDB on this corpus). Per-block aggregates keep the
 # output non-degenerate on an all-distinct corpus; the positive-pair
 # path (perturbed near-dups actually caught) is pytest-covered.
-def q_edit_blocks(spark, sf_dir):
-    d = _docs(spark, sf_dir).select(
+#
+# r07 (VERDICT r06 wrong-#3): the self-join is CAPPED — at 100 TB a
+# corpus concentrates into few length buckets per language, and an
+# uncapped 1M-doc block means 5·10¹¹ levenshtein pairs. Each block
+# keeps its `cap` lowest doc_ids (deterministic: row_number over
+# doc_id, the same cap the oracle replays), bounding the per-block
+# cost at cap²/2 pairs; every output row carries the TRUE block size
+# (n_docs) and a loud `truncated` flag so a capped block can never
+# masquerade as fully screened.
+def q_edit_blocks(spark, sf_dir, cap: int = 256):
+    from pyspark.sql import Window as W
+
+    base = _docs(spark, sf_dir).select(
         "doc_id", "lang",
         F.expr("n_chars div 64").alias("bkt"),
         F.substring("text", 1, 120).alias("pfx"))
-    a, b = d.alias("a"), d.alias("b")
+    rnk = F.row_number().over(
+        W.partitionBy("lang", "bkt").orderBy("doc_id"))
+    kept = (base.withColumn("rnk", rnk)
+            .filter(F.col("rnk") <= cap).drop("rnk"))
+    a, b = kept.alias("a"), kept.alias("b")
     pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang")) &
                        (F.col("a.bkt") == F.col("b.bkt")) &
                        (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.lang").alias("lang"),
                      F.col("a.bkt").alias("bkt"),
                      F.levenshtein("a.pfx", "b.pfx").alias("dist")))
-    return pairs.groupBy("lang", "bkt").agg(
+    agg = pairs.groupBy("lang", "bkt").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("dist").alias("min_dist"),
         F.sum(F.when(F.col("dist") <= 60, 1).otherwise(0)).alias("n_close"))
+    sizes = base.groupBy("lang", "bkt").agg(
+        F.count(F.lit(1)).alias("n_docs"))
+    return (agg.join(sizes, ["lang", "bkt"])
+            .withColumn("truncated", F.col("n_docs") > F.lit(cap)))
 
 
 ORACLE["edit_blocks"] = """
 WITH d AS (
-  SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 120) AS pfx
+  SELECT doc_id, lang, n_chars // 64 AS bkt, substr(text, 1, 120) AS pfx,
+         ROW_NUMBER() OVER (PARTITION BY lang, n_chars // 64
+                            ORDER BY doc_id) AS rnk
   FROM documents
+), sizes AS (
+  SELECT lang, bkt, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY 1, 2
+), k AS (
+  SELECT * FROM d WHERE rnk <= 256
+), agg AS (
+  SELECT a.lang, a.bkt,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         MIN(levenshtein(a.pfx, b.pfx)) AS min_dist,
+         CAST(SUM(CASE WHEN levenshtein(a.pfx, b.pfx) <= 60
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+  FROM k a JOIN k b
+    ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
-SELECT a.lang, a.bkt,
-       CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       MIN(levenshtein(a.pfx, b.pfx)) AS min_dist,
-       CAST(SUM(CASE WHEN levenshtein(a.pfx, b.pfx) <= 60
-                     THEN 1 ELSE 0 END) AS BIGINT) AS n_close
-FROM d a JOIN d b
-  ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
-GROUP BY 1, 2
+SELECT agg.lang, agg.bkt, n_pairs, min_dist, n_close, n_docs,
+       n_docs > 256 AS truncated
+FROM agg JOIN sizes ON agg.lang = sizes.lang AND agg.bkt = sizes.bkt
 """
 
 QUERIES["edit_blocks"] = q_edit_blocks

@@ -498,3 +498,28 @@ def test_cms_stream_equals_batch_grid(spark):
             .groupBy("hour", "sk_row", "cell")
             .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert got == want
+
+
+def test_edit_blocks_caps_oversized_blocks(spark):
+    """VERDICT r06 wrong-#3: an oversized (lang, len-bucket) block must
+    be truncated to the cap's lowest doc_ids (deterministic), bound
+    the pair count at cap·(cap−1)/2, and flag itself loudly."""
+    import os
+    import tempfile
+
+    from extract_sf_r_parallel_spark.plans.textops import q_edit_blocks
+
+    text = "x" * 70                       # all docs share one block
+    rows = [(i, text) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("s")) \
+        .withColumn("n_chars", F.length("text"))
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = q_edit_blocks(spark, td, cap=5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.truncated and r.n_docs == 12
+    assert r.n_pairs == 5 * 4 // 2        # capped, not 12·11/2
+    assert r.min_dist == 0 and r.n_close == r.n_pairs
