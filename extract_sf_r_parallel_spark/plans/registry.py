@@ -2452,7 +2452,8 @@ _GATE_FIRST = [
     "orient_hist", "glcm_texture", "hll_stream", "bloom_probe",
     "cms_grid", "rolling_stats", "stats_prune", "triangles",
     "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
-    "cms_stream", "motion_energy", "stream_sink",
+    "cms_stream", "motion_energy", "stream_sink", "cms_topk",
+    "ab_chisq_big", "ewma_features",
 ]
 
 
@@ -2642,6 +2643,57 @@ FROM events GROUP BY 1
 """
 
 QUERIES["stream_sink"] = q_stream_sink
+
+
+# --- streaming top-k heavy hitters (r07, VERDICT r06 next-#4): the
+# natural completion of the live Count-Min grid — drain a DAY-windowed
+# watermarked CMS (per-hour per-user counts are too thin in this
+# fixture to rank), then answer "which keys cleared the threshold in
+# each window" with the classic CMS point query: probe a bounded
+# candidate dictionary (broadcast) against all 4 hash rows, est = min
+# of the 4 cell counts, emit est ≥ 5. The oracle replays the md5 cell
+# arithmetic AND the probe exactly, so collisions that promote a key
+# are reproduced, not fudged.
+def q_cms_topk(spark, sf_dir):
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    cs = SE.windowed_cms(stream, window="1 day", watermark="1 day")
+    ck = scratch_dir("cms_topk_ck_")
+    SE.run_available_now(cs, "cms_topk_sink", ck, shuffle_partitions=4)
+    grid = (spark.table("cms_topk_sink")
+            .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
+            .withColumnRenamed("hour", "day"))
+    cand = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+    return SE.cms_heavy_hitters(grid, cand, threshold=5)
+
+
+ORACLE["cms_topk"] = """
+WITH grid AS (
+  SELECT date_trunc('day', ts) AS day, i AS sk_row,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms'
+                                  || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 256 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, LATERAL (SELECT UNNEST(range(0, 4)) AS i) u
+  GROUP BY 1, 2, 3
+), probe AS (
+  SELECT user_id, i AS sk_row,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':cms'
+                                  || CAST(i AS VARCHAR)), 1, 15))
+              AS BIGINT) % 256 AS cell
+  FROM (SELECT DISTINCT user_id FROM events) c,
+       LATERAL (SELECT UNNEST(range(0, 4)) AS i) u
+)
+SELECT day, user_id, MIN(cnt) AS est
+FROM grid JOIN probe USING (sk_row, cell)
+GROUP BY 1, 2
+HAVING COUNT(*) = 4 AND MIN(cnt) >= 5
+"""
+
+QUERIES["cms_topk"] = q_cms_topk
 
 
 # ---------------------------------------------------------------------------

@@ -1124,3 +1124,129 @@ FROM w
 """
 
 QUERIES["ab_chisq"] = q_ab_chisq
+
+
+# --- DECIMAL(38) chi-square (r07, VERDICT r06 next-#5): ab_chisq's
+# cross-multiplied form is int64-safe only to ~5e3 per cell; real A/B
+# tables exceed that. This variant scales the four cells by distinct
+# primes into the ~1e5-1e6 range (per-variant event counts × 101/103/
+# 107/109), so BOTH cross-multiplied sides overflow int64 (den ~1e25
+# at sf0.01) and the arithmetic must run in DECIMAL(38,0) end-to-end
+# — num peaks ~1e30, comfortably inside 38 digits even at sf0.1.
+# DuckDB replays it in HUGEINT (int128); both sides emit the big
+# products as digit strings so the comparison is exact, not float.
+def q_ab_chisq_big(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    conv = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    cells = e.groupBy((F.col("user_id") % 2).cast("int").alias("variant")) \
+        .agg(F.sum(conv).alias("rc"), F.sum(1 - conv).alias("rn"))
+    w = cells.agg(
+        (F.max(F.when(F.col("variant") == 0, F.col("rc"))) * 101)
+        .cast("long").alias("a"),
+        (F.max(F.when(F.col("variant") == 0, F.col("rn"))) * 103)
+        .cast("long").alias("b"),
+        (F.max(F.when(F.col("variant") == 1, F.col("rc"))) * 107)
+        .cast("long").alias("c2"),
+        (F.max(F.when(F.col("variant") == 1, F.col("rn"))) * 109)
+        .cast("long").alias("d"))
+    D = "decimal(38,0)"
+    a, b, c2, d = (F.col(x).cast(D) for x in ("a", "b", "c2", "d"))
+    n = a + b + c2 + d
+    det = a * d - b * c2
+    num = F.lit(100).cast(D) * n * det * det
+    den = (F.lit(384).cast(D) * (a + b) * (c2 + d)
+           * (a + c2) * (b + d))
+    return w.select(
+        "a", "b", "c2", "d",
+        num.cast("string").alias("chisq_num100"),
+        den.cast("string").alias("chisq_den384"),
+        (num > den).alias("significant_95"))
+
+
+ORACLE["ab_chisq_big"] = """
+WITH cells AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS rc,
+         SUM(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS rn
+  FROM events GROUP BY 1
+), w AS (
+  SELECT CAST(MAX(CASE WHEN variant = 0 THEN rc END) * 101 AS BIGINT) AS a,
+         CAST(MAX(CASE WHEN variant = 0 THEN rn END) * 103 AS BIGINT) AS b,
+         CAST(MAX(CASE WHEN variant = 1 THEN rc END) * 107 AS BIGINT) AS c2,
+         CAST(MAX(CASE WHEN variant = 1 THEN rn END) * 109 AS BIGINT) AS d
+  FROM cells
+), h AS (
+  SELECT a, b, c2, d,
+         CAST(a AS HUGEINT) AS ha, CAST(b AS HUGEINT) AS hb,
+         CAST(c2 AS HUGEINT) AS hc, CAST(d AS HUGEINT) AS hd
+  FROM w
+)
+SELECT a, b, c2, d,
+       CAST(100 * (ha+hb+hc+hd) * (ha*hd - hb*hc) * (ha*hd - hb*hc)
+            AS VARCHAR) AS chisq_num100,
+       CAST(384 * (ha+hb) * (hc+hd) * (ha+hc) * (hb+hd)
+            AS VARCHAR) AS chisq_den384,
+       100 * (ha+hb+hc+hd) * (ha*hd - hb*hc) * (ha*hd - hb*hc)
+         > 384 * (ha+hb) * (hc+hd) * (ha+hc) * (hb+hd) AS significant_95
+FROM h
+"""
+
+QUERIES["ab_chisq_big"] = q_ab_chisq_big
+
+
+# --- fixed-point EWMA user features (r07, VERDICT r06 next-#8): the
+# one common feature-pipeline op that was still absent. Floats under a
+# distributed fold aren't replayable (aggregation order), so this is
+# the scaled-integer design: α = 1/2 makes every decay weight an exact
+# binary fraction, values go to micro-units via floor(value·10⁴)
+# (floor, not round — identical IEEE semantics in both engines), and
+# the recursion unrolls over each user's K=8 NEWEST events as a
+# closed-form weighted sum: with events ranked newest r=1..n (n =
+# min(count, 8), seed = oldest), 2^{n−1}·EWMA = Σ x_r·c_r where
+# c_r = 2^{n−1−r} for r<n and c_n = 1. Emitted as exact integers
+# (numerator + the 2^{n−1} denominator), window-free: one row per
+# user, the "current smoothed activity" feature a training pipeline
+# joins on. One shuffle (the per-user window), pure JVM.
+def q_ewma_features(spark, sf_dir):
+    K = 8
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.floor(F.col("value") * 10000).cast("long").alias("xu"))
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                         F.col("event_id").desc())
+    r = (e.withColumn("rnk", F.row_number().over(w))
+         .filter(F.col("rnk") <= K)
+         .withColumn("n", F.count(F.lit(1)).over(W.partitionBy("user_id"))))
+    coef = F.when(
+        F.col("rnk") < F.col("n"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(n - 1 - rnk AS INT))")
+    ).otherwise(F.lit(1).cast("long"))
+    return (r.withColumn("coef", coef)
+            .groupBy("user_id")
+            .agg(F.max("n").cast("int").alias("n_used"),
+                 F.sum(F.col("coef") * F.col("xu")).alias("ewma_num"),
+                 F.expr("shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(max(n) - 1 AS INT))").alias("ewma_den")))
+
+
+ORACLE["ewma_features"] = """
+WITH e AS (
+  SELECT user_id,
+         CAST(FLOOR(value * 10000) AS BIGINT) AS xu,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rnk
+  FROM events
+), k AS (
+  SELECT user_id, xu, rnk,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM e WHERE rnk <= 8
+)
+SELECT user_id,
+       CAST(MAX(n) AS INT) AS n_used,
+       CAST(SUM(CASE WHEN rnk < n THEN (1::BIGINT << (n - 1 - rnk))
+                     ELSE 1 END * xu) AS BIGINT) AS ewma_num,
+       CAST(1::BIGINT << (MAX(n) - 1) AS BIGINT) AS ewma_den
+FROM k GROUP BY 1
+"""
+
+QUERIES["ewma_features"] = q_ewma_features

@@ -107,6 +107,45 @@ def windowed_cms(stream: DataFrame, window: str = "1 hour",
                     "cnt"))
 
 
+def cms_heavy_hitters(grid: DataFrame, candidates: DataFrame,
+                      threshold: int, width: int = 256, depth: int = 4,
+                      salt: str = "cms", key_col: str = "user_id") -> DataFrame:
+    """Top-k / heavy hitters from a drained Count-Min grid — the
+    classic CMS point query (Cormode & Muthukrishnan 2005): probe a
+    BOUNDED candidate dictionary against all `depth` hash rows;
+    est(key, window) = min over rows of the cell count; emit keys whose
+    estimate clears `threshold`. The candidate side is broadcast — at
+    scale it is a known key universe or yesterday's top-N, never the
+    raw stream — so the only big operand is the grid, which is already
+    ≤ depth·width rows per window.
+
+    Exactness of the plan shape: a missing (window, sk_row, cell) grid
+    row means count 0, so a key lacking any of its `depth` cells in a
+    window cannot clear a positive threshold — the inner join +
+    HAVING count(*) = depth drops it without materializing zeros.
+    CMS guarantees est ≥ true count: collisions can promote a key into
+    the output, never drop one — the emitted set is a superset of the
+    true heavy hitters, exactly reproducible from the same md5 cells
+    (the SQL oracle replays it)."""
+    depth_arr = F.array(*[F.lit(i) for i in range(depth)])
+    probe = (candidates.select(F.col(key_col).alias("_k")).distinct()
+             .select("_k", F.explode(depth_arr).alias("sk_row")))
+    h = F.md5(F.concat(F.col("_k").cast("string"), F.lit(":" + salt),
+                       F.col("sk_row").cast("string")))
+    probe = probe.withColumn(
+        "cell", F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % width)
+    time_cols = [c for c in grid.columns
+                 if c not in ("sk_row", "cell", "cnt")]
+    return (grid.join(F.broadcast(probe), ["sk_row", "cell"])
+            .groupBy(*time_cols, "_k")
+            .agg(F.count(F.lit(1)).alias("_nrows"),
+                 F.min("cnt").alias("est"))
+            .filter((F.col("_nrows") == depth)
+                    & (F.col("est") >= threshold))
+            .drop("_nrows")
+            .withColumnRenamed("_k", key_col))
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event ids within the watermark horizon."""
     return stream.withWatermark("ts", watermark) \

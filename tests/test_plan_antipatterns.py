@@ -44,7 +44,7 @@ LAZY = [
     "edit_blocks", "median_filter", "hilbert_stats", "orient_hist",
     "glcm_texture", "bloom_probe", "cms_grid", "rolling_stats",
     "triangles", "quality_checks", "textrank", "scd2_build",
-    "funnel_steps", "ab_chisq",
+    "funnel_steps", "ab_chisq", "ab_chisq_big", "ewma_features",
     # stats_prune / delete_rows commit IceLite snapshots at build —
     # excluded like compact_files; their COW scoping is pytest-pinned
 ]

@@ -523,3 +523,35 @@ def test_edit_blocks_caps_oversized_blocks(spark):
     assert r.truncated and r.n_docs == 12
     assert r.n_pairs == 5 * 4 // 2        # capped, not 12·11/2
     assert r.min_dist == 0 and r.n_close == r.n_pairs
+
+
+def test_ewma_closed_form_equals_serial_fold(spark):
+    """The unrolled 2^{n-1}-scaled weighted sum must equal the serial
+    EWMA recursion s_i = (x_i + s_{i-1}) / 2 seeded at the oldest
+    event — checked exactly in scaled-integer space per user."""
+    from fractions import Fraction
+
+    from extract_sf_r_parallel_spark.plans.relational import q_ewma_features
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: (r.n_used, r.ewma_num, r.ewma_den)
+           for r in q_ewma_features(spark, sf).collect()}
+    import duckdb
+    con = duckdb.connect()
+    rows = con.sql(f"""
+        SELECT user_id, CAST(FLOOR(value * 10000) AS BIGINT) AS xu
+        FROM '{sf}/events.parquet'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) <= 8
+        ORDER BY user_id, ts, event_id""").fetchall()
+    byu: dict = {}
+    for u, xu in rows:
+        byu.setdefault(u, []).append(xu)   # oldest → newest
+    assert set(byu) == set(got)
+    for u, xs in byu.items():
+        s = Fraction(xs[0])                # seed = oldest
+        for x in xs[1:]:
+            s = (Fraction(x) + s) / 2
+        n_used, num, den = got[u]
+        assert n_used == len(xs) and den == 2 ** (len(xs) - 1)
+        assert Fraction(num, den) == s, u
