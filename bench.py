@@ -164,6 +164,56 @@ def _skew_bench(spark, sf_dir: str, repeats: int) -> dict:
     return out
 
 
+def _layout_bench(spark, sf_dir: str) -> dict:
+    """Hilbert vs Z-order pruning quality (VERDICT r06 next-#7) — the
+    evidence for the locality claim in operators/hilbert.py: cluster
+    the SAME point set both ways at the SAME grid resolution (bits=10,
+    1024² cells) into 64 range-partitioned files, then measure what
+    per-file min/max stats would actually prune for three fixed range
+    probes. files_scanned = files whose bbox overlaps the probe (what
+    a manifest reader must open); sum_bbox_area = total per-file bbox
+    cover (lower = tighter files = better pruning for ANY probe). The
+    Hilbert curve never jumps, so its contiguous code ranges are
+    connected regions; Morton's Z-seam teleports glue far-apart strips
+    into one file."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from extract_sf_r_parallel_spark.operators.hilbert import cluster_by_hilbert
+    from extract_sf_r_parallel_spark.operators.zorder import cluster_by_zorder
+
+    pts = spatial_queries.points_df(spark, sf_dir).select("x", "y")
+    probes = [(2000.0, 3000.0, 2000.0, 3000.0),      # 1k square, off-seam
+              (9000.0, 11000.0, 9000.0, 11000.0),    # 2k square ON the
+              (500.0, 1500.0, 15000.0, 16500.0)]     # center Z-seam; edge
+    out: dict = {"probes": probes, "n_partitions": 64, "bits": 10}
+    for label, fn in (("morton", cluster_by_zorder),
+                      ("hilbert", cluster_by_hilbert)):
+        d = tempfile.mkdtemp(prefix=f"layout_{label}_")
+        try:
+            fn(pts, n_partitions=64, bits=10).drop("z", "hd") \
+                .write.mode("overwrite").parquet(d)
+            stats = (spark.read.parquet(d)
+                     .groupBy(F.input_file_name().alias("_f"))
+                     .agg(F.min("x").alias("x0"), F.max("x").alias("x1"),
+                          F.min("y").alias("y0"), F.max("y").alias("y1"))
+                     .collect())
+            scans = [sum(1 for r in stats
+                         if r.x1 >= qx0 and r.x0 <= qx1
+                         and r.y1 >= qy0 and r.y0 <= qy1)
+                     for qx0, qx1, qy0, qy1 in probes]
+            out[label] = {
+                "n_files": len(stats),
+                "files_scanned": scans,
+                "sum_bbox_area": round(sum((r.x1 - r.x0) * (r.y1 - r.y0)
+                                           for r in stats), 1),
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -239,6 +289,12 @@ def main() -> None:
         skew = {}
         errors["skew"] = f"{type(e).__name__}: {e}"[:300]
 
+    try:
+        layout = _layout_bench(spark, sf_dir)
+    except Exception as e:  # noqa: BLE001
+        layout = {}
+        errors["layout"] = f"{type(e).__name__}: {e}"[:300]
+
     # ---- LIVE streaming rows LAST — their state stores / memory
     # sinks can no longer contaminate anything above, and each sink is
     # dropped the moment its row is recorded.
@@ -283,6 +339,7 @@ def main() -> None:
         "rows_per_sec": round(n_pairs / join_wall, 1) if join_wall > 0 else None,
         "points_per_sec": round(n_points / join_wall, 1) if join_wall > 0 else None,
         "skew": skew,
+        "layout": layout,
         "cpus": cpus,
     }
     if errors:
