@@ -38,7 +38,8 @@ from ..data import codec
 __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
-           "median_stats", "orient_hist", "glcm_stats", "motion_stats"]
+           "median_stats", "orient_hist", "glcm_stats", "motion_stats",
+           "band_class", "otsu_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -658,3 +659,97 @@ def motion_stats(videos: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _MOTION_SCHEMA.fields])
     return videos.mapInPandas(gen, _MOTION_SCHEMA)
+
+
+_BAND_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_veg", T.LongType()),
+    T.StructField("n_water", T.LongType()),
+    T.StructField("n_neutral", T.LongType()),
+    T.StructField("diff_sum", T.LongType()),
+])
+
+
+def band_class(images: DataFrame) -> DataFrame:
+    """Band-math pixel classification (r07) — the NDVI pattern from
+    remote sensing mapped onto the RGB fixture: treating channel 2 as
+    NIR and channel 0 as red, classify each pixel by the sign and
+    magnitude of the normalized difference WITHOUT ever dividing —
+    NDVI > 0.1 ⇔ 10·(nir − red) > (nir + red), an exact integer
+    comparison both engines evaluate identically (the float ratio
+    would round differently at the class boundary). Emits per image
+    the vegetation / water / neutral pixel counts plus Σ(nir − red).
+
+    Scale: embarrassingly parallel mapInPandas, no shuffle; whole-
+    array NumPy comparisons, no per-pixel Python."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h) \
+                    .astype(np.int64)
+                red, nir = v[..., 0], v[..., 2]
+                veg = 10 * (nir - red) > (nir + red)
+                water = 10 * (red - nir) > (nir + red)
+                rows.append((r.image_id, int(veg.sum()), int(water.sum()),
+                             int((~(veg | water)).sum()),
+                             int((nir - red).sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _BAND_SCHEMA.fields])
+    return images.mapInPandas(gen, _BAND_SCHEMA)
+
+
+_OTSU_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("otsu_t", T.IntegerType()),
+    T.StructField("n0", T.LongType()),
+    T.StructField("n1", T.LongType()),
+    T.StructField("q_scaled", T.StringType()),
+])
+
+
+def otsu_stats(images: DataFrame) -> DataFrame:
+    """Otsu's automatic threshold (r07) on channel 0, exact-integer
+    formulation: over candidate thresholds t ∈ the image's DISTINCT
+    pixel values (class 0 = v ≤ t; the last value is excluded — empty
+    class 1 is not a split), maximize the between-class objective as
+    the 2^20-scaled floor quotient
+
+        q(t) = ((s0·n1 − s1·n0)² << 20) // (n0·n1)
+
+    with Python arbitrary-precision ints (the square peaks ~5·10²⁰,
+    past int64 — the oracle replays it in DuckDB HUGEINT, floor
+    division matching `//` on the non-negative operands). Ties break
+    to the LOWEST t. q is emitted as a digit string: exact, and too
+    wide for int64.
+
+    Scale: per-image work is one np.unique + a ≤256-step scan —
+    mapInPandas, no shuffle, independent of image size beyond the
+    histogram pass."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                n_tot = int(v.size)
+                s_tot = int(v.sum(dtype=np.int64))
+                vals, counts = np.unique(v, return_counts=True)
+                best = None
+                n0 = 0
+                s0 = 0
+                for val, cnt in zip(vals.tolist(), counts.tolist()):
+                    n0 += int(cnt)
+                    s0 += int(val) * int(cnt)
+                    n1 = n_tot - n0
+                    if n1 == 0:
+                        break
+                    num = (s0 * n1 - (s_tot - s0) * n0) ** 2
+                    q = (num << 20) // (n0 * n1)
+                    if best is None or q > best[0]:
+                        best = (q, int(val), n0, n1)
+                if best is not None:
+                    rows.append((r.image_id, best[1], best[2], best[3],
+                                 str(best[0])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _OTSU_SCHEMA.fields])
+    return images.mapInPandas(gen, _OTSU_SCHEMA)

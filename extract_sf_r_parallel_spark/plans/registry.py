@@ -2453,7 +2453,8 @@ _GATE_FIRST = [
     "cms_grid", "rolling_stats", "stats_prune", "triangles",
     "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
     "cms_stream", "motion_energy", "stream_sink", "cms_topk",
-    "ab_chisq_big", "ewma_features",
+    "ab_chisq_big", "ewma_features", "markov_transitions",
+    "attribution", "band_class", "otsu_threshold",
 ]
 
 
@@ -2694,6 +2695,104 @@ HAVING COUNT(*) = 4 AND MIN(cnt) >= 5
 """
 
 QUERIES["cms_topk"] = q_cms_topk
+
+
+# --- band-math classification (r07): remote sensing's NDVI pattern
+# over the image fixture — exact integer class boundary (10·(nir−red)
+# > nir+red ⇔ NDVI > 0.1, never a float ratio). Oracle re-derives BOTH
+# channels of every pixel from the Lehmer closed form (j = 3p red,
+# 3p+2 nir).
+def q_band_class(spark, sf_dir):
+    from ..operators.multimodal import band_class
+    return band_class(spark.createDataFrame(synth.images_pdf(120)))
+
+
+ORACLE["band_class"] = """
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), px AS (
+  SELECT image_id,
+    xor((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291,
+        ((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291) >> 16) % 256 AS red,
+    xor((((base + (3*p+2) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291,
+        ((((base + (3*p+2) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291) >> 16) % 256 AS nir
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p)
+)
+SELECT image_id,
+  CAST(SUM(CASE WHEN 10*(nir-red) > (nir+red) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_veg,
+  CAST(SUM(CASE WHEN 10*(red-nir) > (nir+red) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_water,
+  CAST(SUM(CASE WHEN 10*(nir-red) <= (nir+red)
+                 AND 10*(red-nir) <= (nir+red) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_neutral,
+  CAST(SUM(nir - red) AS BIGINT) AS diff_sum
+FROM px GROUP BY 1
+"""
+
+QUERIES["band_class"] = q_band_class
+
+
+# --- Otsu automatic threshold (r07): the histogram-based binarization
+# every raster/vision pipeline reaches for, in the exact-integer
+# formulation (operators/multimodal.otsu_stats): maximize the
+# 2^20-scaled floored between-class objective over the image's
+# distinct channel-0 values, ties to the lowest t. The square peaks
+# ~5e20 — past int64 — so the kernel runs Python big-ints and the
+# oracle replays the identical argmax in DuckDB HUGEINT; q crosses
+# engines as a digit string.
+def q_otsu_threshold(spark, sf_dir):
+    from ..operators.multimodal import otsu_stats
+    return otsu_stats(spark.createDataFrame(synth.images_pdf(90)))
+
+
+ORACLE["otsu_threshold"] = """
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(90) t(i)
+), px AS (
+  SELECT image_id, w*h AS n_tot,
+    xor((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291,
+        ((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291) >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p)
+), hist AS (
+  SELECT image_id, n_tot, v, COUNT(*) AS c FROM px GROUP BY 1, 2, 3
+), cum AS (
+  SELECT image_id, n_tot, v,
+    SUM(c) OVER (PARTITION BY image_id ORDER BY v) AS n0,
+    SUM(v*c) OVER (PARTITION BY image_id ORDER BY v) AS s0,
+    SUM(v*c) OVER (PARTITION BY image_id) AS s_tot
+  FROM hist
+), sc AS (
+  SELECT image_id, v, n0, n_tot - n0 AS n1,
+    ((CAST(s0 AS HUGEINT)*(n_tot-n0) - CAST(s_tot - s0 AS HUGEINT)*n0)
+     * (CAST(s0 AS HUGEINT)*(n_tot-n0) - CAST(s_tot - s0 AS HUGEINT)*n0)
+     * 1048576) // (CAST(n0 AS HUGEINT) * (n_tot - n0)) AS q
+  FROM cum WHERE n_tot - n0 > 0
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id
+                               ORDER BY q DESC, v ASC) AS rn
+  FROM sc
+)
+SELECT image_id, CAST(v AS INT) AS otsu_t, CAST(n0 AS BIGINT) AS n0,
+       CAST(n1 AS BIGINT) AS n1, CAST(q AS VARCHAR) AS q_scaled
+FROM rk WHERE rn = 1
+"""
+
+QUERIES["otsu_threshold"] = q_otsu_threshold
 
 
 # ---------------------------------------------------------------------------

@@ -1250,3 +1250,92 @@ FROM k GROUP BY 1
 """
 
 QUERIES["ewma_features"] = q_ewma_features
+
+
+# --- Markov transition matrix (r07): per-user event-type bigrams in
+# (ts, event_id) order — the session-modeling primitive (next-action
+# prediction features, anomaly scoring). One window (lag) + one
+# shuffle (groupBy); is_mode marks each source type's most likely
+# successor. Pure JVM.
+def q_markov_transitions(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    p = (e.select("user_id", "ts", "event_id", "event_type",
+                  F.lag("event_type").over(w).alias("prev_type"))
+         .filter(F.col("prev_type").isNotNull()))
+    c = p.groupBy(F.col("prev_type").alias("from_type"),
+                  F.col("event_type").alias("to_type")) \
+        .agg(F.count(F.lit(1)).alias("n"))
+    wf = W.partitionBy("from_type")
+    return (c.withColumn("n_from", F.sum("n").over(wf))
+            .withColumn("is_mode", F.col("n") == F.max("n").over(wf)))
+
+
+ORACLE["markov_transitions"] = """
+WITH p AS (
+  SELECT event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), c AS (
+  SELECT prev_type AS from_type, event_type AS to_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+       n = MAX(n) OVER (PARTITION BY from_type) AS is_mode
+FROM c
+"""
+
+QUERIES["markov_transitions"] = q_markov_transitions
+
+
+# --- conversion attribution (r07): for every purchase, credit the
+# user's FIRST and LAST preceding non-purchase touch (strict (ts,
+# event_id) order; no prior touch → 'organic'). The marketing twin of
+# funnel_steps: two ignore-nulls running windows, zero joins — the
+# whole attribution table is one pass.
+def q_attribution(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    o = e.select(
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("lt"),
+        F.first(touch, ignorenulls=True).over(w).alias("ft"))
+    pur = o.filter(F.col("event_type") == "purchase")
+    last = pur.groupBy(F.coalesce("lt", F.lit("organic"))
+                       .alias("touch_type")) \
+        .agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("kind", F.lit("last"))
+    first = pur.groupBy(F.coalesce("ft", F.lit("organic"))
+                        .alias("touch_type")) \
+        .agg(F.count(F.lit(1)).alias("n")) \
+        .withColumn("kind", F.lit("first"))
+    return last.unionByName(first).select("kind", "touch_type", "n")
+
+
+ORACLE["attribution"] = """
+WITH o AS (
+  SELECT event_type,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt,
+         FIRST_VALUE(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft
+  FROM events
+)
+SELECT 'last' AS kind, COALESCE(lt, 'organic') AS touch_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE event_type = 'purchase' GROUP BY 2
+UNION ALL
+SELECT 'first', COALESCE(ft, 'organic'), CAST(COUNT(*) AS BIGINT)
+FROM o WHERE event_type = 'purchase' GROUP BY 2
+"""
+
+QUERIES["attribution"] = q_attribution
