@@ -2454,7 +2454,8 @@ _GATE_FIRST = [
     "quality_checks", "delete_rows", "textrank", "scd2_build", "funnel_steps", "ab_chisq",
     "cms_stream", "motion_energy", "stream_sink", "cms_topk",
     "ab_chisq_big", "ewma_features", "markov_transitions",
-    "attribution", "band_class", "otsu_threshold",
+    "attribution", "band_class", "otsu_threshold", "vacuum_table",
+    "geohash_encode",
 ]
 
 
@@ -2793,6 +2794,67 @@ FROM rk WHERE rn = 1
 """
 
 QUERIES["otsu_threshold"] = q_otsu_threshold
+
+
+# --- snapshot expiry + orphan cleanup (r07): the vacuum half of
+# table maintenance next to compact_files — appends land one dir per
+# orderkey bucket, a partial DELETE rewrites only the hit dirs (their
+# originals become unreferenced), then expire_snapshots(keep_last=1)
+# drops every older manifest and unlinks the orphaned dirs. The read
+# AFTER vacuum must still answer the batch SQL exactly (proof no
+# referenced dir was unlinked), and all three audit counters are
+# derivable from the bucket/predicate structure, so the oracle pins
+# them: snapshots_removed = n_buckets (appends + delete − the one
+# kept), orphans_removed = hit buckets, dirs_kept = carried + 1
+# rewrite dir.
+_VAC_PRED = "(o_orderkey div 2048) % 3 = 1 AND o_orderkey % 5 < 2"
+
+
+def q_vacuum_table(spark, sf_dir):
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(scratch_dir("icelite_vac_"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .coalesce(1).cache())
+    buckets = sorted(r.bkt for r in orders.select(
+        F.expr("o_orderkey div 2048").alias("bkt")).distinct().collect())
+    for k in buckets:
+        t.append(orders.filter(F.expr(f"o_orderkey div 2048 = {k}")))
+    orders.unpersist()
+    t.delete_where(spark, _VAC_PRED)
+    audit = t.expire_snapshots(keep_last=1)
+    return (t.read(spark)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("sum_key"))
+            .withColumn("snapshots_removed",
+                        F.lit(audit["snapshots_removed"]).cast("int"))
+            .withColumn("orphans_removed",
+                        F.lit(audit["orphans_removed"]).cast("int"))
+            .withColumn("dirs_kept",
+                        F.lit(audit["dirs_kept"]).cast("int")))
+
+
+ORACLE["vacuum_table"] = f"""
+WITH b AS (
+  SELECT o_orderkey // 2048 AS bkt,
+         MAX(CASE WHEN {_VAC_PRED.replace("div", "//")} THEN 1 ELSE 0 END)
+           AS hit
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST((SELECT COUNT(*) FROM b) AS INT) AS snapshots_removed,
+       CAST((SELECT SUM(hit) FROM b) AS INT) AS orphans_removed,
+       CAST((SELECT COUNT(*) - SUM(hit)
+                    + CASE WHEN SUM(hit) > 0 THEN 1 ELSE 0 END FROM b)
+            AS INT) AS dirs_kept
+FROM orders WHERE NOT ({_VAC_PRED.replace("div", "//")})
+GROUP BY 1
+"""
+
+QUERIES["vacuum_table"] = q_vacuum_table
 
 
 # ---------------------------------------------------------------------------

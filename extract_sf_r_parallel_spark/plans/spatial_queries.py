@@ -2322,3 +2322,48 @@ GROUP BY 1
 """
 
 QUERIES["delete_rows"] = q_delete_rows
+
+
+# --- geohash encoding + prefix rollup (r07): the human-shareable
+# spatial index code next to Z-order and Hilbert — 5 bits/char base32,
+# longitude-first interleave, so a shared prefix IS a nested cell.
+# The query encodes every point at precision 6 (30 bits) and rolls up
+# per 4-char prefix: point count, distinct 6-char cells, and the
+# lexicographic cell range. The oracle evaluates the IDENTICAL
+# integer interleave + substr lookup (geohash_code_sql emits shared
+# SQL text; only div/// differs), so one flipped bit anywhere in 30
+# breaks the hash.
+def q_geohash_encode(spark, sf_dir):
+    from ..operators.geohash import with_geohash
+
+    g = with_geohash(points_df(spark, sf_dir), "x", "y",
+                     extent=20000.0, precision=6)
+    return (g.groupBy(F.substring("gh", 1, 4).alias("gh4"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("gh").alias("n_cells"),
+                 F.min("gh").alias("min_gh"),
+                 F.max("gh").alias("max_gh")))
+
+
+def _geohash_oracle() -> str:
+    from ..operators.geohash import geohash_chars_sql, geohash_code_sql
+    code = geohash_code_sql("x", "y", 20000.0, 15, div="//")
+    chars = geohash_chars_sql("code", 6, 30)
+    return f"""
+WITH pts AS ({_PTS_SQL}),
+c AS (
+  SELECT {code} AS code FROM pts
+), g AS (
+  SELECT {chars} AS gh FROM c
+)
+SELECT substr(gh, 1, 4) AS gh4,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT gh) AS BIGINT) AS n_cells,
+       MIN(gh) AS min_gh, MAX(gh) AS max_gh
+FROM g GROUP BY 1
+"""
+
+
+ORACLE["geohash_encode"] = _geohash_oracle()
+
+QUERIES["geohash_encode"] = q_geohash_encode

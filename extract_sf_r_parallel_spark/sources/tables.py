@@ -212,16 +212,13 @@ class IceLiteTable:
         the single update row rather than raising.
         """
         keys = [key] if isinstance(key, str) else list(key)
-        dup = (updates.groupBy(*keys).count()
-               .filter(F.col("count") > 1).limit(1).collect())
-        if dup:
-            bad = {k: dup[0][k] for k in keys}
-            raise ValueError(
-                f"merge_into updates batch has duplicate key {bad}: "
-                "Iceberg MERGE rejects multiple matches per key — "
-                "deduplicate the CDC batch first")
         parent = self._current_snapshot()
         if parent is None:
+            missing = [k for k in keys if k not in updates.columns]
+            if missing:
+                raise ValueError(
+                    f"merge key(s) {missing} not in table schema")
+            self._check_update_keys_unique(updates, keys)
             return self.append(updates, partition_by)
         updates = self._align_to_snapshot(updates, parent)
         schema = T.StructType.fromJson(json.loads(parent["schema"]))
@@ -229,6 +226,7 @@ class IceLiteTable:
         missing = [k for k in keys if k not in schema.fieldNames()]
         if missing:
             raise ValueError(f"merge key(s) {missing} not in table schema")
+        self._check_update_keys_unique(updates, keys)
         tagged = None
         for i, p in enumerate(parent["files"]):
             d = self._project(spark.read.parquet(p), schema, defaults) \
@@ -334,6 +332,50 @@ class IceLiteTable:
             .write.mode("overwrite").parquet(dirname)
         return self._commit(keep + [dirname], parent["schema"], parent,
                             "compact")
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Snapshot expiry + orphan-file cleanup — the other half of
+        table maintenance next to compact() (Iceberg's
+        `expire_snapshots` / `remove_orphan_files`): drop all but the
+        newest `keep_last` snapshot manifests, then delete every data
+        dir no RETAINED snapshot references. Time-travel to expired
+        snapshots is gone by design; the live snapshot (and everything
+        still referenced by a retained one) is untouched, so readers
+        see identical rows before and after. Returns
+        {"snapshots_removed", "snapshots_kept", "orphans_removed",
+        "dirs_kept"} — the audit counters a vacuum job logs.
+
+        At 100 TB this is pure metadata work plus unlinks: no data
+        file is read or rewritten, which is exactly why expiry (not
+        rewrite) is how lakehouses reclaim space."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1 (the live snapshot "
+                             "can never expire)")
+        snaps = sorted(
+            f for f in os.listdir(self.meta) if f.startswith("snap-"))
+        if not snaps:
+            raise FileNotFoundError(f"empty table at {self.root}")
+        drop, keep = snaps[:-keep_last], snaps[-keep_last:]
+        referenced: set[str] = set()
+        for name in keep:
+            with open(os.path.join(self.meta, name)) as f:
+                referenced.update(json.load(f)["files"])
+        for name in drop:
+            os.remove(os.path.join(self.meta, name))
+        data_root = os.path.join(self.root, "data")
+        orphans = 0
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                if full not in referenced:
+                    shutil.rmtree(full, ignore_errors=True)
+                    orphans += 1
+        return {"snapshots_removed": len(drop),
+                "snapshots_kept": len(keep),
+                "orphans_removed": orphans,
+                "dirs_kept": len(referenced)}
 
     # -- schema evolution -------------------------------------------------
     def add_column(self, name: str, sql_type: str, default=None) -> dict:
@@ -444,6 +486,21 @@ class IceLiteTable:
                 out = out.unionByName(d)
         out = out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return out, len(keep), len(snap["files"])
+
+    @staticmethod
+    def _check_update_keys_unique(updates: DataFrame, keys: list) -> None:
+        """Iceberg MERGE semantics: a CDC batch carrying the same key
+        more than once is rejected — silently inserting every
+        duplicate would corrupt the one-live-row-per-key invariant.
+        Runs AFTER schema/key validation so those raise first."""
+        dup = (updates.groupBy(*keys).count()
+               .filter(F.col("count") > 1).limit(1).collect())
+        if dup:
+            bad = {k: dup[0][k] for k in keys}
+            raise ValueError(
+                f"merge_into updates batch has duplicate key {bad}: "
+                "Iceberg MERGE rejects multiple matches per key — "
+                "deduplicate the CDC batch first")
 
     # -- manifest-stats value handling --------------------------------------
     _STATS_OK = (T.NumericType, T.StringType, T.BooleanType,

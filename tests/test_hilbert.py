@@ -66,3 +66,35 @@ def test_cluster_by_hilbert_sorts_within_partitions(spark):
     flat_bounds.sort()
     for (lo1, hi1), (lo2, hi2) in zip(flat_bounds, flat_bounds[1:]):
         assert hi1 <= lo2
+
+
+def test_geohash_matches_python_reference(spark):
+    """The unrolled SQL interleave must equal an independent bit-loop
+    geohash (longitude-first, 5 bits/char base32) on a point sample."""
+    from extract_sf_r_parallel_spark.operators.geohash import (
+        GEOHASH_ALPHABET,
+        with_geohash,
+    )
+
+    pts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        [(0, 0), (19999, 19999), (10000, 5000), (123, 17456),
+         (19995, 2), (7777, 7777)])]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    got = {r.pid: r.gh for r in with_geohash(df).collect()}
+
+    def ref(x, y):
+        qx = int(x) * 32768 // 20000
+        qy = int(y) * 32768 // 20000
+        code = 0
+        for m in range(15):             # lon bit, then lat bit, MSB first
+            code = (code << 1) | ((qx >> (14 - m)) & 1)
+            code = (code << 1) | ((qy >> (14 - m)) & 1)
+        return "".join(GEOHASH_ALPHABET[(code >> (30 - 5 * (k + 1))) & 31]
+                       for k in range(6))
+
+    for pid, x, y in pts:
+        assert got[pid] == ref(x, y), (pid, x, y)
+    # nesting: same 4-char prefix ⇔ same 20-bit cell
+    a = ref(10000, 5000)
+    b = ref(10000 + 1, 5000)            # 1 unit apart → same coarse cell
+    assert a[:4] == b[:4]

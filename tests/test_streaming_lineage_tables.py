@@ -513,3 +513,25 @@ def test_scratch_dirs_live_under_one_root():
     a, b = scratch_dir("x_"), scratch_dir("y_")
     assert a != b
     assert os.path.dirname(a) == os.path.dirname(b) == _ROOT[0]
+
+
+def test_icelite_expire_snapshots_removes_orphans_keeps_live(spark, tmp_path):
+    """Vacuum semantics: expired manifests and unreferenced data dirs
+    are gone, the live snapshot still answers exactly, and keep_last
+    protects everything a retained snapshot references."""
+    t = IceLiteTable(str(tmp_path / "tbl_vac"))
+    t.append(spark.createDataFrame([(i,) for i in range(10)], "pid int"))
+    t.append(spark.createDataFrame([(i,) for i in range(10, 20)], "pid int"))
+    t.delete_where(spark, "pid < 5")        # rewrites dir 0, carries dir 1
+    data_root = str(tmp_path / "tbl_vac" / "data")
+    assert len(os.listdir(data_root)) == 3  # 2 appends + 1 rewrite
+    audit = t.expire_snapshots(keep_last=1)
+    assert audit == {"snapshots_removed": 2, "snapshots_kept": 1,
+                     "orphans_removed": 1, "dirs_kept": 2}
+    assert len(os.listdir(data_root)) == 2
+    assert sorted(r.pid for r in t.read(spark).collect()) == list(range(5, 20))
+    # expired snapshots are gone for time travel
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=0)
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
