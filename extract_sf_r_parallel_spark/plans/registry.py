@@ -2455,7 +2455,7 @@ _GATE_FIRST = [
     "cms_stream", "motion_energy", "stream_sink", "cms_topk",
     "ab_chisq_big", "ewma_features", "markov_transitions",
     "attribution", "band_class", "otsu_threshold", "vacuum_table",
-    "geohash_encode",
+    "geohash_encode", "label_prop", "bpe_encode",
 ]
 
 

@@ -1339,3 +1339,89 @@ FROM o WHERE event_type = 'purchase' GROUP BY 2
 """
 
 QUERIES["attribution"] = q_attribution
+
+
+# --- label propagation communities (r07): the third graph kernel next
+# to the damped walk and degree-ordered triangles. Over the SYMMETRIZED
+# per-user transition graph (the pagerank_walk fixture, both
+# directions summed), every node starts as its own label and each
+# round adopts the neighbor label with the greatest total edge weight
+# — ties break to the SMALLEST label, so the semi-synchronous rounds
+# are fully deterministic and two unrolled rounds replay exactly in
+# SQL (votes = one edge join + grouped sum; winner = one row_number).
+# Isolated/unvoted nodes keep their label via the left join. Output:
+# every node's final label after 2 rounds.
+_LP_ITERS = 2
+
+
+def q_label_prop(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(F.col("k").alias("dst"),
+                 F.lag("k").over(w).alias("src")).filter("src IS NOT NULL")
+    g = (s.unionByName(s.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
+         .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("c")))
+    nodes = e.select(F.col("k").alias("node")).distinct()
+    lbl = nodes.withColumn("lbl", F.col("node"))
+    rk = W.partitionBy("node").orderBy(F.col("wt").desc(),
+                                       F.col("lbl").asc())
+    for _ in range(_LP_ITERS):
+        votes = (g.join(lbl, g.src == lbl.node)
+                 .groupBy(F.col("dst").alias("node"), "lbl")
+                 .agg(F.sum("c").alias("wt")))
+        win = (votes.withColumn("rn", F.row_number().over(rk))
+               .filter("rn = 1").select("node",
+                                        F.col("lbl").alias("new_lbl")))
+        lbl = (nodes.join(win, "node", "left")
+               .select("node", F.coalesce("new_lbl",
+                                          F.col("node")).alias("lbl")))
+    return lbl
+
+
+def _label_prop_oracle(iters: int = _LP_ITERS) -> str:
+    parts = [r"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k
+  FROM events
+), s AS (
+  SELECT k AS dst,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM e
+), g AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT src, dst FROM s WHERE src IS NOT NULL
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM s WHERE src IS NOT NULL
+  ) GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT k AS node FROM e
+), l0 AS (
+  SELECT node, node AS lbl FROM nodes
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""", v{k} AS (
+  SELECT g.dst AS node, m.lbl, SUM(g.c) AS wt
+  FROM g JOIN l{k-1} m ON m.node = g.src
+  GROUP BY 1, 2
+), w{k} AS (
+  SELECT node, lbl AS new_lbl
+  FROM (SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY wt DESC, lbl ASC) AS rn
+        FROM v{k})
+  WHERE rn = 1
+), l{k} AS (
+  SELECT n.node, COALESCE(w.new_lbl, n.node) AS lbl
+  FROM nodes n LEFT JOIN w{k} w USING (node)
+)""")
+    parts.append(f"\nSELECT node, lbl FROM l{iters}\n")
+    return "".join(parts)
+
+
+ORACLE["label_prop"] = _label_prop_oracle()
+
+QUERIES["label_prop"] = q_label_prop

@@ -769,6 +769,57 @@ ORACLE["bpe_vocab"] = _bpe_oracle()
 QUERIES["bpe_vocab"] = q_bpe_vocab
 
 
+# --- BPE tokenizer APPLICATION (r07): the other half of the
+# tokenizer lifecycle — bpe_vocab trains the merges, this applies them
+# and scores every document's tokenization: exact per-doc BPE token
+# count vs the character-token baseline (the compression a tokenizer
+# buys). Merges apply per word TYPE (the (word, repr) table is the
+# dimension side — at corpus scale it is the vocabulary, orders of
+# magnitude smaller than the corpus, the same collapse bpe_vocab
+# exploits), then one join back to the exploded corpus and a per-doc
+# sum. The oracle re-learns the identical merges in unrolled CTEs and
+# replays the join.
+def q_bpe_encode(spark, sf_dir):
+    from ..operators.bpe import learn_bpe
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word"))
+    w = d.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    _, reprs = learn_bpe(w, iters=3)
+    wt = reprs.select(
+        "word",
+        F.size(F.split(F.trim("repr"), " ")).cast("long").alias("ntok"),
+        F.length("word").cast("long").alias("nchar"))
+    return (d.join(wt, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("ntok").alias("n_tokens_bpe"),
+                 F.sum("nchar").alias("n_tokens_char")))
+
+
+def _bpe_encode_oracle(iters: int = 3) -> str:
+    base = _bpe_oracle(iters)
+    head = base[:base.rindex("\nSELECT tok AS token")]
+    return head + f"""
+, wt AS (
+  SELECT word, CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS ntok,
+         CAST(length(word) AS BIGINT) AS nchar
+  FROM r{iters}
+), d AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens_bpe,
+       CAST(SUM(nchar) AS BIGINT) AS n_tokens_char
+FROM d JOIN wt USING (word)
+GROUP BY 1
+"""
+
+
+ORACLE["bpe_encode"] = _bpe_encode_oracle()
+
+QUERIES["bpe_encode"] = q_bpe_encode
+
+
 # --- PMI collocation mining (r06): bigram pointwise mutual
 # information over the corpus, kept EXACT by cross-multiplication —
 # "PMI > ln 2" becomes the integer predicate c_xy·N > 2·c_x·c_y, so
