@@ -34,7 +34,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_registers", "hll_merge", "hll_estimate",
-           "bloom_bits", "bloom_probe", "cms_grid", "cms_estimate"]
+           "bloom_bits", "bloom_probe", "cms_grid", "cms_estimate",
+           "hist_bins", "hist_quantiles"]
 
 _HASH_BITS = 60  # 15 md5 hex chars — fits a signed 64-bit long
 
@@ -178,3 +179,47 @@ def cms_estimate(grid: list[tuple[int, int, int]], key,
         v = occupied.get((i, cell), 0)
         est = v if est is None else min(est, v)
     return est or 0
+
+
+def hist_bins(df: DataFrame, value: str, keys: tuple[str, ...],
+              bin_width: float = 2.0, n_bins: int = 256) -> DataFrame:
+    """The fourth sketch next to HLL / Bloom / Count-Min: a mergeable
+    equi-width HISTOGRAM for quantile queries — ≤`n_bins` rows per key
+    group, additive merge (map-side combinable), the bounded-state
+    answer to "p50/p90/p99 of a trillion values" where an exact sort
+    is off the table. Bin = floor(value / bin_width) clamped to
+    [0, n_bins): clamping (not dropping) keeps n exact so ranks stay
+    exact; only the answer's resolution is approximate — error is
+    bounded by one bin width by construction, never by data skew.
+    Returns (keys…, bin, c)."""
+    b = F.least(
+        F.greatest(F.floor(F.col(value) / bin_width).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1))
+    return (df.groupBy(*keys, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c")))
+
+
+def hist_quantiles(bins: DataFrame, keys: tuple[str, ...],
+                   bin_width: float = 2.0,
+                   quantiles: tuple[tuple[str, int, int], ...] = (
+                       ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+                   ) -> DataFrame:
+    """Answer quantile queries from a (keys…, bin, c) histogram: the
+    sketch answer for quantile num/den is the LOWER EDGE of the bin
+    containing the ceil(n·num/den)-th value — all integer arithmetic
+    (rank = (n·num + den − 1) div den), so the SQL oracle replays it
+    exactly. One cumulative window + one grouped conditional-min."""
+    from pyspark.sql import Window as W
+
+    kcols = list(keys)
+    w = W.partitionBy(*kcols).orderBy("bin")
+    wn = W.partitionBy(*kcols)
+    cum = (bins.withColumn("cum", F.sum("c").over(w))
+           .withColumn("n", F.sum("c").over(wn)))
+    aggs = [F.max("n").alias("n")]
+    for name, num, den in quantiles:
+        rank = F.expr(f"(n * {num} + {den - 1}) div {den}")
+        aggs.append(
+            (F.min(F.when(F.col("cum") >= rank, F.col("bin")))
+             * F.lit(bin_width)).alias(f"{name}_lo"))
+    return cum.groupBy(*kcols).agg(*aggs)

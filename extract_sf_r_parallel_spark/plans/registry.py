@@ -2455,7 +2455,8 @@ _GATE_FIRST = [
     "cms_stream", "motion_energy", "stream_sink", "cms_topk",
     "ab_chisq_big", "ewma_features", "markov_transitions",
     "attribution", "band_class", "otsu_threshold", "vacuum_table",
-    "geohash_encode", "label_prop", "bpe_encode",
+    "geohash_encode", "label_prop", "bpe_encode", "areal_interp",
+    "hist_quantiles", "quantile_stream",
 ]
 
 
@@ -2855,6 +2856,85 @@ GROUP BY 1
 """
 
 QUERIES["vacuum_table"] = q_vacuum_table
+
+
+# --- histogram quantile sketch, batch (r07): the fourth sketch next
+# to HLL / Bloom / Count-Min — bounded mergeable state (≤256 bins per
+# key) answering p50/p90/p99 where an exact sort of a trillion values
+# is off the table. All rank arithmetic integer (rank = ceil(n·q) via
+# (n·num + den−1) div den); the answer is the lower edge of the rank's
+# bin, so error ≤ one bin width by construction — and the oracle
+# replays every step exactly, approximation included.
+def q_hist_quantiles(spark, sf_dir):
+    from ..operators.sketch import hist_bins, hist_quantiles
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bins = hist_bins(e, "value", ("event_type",))
+    return hist_quantiles(bins, ("event_type",))
+
+
+ORACLE["hist_quantiles"] = """
+WITH h AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR(value / 2.0) AS INT), 0), 255) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, c,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum >= (n*1 + 1)//2   THEN bin END) * 2.0 AS p50_lo,
+       MIN(CASE WHEN cum >= (n*9 + 9)//10  THEN bin END) * 2.0 AS p90_lo,
+       MIN(CASE WHEN cum >= (n*99 + 99)//100 THEN bin END) * 2.0 AS p99_lo
+FROM cum GROUP BY 1
+"""
+
+QUERIES["hist_quantiles"] = q_hist_quantiles
+
+
+# --- histogram quantile sketch, LIVE (r07): the same bounded-state
+# histogram under a day window + watermark (streaming/events.py::
+# windowed_hist), drained and finished with the identical integer rank
+# arithmetic — the live "p99 latency per day" row every event pipeline
+# dashboards on. Batch replay over the same rows is the oracle.
+def q_quantile_stream(spark, sf_dir):
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    h = SE.windowed_hist(stream, window="1 day", watermark="1 day")
+    ck = scratch_dir("quantile_stream_ck_")
+    SE.run_available_now(h, "quantile_stream_sink", ck,
+                         shuffle_partitions=4)
+    from ..operators.sketch import hist_quantiles
+    bins = (spark.table("quantile_stream_sink")
+            .filter(F.col("day") < F.lit("2025-01-01").cast("timestamp")))
+    return hist_quantiles(bins, ("day", "event_type"))
+
+
+ORACLE["quantile_stream"] = """
+WITH h AS (
+  SELECT date_trunc('day', ts) AS day, event_type,
+         LEAST(GREATEST(CAST(FLOOR(value / 2.0) AS INT), 0), 255) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2, 3
+), cum AS (
+  SELECT day, event_type, bin, c,
+         SUM(c) OVER (PARTITION BY day, event_type ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY day, event_type) AS n
+  FROM h
+)
+SELECT day, event_type, CAST(MAX(n) AS BIGINT) AS n,
+       MIN(CASE WHEN cum >= (n*1 + 1)//2   THEN bin END) * 2.0 AS p50_lo,
+       MIN(CASE WHEN cum >= (n*9 + 9)//10  THEN bin END) * 2.0 AS p90_lo,
+       MIN(CASE WHEN cum >= (n*99 + 99)//100 THEN bin END) * 2.0 AS p99_lo
+FROM cum GROUP BY 1, 2
+"""
+
+QUERIES["quantile_stream"] = q_quantile_stream
 
 
 # ---------------------------------------------------------------------------

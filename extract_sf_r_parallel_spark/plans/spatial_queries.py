@@ -2367,3 +2367,71 @@ FROM g GROUP BY 1
 ORACLE["geohash_encode"] = _geohash_oracle()
 
 QUERIES["geohash_encode"] = q_geohash_encode
+
+
+# --- vector-vector areal interpolation (r07): transfer an attribute
+# from source polygons to target zones by OVERLAP AREA — the classic
+# census-reaggregation / dasymetric primitive (the vector twin of
+# zonal_weighted's raster coverage fractions). Each rect explodes
+# only over the 16×16-grid zones its bbox touches (bounded fan-out ≤4
+# here — never a zones×rects cross join), the rect∩zone area is the
+# closed-form clip of axis-aligned boxes, and because every fixture
+# coordinate is an integer-valued double the products and sums are
+# EXACT (≤1e10 ≪ 2^53) — no float accumulation order to disagree on.
+# Emits per zone the touching-rect count, Σ overlap area, and the
+# area-weighted attribute numerator Σ ryear·overlap (the division is
+# the consumer's — keeping the query integer-exact).
+def q_areal_interp(spark, sf_dir):
+    TILE, NT = 1250, 16
+    r = rects_df(spark, sf_dir).select(
+        "fid", "rxmin", "rymin", "rxmax", "rymax", "ryear")
+    zx0 = F.greatest(F.floor(F.col("rxmin") / TILE).cast("int"), F.lit(0))
+    zx1 = F.least(F.floor(F.col("rxmax") / TILE).cast("int"), F.lit(NT - 1))
+    zy0 = F.greatest(F.floor(F.col("rymin") / TILE).cast("int"), F.lit(0))
+    zy1 = F.least(F.floor(F.col("rymax") / TILE).cast("int"), F.lit(NT - 1))
+    e = (r.withColumn("zx", F.explode(F.sequence(zx0, zx1)))
+         .withColumn("zy", F.explode(F.sequence(zy0, zy1))))
+    ovx = (F.least(F.col("rxmax"), (F.col("zx") + 1) * F.lit(float(TILE)))
+           - F.greatest(F.col("rxmin"), F.col("zx") * F.lit(float(TILE))))
+    ovy = (F.least(F.col("rymax"), (F.col("zy") + 1) * F.lit(float(TILE)))
+           - F.greatest(F.col("rymin"), F.col("zy") * F.lit(float(TILE))))
+    return (e.withColumn("ovx", ovx).withColumn("ovy", ovy)
+            .filter((F.col("ovx") > 0) & (F.col("ovy") > 0))
+            .groupBy("zx", "zy")
+            .agg(F.count(F.lit(1)).alias("n_rects"),
+                 F.sum(F.col("ovx") * F.col("ovy")).cast("long")
+                 .alias("ov_sum"),
+                 F.sum(F.col("ryear") * F.col("ovx") * F.col("ovy"))
+                 .cast("long").alias("wsum")))
+
+
+ORACLE["areal_interp"] = f"""
+WITH r AS ({_RECTS_SQL}),
+z AS (
+  SELECT ryear, rxmin, rymin, rxmax, rymax,
+         GREATEST(CAST(FLOOR(rxmin/1250) AS INT), 0) AS zx0,
+         LEAST(CAST(FLOOR(rxmax/1250) AS INT), 15) AS zx1,
+         GREATEST(CAST(FLOOR(rymin/1250) AS INT), 0) AS zy0,
+         LEAST(CAST(FLOOR(rymax/1250) AS INT), 15) AS zy1
+  FROM r
+), e AS (
+  SELECT ryear, rxmin, rymin, rxmax, rymax,
+         zx0 + ix.i AS zx, zy0 + iy.j AS zy
+  FROM z,
+       LATERAL (SELECT UNNEST(range(zx1 - zx0 + 1)) AS i) ix,
+       LATERAL (SELECT UNNEST(range(zy1 - zy0 + 1)) AS j) iy
+), o AS (
+  SELECT zx, zy, ryear,
+         LEAST(rxmax, (zx+1)*1250) - GREATEST(rxmin, zx*1250) AS ovx,
+         LEAST(rymax, (zy+1)*1250) - GREATEST(rymin, zy*1250) AS ovy
+  FROM e
+)
+SELECT CAST(zx AS INT) AS zx, CAST(zy AS INT) AS zy,
+       CAST(COUNT(*) AS BIGINT) AS n_rects,
+       CAST(SUM(ovx*ovy) AS BIGINT) AS ov_sum,
+       CAST(SUM(ryear*ovx*ovy) AS BIGINT) AS wsum
+FROM o WHERE ovx > 0 AND ovy > 0
+GROUP BY 1, 2
+"""
+
+QUERIES["areal_interp"] = q_areal_interp

@@ -107,6 +107,28 @@ def windowed_cms(stream: DataFrame, window: str = "1 hour",
                     "cnt"))
 
 
+def windowed_hist(stream: DataFrame, window: str = "1 day",
+                  watermark: str = "1 day", col: str = "value",
+                  bin_width: float = 2.0, n_bins: int = 256) -> DataFrame:
+    """Per-window mergeable equi-width histogram — the live quantile
+    sketch (operators/sketch.hist_bins under a watermark): counts sum
+    under the windowed aggregation like any grouped count, state
+    bounded by n_bins rows per (window, event_type). Clamping (not
+    dropping) out-of-range values keeps n exact, so post-drain rank
+    arithmetic (hist_quantiles) is exact; only the answer's resolution
+    is one bin width. The batch histogram over the same rows IS the
+    oracle."""
+    b = F.least(
+        F.greatest(F.floor(F.col(col) / bin_width).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1))
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"),
+                     F.col("event_type"), b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(F.col("win.start").alias("day"), "event_type",
+                    "bin", "c"))
+
+
 def cms_heavy_hitters(grid: DataFrame, candidates: DataFrame,
                       threshold: int, width: int = 256, depth: int = 4,
                       salt: str = "cms", key_col: str = "user_id") -> DataFrame:

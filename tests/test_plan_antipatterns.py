@@ -46,7 +46,7 @@ LAZY = [
     "triangles", "quality_checks", "textrank", "scd2_build",
     "funnel_steps", "ab_chisq", "ab_chisq_big", "ewma_features",
     "markov_transitions", "attribution", "band_class", "otsu_threshold",
-    "geohash_encode", "label_prop",
+    "geohash_encode", "label_prop", "areal_interp", "hist_quantiles",
     # stats_prune / delete_rows commit IceLite snapshots at build —
     # excluded like compact_files; their COW scoping is pytest-pinned
 ]
