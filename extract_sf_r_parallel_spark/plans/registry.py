@@ -2456,7 +2456,8 @@ _GATE_FIRST = [
     "ab_chisq_big", "ewma_features", "markov_transitions",
     "attribution", "band_class", "otsu_threshold", "vacuum_table",
     "geohash_encode", "label_prop", "bpe_encode", "areal_interp",
-    "hist_quantiles", "quantile_stream",
+    "hist_quantiles", "quantile_stream", "ship_priority",
+    "caption_stats",
 ]
 
 
@@ -2935,6 +2936,69 @@ FROM cum GROUP BY 1, 2
 """
 
 QUERIES["quantile_stream"] = q_quantile_stream
+
+
+# --- caption × pixel joint analytics (r07): the multimodal JOIN the
+# north-star table exists for — caption-side attributes (subject/tone,
+# parsed from the caption STRING with regexp, so a corrupted caption
+# breaks the hash) grouped against exact decoded pixel sums from the
+# binary side. One mapInPandas decode + one broadcast-sized join + one
+# groupBy; the oracle re-derives the attributes from the fixture's
+# closed form and every pixel from the Lehmer hash — caption parsing
+# and codec round-trip are both load-bearing.
+def q_caption_stats(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ..data import codec
+
+    imgs = spark.createDataFrame(synth.images_pdf(240))
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(bytes(r.bytes), r.fmt, r.w, r.h)
+                rows.append((r.image_id,
+                             int(img[..., 0].astype(np.int64).sum()),
+                             int(r.w) * int(r.h)))
+            yield pd.DataFrame(rows, columns=["image_id", "sum0", "n_px"])
+
+    stats = imgs.mapInPandas(gen, "image_id string, sum0 long, n_px long")
+    subj = F.regexp_extract("caption", r"about subject (\d+)", 1).cast("int")
+    tone = F.regexp_extract("caption", r"in tone (\d+)", 1).cast("int")
+    return (imgs.select("image_id", subj.alias("subject"),
+                        tone.alias("tone"))
+            .join(stats, "image_id")
+            .groupBy("subject", "tone")
+            .agg(F.count(F.lit(1)).alias("n_images"),
+                 F.sum("sum0").alias("sum_px"),
+                 F.sum("n_px").alias("n_px")))
+
+
+ORACLE["caption_stats"] = """
+WITH imgs AS (
+  SELECT i, i % 13 AS subject, i % 7 AS tone,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT i, subject, tone, w, h,
+    xor((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291,
+        ((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291) >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p)
+)
+SELECT CAST(subject AS INT) AS subject, CAST(tone AS INT) AS tone,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_images,
+       CAST(SUM(v) AS BIGINT) AS sum_px,
+       CAST(COUNT(*) AS BIGINT) AS n_px
+FROM px GROUP BY 1, 2
+"""
+
+QUERIES["caption_stats"] = q_caption_stats
 
 
 # ---------------------------------------------------------------------------

@@ -1425,3 +1425,45 @@ WITH e AS (
 ORACLE["label_prop"] = _label_prop_oracle()
 
 QUERIES["label_prop"] = q_label_prop
+
+
+# --- shipping priority, exact-integer TPC-H Q3 (r07): the classic
+# 3-way join + revenue top-k, with the money math EXACT — prices and
+# discounts are 2-decimal doubles, so revenue is accumulated as
+# cents·(100−disc%) int64 (Σ ≤ ~1e13 ≪ 2^53 and summed as BIGINT
+# anyway): no float accumulation order to disagree on, unlike the
+# textbook SUM(price·(1−disc)). Top-10 by revenue with o_orderkey as
+# the deterministic tie-break.
+def q_ship_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter("c_mktsegment = 'BUILDING'")
+    o = _t(spark, sf_dir, "orders") \
+        .filter(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+    rev = (F.round(F.col("l_extendedprice") * 100).cast("long")
+           * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("revenue_c4"))
+            .orderBy(F.desc("revenue_c4"), F.asc("o_orderkey"))
+            .limit(10))
+
+
+ORACLE["ship_priority"] = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_c4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2000-01-01'
+  AND l_shipdate >= TIMESTAMP '2000-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_c4 DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+QUERIES["ship_priority"] = q_ship_priority

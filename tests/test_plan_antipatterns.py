@@ -47,6 +47,7 @@ LAZY = [
     "funnel_steps", "ab_chisq", "ab_chisq_big", "ewma_features",
     "markov_transitions", "attribution", "band_class", "otsu_threshold",
     "geohash_encode", "label_prop", "areal_interp", "hist_quantiles",
+    "ship_priority", "caption_stats",
     # stats_prune / delete_rows commit IceLite snapshots at build —
     # excluded like compact_files; their COW scoping is pytest-pinned
 ]
