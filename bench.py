@@ -228,18 +228,6 @@ def main() -> None:
         .mode("overwrite").save()
     registry.QUERIES["areadist_circle"](spark, sf_dir).limit(200) \
         .write.format("noop").mode("overwrite").save()
-    # pre-warm the heavy capstone (VERDICT r06 next-#2): plan-build
-    # already runs outside the timed loop and the LRU index cache makes
-    # repeat builds free, but the FIRST materialization additionally
-    # ships the fused-index broadcasts to every Python worker and pays
-    # cold shuffle/page-cache costs — one-time serial setup, not the
-    # steady-state signal. One untimed full materialization per HEAVY
-    # query so timed run 1 measures the query, same as run 2.
-    for _name in HEAVY:
-        try:
-            _materialize(registry.QUERIES[_name](spark, sf_dir))
-        except Exception:  # noqa: BLE001 — the timed loop will record it
-            pass
 
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     errors: dict[str, str] = {}
@@ -275,6 +263,18 @@ def main() -> None:
         try:
             fn = registry.QUERIES[name]
             df = fn(spark, sf_dir)
+            if name in HEAVY:
+                # pre-warm IMMEDIATELY before the timed runs (VERDICT
+                # r06 next-#2): the first materialization ships the
+                # fused-index broadcasts to every Python worker —
+                # one-time setup, not the steady-state signal. This
+                # must happen here, not in global warm-up: the 20
+                # headline queries in between evict the capstone's
+                # LRU index-cache entries, so a warm-up-time build
+                # would be rebuilt (new broadcast id) by this fn()
+                # call and run 1 would re-pay the shipping (r07 v1
+                # measured 58.9 s run 1 vs 16.7 s run 2 that way).
+                _materialize(df)
             n = min(repeats, HEAVY.get(name, repeats))
             runs = _timed_runs(df, n)
         except Exception as e:  # noqa: BLE001

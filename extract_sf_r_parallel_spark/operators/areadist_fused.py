@@ -57,7 +57,13 @@ __all__ = ["areadist_fused", "areadist_auto", "clear_index_cache"]
 # unpersisted. Callers that DO mutate a source mid-session (tests)
 # use clear_index_cache().
 _IDX_CACHE: OrderedDict = OrderedDict()
-_IDX_CACHE_MAX = 8
+# 16, not 8 (r07): a bench/gate sweep interleaves ~6 distinct areadist
+# layer sets before returning to the capstone's two — an 8-entry bound
+# evicted them, forcing a rebuild + fresh broadcast ship on the next
+# wide_merge call. Entries are small (packed rings of a broadcast-
+# gated layer — the gate itself bounds each build to the broadcast
+# envelope), so the bound exists to cap entry COUNT, not bytes.
+_IDX_CACHE_MAX = 16
 _COUNT_CACHE: OrderedDict = OrderedDict()
 
 

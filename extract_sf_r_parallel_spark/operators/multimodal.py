@@ -39,7 +39,7 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
-           "band_class", "otsu_stats"]
+           "band_class", "otsu_stats", "harris_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -753,3 +753,56 @@ def otsu_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _OTSU_SCHEMA.fields])
     return images.mapInPandas(gen, _OTSU_SCHEMA)
+
+
+_HARRIS_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_pos", T.LongType()),
+    T.StructField("n_corners", T.LongType()),
+    T.StructField("max_r16", T.LongType()),
+    T.StructField("sum_r16_m", T.LongType()),
+])
+
+
+def harris_stats(images: DataFrame, thresh: int = 0) -> DataFrame:
+    """Harris corner response (r07), exact-integer formulation: Sobel
+    gradients on channel 0, 3×3 box structure tensor (A=Σgx², B=Σgy²,
+    C=Σgxgy), and the response with k = 1/16 cleared of the division:
+
+        R16 = 16·(A·B − C²) − (A+B)²        (≤ ~1.4e15, int64-safe)
+
+    Per image: #(R16 > 0), #(R16 > thresh), max R16, and
+    Σ_{R16>0} (R16 div 2^20) — the positives-only floor-scaled sum
+    (positive operands ⇒ Spark's truncating `div` == DuckDB's flooring
+    `//`; a signed sum of raw R16 would overflow int64). Defined on
+    pixels ≥2 from the border (Sobel interior, then window interior).
+
+    Scale: shuffle-free mapInPandas, whole-array NumPy; the oracle
+    replays gradients AND window sums as two chained 9-offset scatter
+    joins."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                gx = ((v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2]))
+                gy = ((v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:]))
+
+                def box(a):
+                    return (a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+                            + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+                            + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:])
+
+                A, B, C = box(gx * gx), box(gy * gy), box(gx * gy)
+                r16 = 16 * (A * B - C * C) - (A + B) * (A + B)
+                pos = r16 > 0
+                rows.append((r.image_id, int(pos.sum()),
+                             int((r16 > thresh).sum()),
+                             int(r16.max()) if r16.size else 0,
+                             int((r16[pos] // (1 << 20)).sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _HARRIS_SCHEMA.fields])
+    return images.mapInPandas(gen, _HARRIS_SCHEMA)

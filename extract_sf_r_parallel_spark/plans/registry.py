@@ -3001,6 +3001,79 @@ FROM px GROUP BY 1, 2
 QUERIES["caption_stats"] = q_caption_stats
 
 
+# --- Harris corner response (r07): the interest-point detector next
+# to Sobel/HOG/GLCM, exact-integer (k=1/16 cleared of the division:
+# R16 = 16·(A·B−C²) − (A+B)², int64-safe at ≤~1.4e15). Restricted to
+# the 32×32 images so the oracle's TWO chained 9-offset scatter joins
+# (gradients, then box window sums) stay tractable; the positives-only
+# floor-scaled sum keeps div/// equivalent. Threshold tuned to split
+# the noise-fixture response distribution (n_pos > n_corners > 0).
+_HARRIS_THR = 2_000_000_000_000
+
+
+def q_harris_corners(spark, sf_dir):
+    from ..operators.multimodal import harris_stats
+    imgs = spark.createDataFrame(synth.images_pdf(216)) \
+        .filter("w = 32 AND h = 32")
+    return harris_stats(imgs, thresh=_HARRIS_THR)
+
+
+ORACLE["harris_corners"] = f"""
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id, 42 * 1000003 + i AS base
+  FROM range(216) t(i) WHERE i % 9 = 0
+), px AS (
+  SELECT image_id, (p // 32) AS py, (p % 32) AS pxx,
+    xor((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291,
+        ((((base + (3*p) * 2654435761) % 4294967291) * 279470273)
+          % 4294967291) >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(1024)) AS p)
+), offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (VALUES (-1), (0), (1)) dr(dr), (VALUES (-1), (0), (1)) dc(dc)
+), tgt AS (
+  SELECT c.image_id, c.py, c.pxx, o.dr, o.dc,
+         c.py + o.dr AS npy, c.pxx + o.dc AS npx
+  FROM px c CROSS JOIN offs o
+  WHERE c.py BETWEEN 1 AND 30 AND c.pxx BETWEEN 1 AND 30
+), g AS (
+  SELECT t.image_id, t.py, t.pxx,
+    SUM(n.v * t.dc * (2 - ABS(t.dr))) AS gx,
+    SUM(n.v * t.dr * (2 - ABS(t.dc))) AS gy
+  FROM tgt t
+  JOIN px n ON n.image_id = t.image_id
+           AND n.py = t.npy AND n.pxx = t.npx
+  GROUP BY 1, 2, 3
+), t2 AS (
+  SELECT c.image_id, c.py, c.pxx,
+         c.py + o.dr AS npy, c.pxx + o.dc AS npx
+  FROM g c CROSS JOIN offs o
+  WHERE c.py BETWEEN 2 AND 29 AND c.pxx BETWEEN 2 AND 29
+), w2 AS (
+  SELECT t.image_id, t.py, t.pxx,
+    SUM(n.gx * n.gx) AS a, SUM(n.gy * n.gy) AS b,
+    SUM(n.gx * n.gy) AS c2
+  FROM t2 t
+  JOIN g n ON n.image_id = t.image_id
+          AND n.py = t.npy AND n.pxx = t.npx
+  GROUP BY 1, 2, 3
+), r AS (
+  SELECT image_id, 16*(a*b - c2*c2) - (a+b)*(a+b) AS r16 FROM w2
+)
+SELECT image_id,
+  CAST(SUM(CASE WHEN r16 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+  CAST(SUM(CASE WHEN r16 > {_HARRIS_THR} THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_corners,
+  CAST(MAX(r16) AS BIGINT) AS max_r16,
+  CAST(SUM(CASE WHEN r16 > 0 THEN r16 // 1048576 ELSE 0 END)
+       AS BIGINT) AS sum_r16_m
+FROM r GROUP BY 1
+"""
+
+QUERIES["harris_corners"] = q_harris_corners
+
+
 # ---------------------------------------------------------------------------
 # Gate reorder — MUST stay the LAST statement that touches QUERIES.
 # Every registration above (including late waves appended at the end of

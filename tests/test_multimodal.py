@@ -426,3 +426,41 @@ def test_motion_stats_static_vs_cut(spark):
     assert got[("cutty", 1)] == (4, 4)                  # one pixel, +4
     assert got[("cutty", 2)] == ((200 - 10) * h * w - 4, 190)
     assert not any(k[0] == "single" for k in got)       # no pairs
+
+
+def test_harris_stats_matches_direct_formula(spark):
+    """harris_stats must equal the direct NumPy evaluation of
+    R16 = 16(AB − C²) − (A+B)² over Sobel gradients + 3×3 box sums."""
+    import numpy as np
+
+    from extract_sf_r_parallel_spark.data import codec, synth
+    from extract_sf_r_parallel_spark.operators.multimodal import harris_stats
+
+    pdf = synth.images_pdf(27)
+    pdf = pdf[(pdf.w == 32) & (pdf.h == 32)].reset_index(drop=True)
+    got = {r.image_id: r for r in
+           harris_stats(spark.createDataFrame(pdf),
+                        thresh=2_000_000_000_000).collect()}
+    assert len(got) == len(pdf) > 0
+    for r in pdf.itertuples():
+        v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+            .astype(np.int64)
+        gx = ((v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:])
+              - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2]))
+        gy = ((v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:])
+              - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:]))
+
+        def box(a):
+            return (a[:-2, :-2] + a[:-2, 1:-1] + a[:-2, 2:]
+                    + a[1:-1, :-2] + a[1:-1, 1:-1] + a[1:-1, 2:]
+                    + a[2:, :-2] + a[2:, 1:-1] + a[2:, 2:])
+
+        A, B, C = box(gx * gx), box(gy * gy), box(gx * gy)
+        r16 = 16 * (A * B - C * C) - (A + B) * (A + B)
+        g = got[r.image_id]
+        assert g.n_pos == int((r16 > 0).sum())
+        assert g.n_corners == int((r16 > 2_000_000_000_000).sum())
+        assert g.max_r16 == int(r16.max())
+        assert g.sum_r16_m == int((r16[r16 > 0] // (1 << 20)).sum())
+        # a corner is rarer than a positive response — threshold bites
+        assert 0 < g.n_corners < g.n_pos
