@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8",
+           "flow_dirs", "flow_accum",
            "contour_cases"]
 
 
@@ -169,8 +170,8 @@ _D8 = [
 ]
 
 
-def flow_d8(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
-            value: str = "value", block: int = 25) -> DataFrame:
+def flow_dirs(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+              value: str = "value") -> DataFrame:
     """D8 flow direction — hydrology's first derivative of a DEM
     (R raster/terra `terrain(opt="flowdir")`): each interior cell
     drains toward the steepest-descent neighbour among its 8, slope =
@@ -230,14 +231,66 @@ def flow_d8(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
         F.struct(F.lit(float("-inf")).alias("s"),
                  F.lit(-9).cast("int").alias("nd")),
         _merge)
-    per_cell = per_cell.select(
+    return per_cell.select(
         x, y,
         F.when(best["s"] > 0, -best["nd"]).otherwise(F.lit(0)).alias("dir"))
-    return (per_cell.groupBy(
+
+
+def flow_d8(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+            value: str = "value", block: int = 25) -> DataFrame:
+    """Per-(block × block) tile counts by D8 direction code — the
+    drainage-pattern summary over flow_dirs (see its docstring for
+    the scatter plan and the cross-engine determinism argument)."""
+    return (flow_dirs(cells, x, y, value).groupBy(
                 F.floor(F.col(x) / block).cast("long").alias("bx"),
                 F.floor(F.col(y) / block).cast("long").alias("by"),
                 "dir")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def flow_accum(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+               value: str = "value", rounds: int = 2,
+               block: int = 25) -> DataFrame:
+    """k-step D8 flow ACCUMULATION (r07) — hydrology's second
+    derivative: route unit mass down the flow_dirs graph for `rounds`
+    unrolled steps, acc_{r+1}(c) = 1 + Σ_{upstream u → c} acc_r(u).
+    After k rounds acc(c) counts the cells whose ≤k-step flow path
+    reaches c (k-step upslope contributing area; full convergence
+    would iterate to the longest flow path — same plan, more rounds,
+    the documented iterative-algorithm pattern shared with PageRank).
+    Every cell has at most ONE out-edge, so each round is exactly one
+    equi join + one map-side-combinable grouped sum + one left join
+    back to the cell frame — no fan-out blow-up. Mass flowing onto
+    non-interior cells leaves the accounted grid (identical on both
+    engines: the left join back to the interior frame drops it).
+    Returns per-tile (bx, by, sum_acc, max_acc)."""
+    dirs = flow_dirs(cells, x, y, value)
+    dxm = F.create_map(*[F.lit(v) for dx, dy, k, d in _D8
+                         for v in (d, dx)])
+    dym = F.create_map(*[F.lit(v) for dx, dy, k, d in _D8
+                         for v in (d, dy)])
+    edges = (dirs.filter(F.col("dir") > 0)
+             .select(F.col(x).alias("ex"), F.col(y).alias("ey"),
+                     (F.col(x) + dxm[F.col("dir")]).alias("tx"),
+                     (F.col(y) + dym[F.col("dir")]).alias("ty")))
+    base = dirs.select(F.col(x).alias("bx_"), F.col(y).alias("by_"))
+    acc = base.select(F.col("bx_").alias("ax"), F.col("by_").alias("ay"),
+                      F.lit(1).cast("long").alias("acc"))
+    for _ in range(rounds):
+        inflow = (edges.join(acc, (edges.ex == acc.ax)
+                             & (edges.ey == acc.ay))
+                  .groupBy("tx", "ty")
+                  .agg(F.sum("acc").alias("inflow")))
+        acc = (base.join(inflow, (base.bx_ == inflow.tx)
+                         & (base.by_ == inflow.ty), "left")
+               .select(F.col("bx_").alias("ax"), F.col("by_").alias("ay"),
+                       (F.lit(1) + F.coalesce("inflow", F.lit(0)))
+                       .cast("long").alias("acc")))
+    return (acc.groupBy(F.expr(f"ax div {block}").alias("tbx"),
+                        F.expr(f"ay div {block}").alias("tby"))
+            .agg(F.sum("acc").alias("sum_acc"),
+                 F.max("acc").alias("max_acc"))
+            .withColumnRenamed("tbx", "bx").withColumnRenamed("tby", "by"))
 
 
 def contour_cases(cells: DataFrame, iso: int, x: str = "cell_x",

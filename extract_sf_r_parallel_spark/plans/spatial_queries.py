@@ -2435,3 +2435,62 @@ GROUP BY 1, 2
 """
 
 QUERIES["areal_interp"] = q_areal_interp
+
+
+# --- k-step D8 flow accumulation (r07): hydrology's second
+# derivative over flow_d8's directions — route unit mass downslope
+# for 2 unrolled rounds; acc(c) = cells whose ≤2-step flow path
+# reaches c (the k-step upslope contributing area; full convergence
+# is the same plan with more rounds — the PageRank-shaped iterative
+# pattern). Single out-edge per cell ⇒ each round is ONE equi join +
+# ONE grouped sum; the oracle unrolls the identical rounds over the
+# closed-form DEM.
+def q_flow_accum(spark, sf_dir):
+    from ..operators.focal import flow_accum
+    return flow_accum(raster_df(spark), x="cx", y="cy", value="v",
+                      rounds=2)
+
+
+ORACLE["flow_accum"] = f"""
+WITH offs(dx, dy, k, dir) AS (
+  VALUES (1,0,1,1),(1,1,2,2),(0,1,1,3),(-1,1,2,4),
+         (-1,0,1,5),(-1,-1,2,6),(0,-1,1,7),(1,-1,2,8)
+), sl AS (
+  SELECT cx, cy, dir,
+         CAST({_rval('cx', 'cy')} - {_rval('(cx + dx)', '(cy + dy)')}
+              AS DOUBLE) / SQRT(CAST(k AS DOUBLE)) AS s
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy), offs
+  WHERE cx BETWEEN 1 AND {_RN - 2} AND cy BETWEEN 1 AND {_RN - 2}
+), best AS (
+  SELECT cx, cy, dir, s,
+         ROW_NUMBER() OVER (PARTITION BY cx, cy
+                            ORDER BY s DESC, dir) AS rn
+  FROM sl
+), d AS (
+  SELECT cx, cy, CASE WHEN s > 0 THEN dir ELSE 0 END AS dir
+  FROM best WHERE rn = 1
+), e AS (
+  SELECT d.cx, d.cy, d.cx + o.dx AS tx, d.cy + o.dy AS ty
+  FROM d JOIN offs o USING (dir) WHERE d.dir > 0
+), a0 AS (
+  SELECT cx, cy, CAST(1 AS BIGINT) AS acc FROM d
+), i1 AS (
+  SELECT tx, ty, SUM(a.acc) AS s FROM e JOIN a0 a
+    ON a.cx = e.cx AND a.cy = e.cy GROUP BY 1, 2
+), a1 AS (
+  SELECT d.cx, d.cy, CAST(1 + COALESCE(i.s, 0) AS BIGINT) AS acc
+  FROM d LEFT JOIN i1 i ON i.tx = d.cx AND i.ty = d.cy
+), i2 AS (
+  SELECT tx, ty, SUM(a.acc) AS s FROM e JOIN a1 a
+    ON a.cx = e.cx AND a.cy = e.cy GROUP BY 1, 2
+), a2 AS (
+  SELECT d.cx, d.cy, CAST(1 + COALESCE(i.s, 0) AS BIGINT) AS acc
+  FROM d LEFT JOIN i2 i ON i.tx = d.cx AND i.ty = d.cy
+)
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CAST(SUM(acc) AS BIGINT) AS sum_acc,
+       CAST(MAX(acc) AS BIGINT) AS max_acc
+FROM a2 GROUP BY 1, 2
+"""
+
+QUERIES["flow_accum"] = q_flow_accum

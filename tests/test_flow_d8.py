@@ -5,7 +5,8 @@ smallest-code ties, pit/flat code 0."""
 import numpy as np
 import pandas as pd
 
-from extract_sf_r_parallel_spark.operators.focal import _D8, flow_d8
+from extract_sf_r_parallel_spark.operators.focal import (_D8, flow_accum,
+                                                         flow_d8)
 
 
 def brute_d8(h: np.ndarray) -> np.ndarray:
@@ -60,3 +61,52 @@ def test_pit_and_flat_code_zero(spark):
     got2 = _run(spark, h2, block=100)
     pit_rows = got2[got2.dir == 0]
     assert pit_rows.n.sum() == 1             # only the pit stays 0
+
+
+def brute_accum(h: np.ndarray, rounds: int) -> np.ndarray:
+    """k-step accumulation over brute_d8 directions (interior only)."""
+    H, W = h.shape
+    want = brute_d8(h)
+    step = {d: (dx, dy) for dx, dy, _, d in _D8}
+    acc = np.where(want >= 0, 1, 0).astype(np.int64)
+    for _ in range(rounds):
+        nxt = np.where(want >= 0, 1, 0).astype(np.int64)
+        for yy in range(1, H - 1):
+            for xx in range(1, W - 1):
+                d = want[yy, xx]
+                if d > 0:
+                    dx, dy = step[d]
+                    ty, tx = yy + dy, xx + dx
+                    if want[ty, tx] >= 0:    # mass onto edge cells leaves
+                        nxt[ty, tx] += acc[yy, xx]
+        acc = nxt
+    return np.where(want >= 0, acc, 0)
+
+
+def test_flow_accum_matches_brute_force(spark):
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 40, (11, 11)).astype(np.int64)
+    rows = [(xx, yy, int(h[yy, xx])) for yy in range(11) for xx in range(11)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["cx", "cy", "v"]))
+    got = flow_accum(df, x="cx", y="cy", value="v",
+                     rounds=2, block=4).toPandas()
+    want = brute_accum(h, rounds=2)
+    exp = {}
+    for yy in range(1, 10):
+        for xx in range(1, 10):
+            k = (xx // 4, yy // 4)
+            s, m = exp.get(k, (0, 0))
+            exp[k] = (s + want[yy, xx], max(m, want[yy, xx]))
+    got_map = {(r.bx, r.by): (r.sum_acc, r.max_acc)
+               for r in got.itertuples()}
+    assert got_map == exp
+    # a tilted plane: every interior cell drains west; after 2 rounds
+    # acc = min(3, cells to its east within the interior strip)
+    h2 = np.tile(np.arange(8, dtype=np.int64) * 5, (8, 1))
+    rows2 = [(xx, yy, int(h2[yy, xx])) for yy in range(8) for xx in range(8)]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2, columns=["cx", "cy", "v"]))
+    got2 = flow_accum(df2, x="cx", y="cy", value="v",
+                      rounds=2, block=100).toPandas()
+    # interior cols x=1..6, 6 rows: acc by col = [3,3,3,3,2,1] per row
+    assert int(got2.sum_acc.iloc[0]) == 6 * (3 + 3 + 3 + 3 + 2 + 1)
+    assert int(got2.max_acc.iloc[0]) == 3
