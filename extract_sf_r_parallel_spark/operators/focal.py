@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8",
-           "flow_dirs", "flow_accum",
+           "flow_dirs", "flow_accum", "dist_transform",
            "contour_cases"]
 
 
@@ -291,6 +291,55 @@ def flow_accum(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
             .agg(F.sum("acc").alias("sum_acc"),
                  F.max("acc").alias("max_acc"))
             .withColumnRenamed("tbx", "bx").withColumnRenamed("tby", "by"))
+
+
+def dist_transform(cells: DataFrame, thresh: int, x: str = "cell_x",
+                   y: str = "cell_y", value: str = "value",
+                   rounds: int = 3, block: int = 25) -> DataFrame:
+    """k-bounded city-block DISTANCE TRANSFORM (r07) — the raster
+    proximity operator (R terra `distance()`, GDAL proximity): per
+    cell, the L1 distance to the nearest "feature" cell (value ≥
+    thresh), capped at `rounds` (cells farther than the cap report
+    the sentinel rounds+1 — "beyond the horizon", exactly what a
+    bounded buffer query needs). Min-plus relaxation over the
+    4-neighbour grid, unrolled `rounds` times:
+
+        d₀(c)   = 0 if feature else cap
+        dᵣ₊₁(c) = min(dᵣ(c), 1 + min₄ dᵣ(n))
+
+    Each round is one explode(4 offsets) scatter + one map-side-
+    combinable grouped MIN + one join back onto the cell frame — the
+    flow_accum iterative shape with MIN replacing SUM. The fan-out is
+    a literal-array explode, never a self-join, and partial
+    aggregation collapses it before the shuffle under any spatially
+    clustered layout. Distances are exact within the cap: round r
+    settles every cell at distance ≤ r, so `rounds` iterations settle
+    the full capped field (the bounded-Bellman-Ford argument).
+    Returns per-(block × block) tile (bx, by, sum_d, n_reached) —
+    capped-distance mass and the count of cells within the horizon."""
+    cap = rounds + 1
+    base = cells.select(
+        F.col(x).alias("dx_"), F.col(y).alias("dy_"),
+        F.when(F.col(value) >= thresh, 0).otherwise(cap)
+        .cast("long").alias("d"))
+    offs = F.array(*[F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+                     for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1))])
+    cur = base
+    for _ in range(rounds):
+        nbr = (cur.select(F.explode(offs).alias("o"), "dx_", "dy_", "d")
+               .groupBy((F.col("dx_") + F.col("o.ox")).alias("tx"),
+                        (F.col("dy_") + F.col("o.oy")).alias("ty"))
+               .agg(F.min(F.col("d") + 1).alias("nd")))
+        cur = (cur.join(nbr, (F.col("dx_") == nbr.tx)
+                        & (F.col("dy_") == nbr.ty), "left")
+               .select("dx_", "dy_",
+                       F.least("d", F.coalesce("nd", F.lit(cap)))
+                       .alias("d")))
+    return (cur.groupBy(F.expr(f"dx_ div {block}").alias("bx"),
+                        F.expr(f"dy_ div {block}").alias("by"))
+            .agg(F.sum("d").alias("sum_d"),
+                 F.count(F.when(F.col("d") <= rounds, 1))
+                 .alias("n_reached")))
 
 
 def contour_cases(cells: DataFrame, iso: int, x: str = "cell_x",

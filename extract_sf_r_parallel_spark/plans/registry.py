@@ -2457,7 +2457,7 @@ _GATE_FIRST = [
     "attribution", "band_class", "otsu_threshold", "vacuum_table",
     "geohash_encode", "label_prop", "bpe_encode", "areal_interp",
     "hist_quantiles", "quantile_stream", "ship_priority",
-    "caption_stats", "flow_accum",
+    "caption_stats", "flow_accum", "harris_corners", "dist_transform",
 ]
 
 

@@ -2494,3 +2494,44 @@ FROM a2 GROUP BY 1, 2
 """
 
 QUERIES["flow_accum"] = q_flow_accum
+
+
+# --- k-bounded city-block distance transform (r07): per cell, L1
+# distance to the nearest feature cell (v ≥ 990, ~1% density), capped
+# at 3 (sentinel 4 = beyond horizon). Min-plus relaxation over the
+# 4-neighbour grid, 3 unrolled rounds — each ONE explode scatter +
+# ONE grouped MIN + ONE left join (flow_accum's iterative shape with
+# MIN for SUM; round r settles every cell at distance ≤ r, the
+# bounded-Bellman-Ford argument). The oracle unrolls the identical
+# relaxation over the closed-form DEM.
+def q_dist_transform(spark, sf_dir):
+    from ..operators.focal import dist_transform
+    return dist_transform(raster_df(spark), thresh=990,
+                          x="cx", y="cy", value="v", rounds=3)
+
+
+def _dt_round(prev: str, cur_n: str, cur_d: str) -> str:
+    return f"""{cur_n} AS (
+  SELECT cx + ox AS tx, cy + oy AS ty, MIN(d + 1) AS nd
+  FROM {prev}, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(ox, oy)
+  GROUP BY 1, 2
+), {cur_d} AS (
+  SELECT p.cx, p.cy, LEAST(p.d, COALESCE(n.nd, 4)) AS d
+  FROM {prev} p LEFT JOIN {cur_n} n ON n.tx = p.cx AND n.ty = p.cy
+)"""
+
+
+ORACLE["dist_transform"] = f"""
+WITH d0 AS (
+  SELECT cx, cy,
+         CASE WHEN {_RVAL} >= 990 THEN 0 ELSE 4 END AS d
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+), {_dt_round('d0', 'n1', 'd1')}, {_dt_round('d1', 'n2', 'd2')},
+{_dt_round('d2', 'n3', 'd3')}
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       COUNT(CASE WHEN d <= 3 THEN 1 END) AS n_reached
+FROM d3 GROUP BY 1, 2
+"""
+
+QUERIES["dist_transform"] = q_dist_transform

@@ -48,6 +48,8 @@ LAZY = [
     "markov_transitions", "attribution", "band_class", "otsu_threshold",
     "geohash_encode", "label_prop", "areal_interp", "hist_quantiles",
     "ship_priority", "caption_stats",
+    # r07 late wave
+    "harris_corners", "flow_accum", "dist_transform",
     # stats_prune / delete_rows commit IceLite snapshots at build —
     # excluded like compact_files; their COW scoping is pytest-pinned
 ]
