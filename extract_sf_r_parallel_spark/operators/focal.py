@@ -30,7 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8",
-           "flow_dirs", "flow_accum", "dist_transform",
+           "flow_dirs", "flow_accum", "dist_transform", "cost_distance",
+           "nms_peaks", "upsample2", "mode_resample",
            "contour_cases"]
 
 
@@ -340,6 +341,152 @@ def dist_transform(cells: DataFrame, thresh: int, x: str = "cell_x",
             .agg(F.sum("d").alias("sum_d"),
                  F.count(F.when(F.col("d") <= rounds, 1))
                  .alias("n_reached")))
+
+
+def cost_distance(cells: DataFrame, src_thresh: int, x: str = "cell_x",
+                  y: str = "cell_y", value: str = "value",
+                  rounds: int = 3, block: int = 25) -> DataFrame:
+    """k-bounded COST-DISTANCE surface (r07) — the weighted sibling of
+    dist_transform (R terra `costDist()`, GRASS r.cost, ArcGIS Cost
+    Distance): per cell, the cheapest accumulated traversal cost from
+    any source cell (value ≥ src_thresh), stepping 4-connected, where
+    entering cell c costs cost(c) = value(c) % 9 + 1 ∈ [1, 9]. The
+    min-plus (tropical) relaxation, unrolled `rounds` times:
+
+        d₀(c)   = 0 if source else CAP
+        dᵣ₊₁(c) = min(dᵣ(c), min₄ dᵣ(n) + cost(c))
+
+    with CAP = 9·rounds + 1 (one more than any reachable cost within
+    `rounds` hops — the "beyond the horizon" sentinel). Each round is
+    one literal-array explode scatter + one map-side-combinable
+    grouped MIN + one join back onto the cell frame — never a
+    self-join, same 100 TB shape as flow_accum/dist_transform. Round
+    r settles every cell whose cheapest path uses ≤ r steps, so the
+    k-bounded field is exact (bounded Bellman-Ford over the tropical
+    semiring). Returns per-(block × block) tile (bx, by, sum_d,
+    n_reached)."""
+    cap = 9 * rounds + 1
+    base = cells.select(
+        F.col(x).alias("cx_"), F.col(y).alias("cy_"),
+        (F.col(value) % 9 + 1).cast("long").alias("cost"),
+        F.when(F.col(value) >= src_thresh, 0).otherwise(cap)
+        .cast("long").alias("d"))
+    offs = F.array(*[F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+                     for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1))])
+    cur = base
+    for _ in range(rounds):
+        nbr = (cur.select(F.explode(offs).alias("o"), "cx_", "cy_", "d")
+               .groupBy((F.col("cx_") + F.col("o.ox")).alias("tx"),
+                        (F.col("cy_") + F.col("o.oy")).alias("ty"))
+               .agg(F.min("d").alias("nd")))
+        # least(d, nbr_min + own cost); a CAP-valued neighbour can only
+        # produce ≥ CAP, which least() discards against d ≤ CAP
+        cur = (cur.join(nbr, (F.col("cx_") == nbr.tx)
+                        & (F.col("cy_") == nbr.ty), "left")
+               .select("cx_", "cy_", "cost",
+                       F.least("d", F.coalesce(F.col("nd") + F.col("cost"),
+                                               F.lit(cap))).alias("d")))
+    return (cur.groupBy(F.expr(f"cx_ div {block}").alias("bx"),
+                        F.expr(f"cy_ div {block}").alias("by"))
+            .agg(F.sum("d").alias("sum_d"),
+                 F.count(F.when(F.col("d") < cap, 1)).alias("n_reached")))
+
+
+def nms_peaks(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+              value: str = "value", block: int = 25) -> DataFrame:
+    """3×3 NON-MAXIMUM SUPPRESSION (r07) — the peak/keypoint selection
+    step every detector runs after a response map (Harris corners,
+    SIFT DoG, terrain summit extraction): keep cells whose value is a
+    STRICT maximum over their 8-neighbourhood. One literal explode of
+    the 8 offsets scatters each cell's value onto its neighbours, one
+    map-side-combinable grouped MAX gives every target its
+    neighbourhood max, one join back compares — never a self-join. A
+    cell is interior iff all 8 contributions arrived (n = 8), which
+    detects the raster edge on a sparse table without knowing the
+    extent. Returns per-(block × block) tile (bx, by, n_interior,
+    n_peaks, sum_peak_v)."""
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                     if (dx, dy) != (0, 0)])
+    nbr = (cells.select(x, y, value)
+           .withColumn("_o", F.explode(offs))
+           .groupBy((F.col(x) + F.col("_o.dx")).alias("tx"),
+                    (F.col(y) + F.col("_o.dy")).alias("ty"))
+           .agg(F.max(value).alias("nbr_max"),
+                F.count(F.lit(1)).alias("n_nbr")))
+    j = (cells.join(nbr, (F.col(x) == nbr.tx) & (F.col(y) == nbr.ty))
+         .filter(F.col("n_nbr") == 8))
+    return (j.groupBy(F.expr(f"{x} div {block}").alias("bx"),
+                      F.expr(f"{y} div {block}").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_interior"),
+                 F.count(F.when(F.col(value) > F.col("nbr_max"), 1))
+                 .alias("n_peaks"),
+                 F.sum(F.when(F.col(value) > F.col("nbr_max"),
+                              F.col(value)).otherwise(0))
+                 .alias("sum_peak_v")))
+
+
+def upsample2(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+              value: str = "value", block: int = 50) -> DataFrame:
+    """Exact 2× BILINEAR DISAGGREGATION (r07) — R terra
+    `disagg(..., method="bilinear")` / GDAL `-r bilinear -tr pitch/2`:
+    resample the grid to double resolution with half-pixel-centre
+    alignment, sx = tx/2 − 0.25. Per axis the two source weights are
+    always {¾, ¼}, so the 2-D stencil weights are {9, 3, 3, 1}/16 —
+    kept as INTEGERS scaled by 16 (v16 = 16 × bilinear value), making
+    the op bit-exact across engines with zero float ops. SCATTER plan:
+    each source cell emits its 16 weighted contributions (4 targets
+    per axis: 2x−1 w1, 2x w3, 2x+1 w3, 2x+2 w1) through one literal
+    explode, one map-side-combinable grouped SUM assembles each
+    target; a target is interior iff all 4 sources arrived, detected
+    by Σweights = 16 ⟺ n = 4 — no extent knowledge needed. Returns
+    per-(block × block)-of-the-FINE-grid tile (bx, by, n_cells,
+    sum_v16)."""
+    per_axis = ((-1, 1), (0, 3), (1, 3), (2, 1))  # (target − 2·src, w)
+    offs = F.array(*[F.struct(F.lit(ax).alias("ax"), F.lit(ay).alias("ay"),
+                              F.lit(wx * wy).alias("w"))
+                     for ax, wx in per_axis for ay, wy in per_axis])
+    return (cells.select(x, y, value)
+            .withColumn("_o", F.explode(offs))
+            .groupBy((F.col(x) * 2 + F.col("_o.ax")).alias("tx"),
+                     (F.col(y) * 2 + F.col("_o.ay")).alias("ty"))
+            .agg(F.sum(F.col(value) * F.col("_o.w")).alias("v16"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") == 4)
+            .groupBy(F.expr(f"tx div {block}").alias("bx"),
+                     F.expr(f"ty div {block}").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("v16").alias("sum_v16")))
+
+
+def mode_resample(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+                  value: str = "value", factor: int = 4,
+                  block: int = 25) -> DataFrame:
+    """MAJORITY (modal) resampling (r07) — the categorical-raster
+    aggregation (R terra `aggregate(..., fun="modal")`, GDAL
+    `-r mode`): downscale by `factor`, each coarse cell taking the
+    most frequent fine value underneath it, ties broken to the
+    SMALLEST value (deterministic, matching terra's lowest-class
+    convention). Two shuffles total: one groupBy counting
+    (coarse cell, value) — map-side combinable — and one
+    window/argmax per coarse cell (expressed as max_by over the
+    lexicographic (count, −value) pair, no row_number shuffle-sort).
+    Returns per-(block × block)-of-the-COARSE-grid tile (bx, by,
+    n_blocks, sum_mode, max_mode)."""
+    counted = (cells.groupBy(
+        F.expr(f"{x} div {factor}").alias("gx"),
+        F.expr(f"{y} div {factor}").alias("gy"),
+        F.col(value).alias("v"))
+        .agg(F.count(F.lit(1)).alias("c")))
+    modes = (counted.groupBy("gx", "gy")
+             .agg(F.max(F.struct(F.col("c"), (-F.col("v")).alias("nv")))
+                  .alias("best"))
+             .select("gx", "gy", (-F.col("best.nv")).alias("mode_v")))
+    return (modes.groupBy(F.expr(f"gx div {block}").alias("bx"),
+                          F.expr(f"gy div {block}").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_blocks"),
+                 F.sum("mode_v").alias("sum_mode"),
+                 F.max("mode_v").alias("max_mode")))
 
 
 def contour_cases(cells: DataFrame, iso: int, x: str = "cell_x",

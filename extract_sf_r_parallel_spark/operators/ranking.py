@@ -27,7 +27,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bm25_scores"]
+__all__ = ["bm25_scores", "tfidf_topk"]
 
 
 def bm25_scores(docs: DataFrame, terms: Sequence[str],
@@ -68,3 +68,45 @@ def bm25_scores(docs: DataFrame, terms: Sequence[str],
     return base.select(id_col, "dl").join(sc, id_col, "left").select(
         id_col, "dl",
         F.round(F.coalesce("_s", F.lit(0.0)), decimals).alias("bm25"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, min_len: int = 4,
+               text_col: str = "text", id_col: str = "doc_id"
+               ) -> DataFrame:
+    """Per-document top-k KEYWORD EXTRACTION by tf·idf — the other
+    classic use of the tf/df statistics BM25 ranks with: instead of
+    scoring documents against a fixed query, surface each document's
+    most distinctive terms (corpus curation: topic labeling, dedup
+    explainability, domain tagging). Terms shorter than `min_len`
+    characters are dropped (the cheap stopword screen).
+
+    Determinism across engines: the idf here is the RAW ratio variant
+    idf = N/df (monotone in the usual ln(N/df), so the top-k set for
+    any fixed tie rule is the log variant's top-k whenever ln is
+    injective on distinct ratios — and unlike ln it is bit-exact:
+    score = double(tf·N)/df is ONE IEEE division of exact integers,
+    identical on every engine, no rounding step, no libm). Ties break
+    by term ascending. Returns (doc_id, term, tf, df, rnk, score).
+
+    Scale: tf and df are map-side-combinable counts over the exploded
+    token stream (the explode is scan-side, never shuffled raw); df
+    joins back by term — a shuffle join at real vocabulary sizes, NOT
+    broadcast (vocab of a 100 TB corpus won't fit); the top-k window
+    partitions by doc_id, which the tf aggregation already
+    co-partitioned, so AQE plans it shuffle-free."""
+    from pyspark.sql import Window as W
+    toks = docs.select(
+        id_col, F.explode(F.split(F.col(text_col), " ")).alias("term")) \
+        .filter(F.length("term") >= min_len)
+    n_docs = docs.select(F.count(F.lit(1)).alias("_n"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (tf.join(dfreq, "term")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score",
+                          (F.col("tf") * F.col("_n")).cast("double")
+                          / F.col("df")))
+    w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(id_col, "term", "tf", "df", "rnk", "score"))

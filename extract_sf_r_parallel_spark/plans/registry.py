@@ -2458,6 +2458,8 @@ _GATE_FIRST = [
     "geohash_encode", "label_prop", "bpe_encode", "areal_interp",
     "hist_quantiles", "quantile_stream", "ship_priority",
     "caption_stats", "flow_accum", "harris_corners", "dist_transform",
+    "cost_distance", "nms_peaks", "upsample2", "mode_resample",
+    "seg_cross", "tfidf_topk", "winsorize", "incremental_read",
 ]
 
 
@@ -3072,6 +3074,48 @@ FROM r GROUP BY 1
 """
 
 QUERIES["harris_corners"] = q_harris_corners
+
+
+# --- incremental (CDC append) read (r07): Iceberg incremental scan /
+# Delta readChangeFeed for an append-only history — the consumer that
+# polls a huge table and reads ONLY the files added since its last
+# checkpoint. Appends land one snapshot per orderkey bucket;
+# read_incremental(from=0) is a manifest set difference (no data read
+# to plan), returning every bucket but the first. The audit counters
+# are structural, so the oracle pins them: files_new = n_buckets − 1,
+# files_total = n_buckets.
+def q_incremental_read(spark, sf_dir):
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(scratch_dir("icelite_incr_"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .coalesce(1).cache())
+    buckets = sorted(r.bkt for r in orders.select(
+        F.expr("o_orderkey div 4096").alias("bkt")).distinct().collect())
+    for k in buckets:
+        t.append(orders.filter(F.expr(f"o_orderkey div 4096 = {k}")))
+    orders.unpersist()
+    inc, files_new, files_total = t.read_incremental(spark, from_snapshot=0)
+    return (inc.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("sum_key"))
+            .withColumn("files_new", F.lit(files_new).cast("int"))
+            .withColumn("files_total", F.lit(files_total).cast("int")))
+
+
+ORACLE["incremental_read"] = """
+WITH b AS (SELECT COUNT(DISTINCT o_orderkey // 4096) AS nb FROM orders)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST((SELECT nb - 1 FROM b) AS INT) AS files_new,
+       CAST((SELECT nb FROM b) AS INT) AS files_total
+FROM orders
+WHERE o_orderkey // 4096 > (SELECT MIN(o_orderkey // 4096) FROM orders)
+GROUP BY 1
+"""
+
+QUERIES["incremental_read"] = q_incremental_read
 
 
 # ---------------------------------------------------------------------------

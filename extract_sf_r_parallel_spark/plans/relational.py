@@ -1467,3 +1467,73 @@ LIMIT 10
 """
 
 QUERIES["ship_priority"] = q_ship_priority
+
+
+# --- per-group winsorized sum (r07): robust aggregation — clip each
+# nation's customer balances at the group's exact p10/p90 order
+# statistics (rank = ceil(q·n), 1-indexed over (cents, custkey)
+# row-number order — duplicates get distinct ranks, so the k-th value
+# is unique), then sum the clipped cents. The standard outlier-
+# tolerant rollup next to iqr_outliers (which FLAGS outliers; this
+# BOUNDS them). One row_number window + one conditional aggregation:
+# the percentile pick and the clipped sum happen in the SAME groupBy
+# pass (max(case rn = k)), no second scan, no join back. Cents via
+# the ship_priority idiom (ROUND(x·100) — exact on money data).
+def q_winsorize(spark, sf_dir):
+    from pyspark.sql import Window as W
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    w = W.partitionBy("c_nationkey").orderBy("cents", "c_custkey")
+    r = (c.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(
+             W.partitionBy("c_nationkey"))))
+    lo_rn = F.ceil(F.col("n") * 0.1).cast("long")
+    hi_rn = F.ceil(F.col("n") * 0.9).cast("long")
+    g = (r.groupBy("c_nationkey")
+         .agg(F.count(F.lit(1)).alias("n_rows"),
+              F.max(F.when(F.col("rn") == lo_rn, F.col("cents")))
+              .alias("lo_cents"),
+              F.max(F.when(F.col("rn") == hi_rn, F.col("cents")))
+              .alias("hi_cents"),
+              F.sum("cents").alias("sum_raw")))
+    clipped = (r.join(F.broadcast(g.select("c_nationkey", "lo_cents",
+                                           "hi_cents")), "c_nationkey")
+               .groupBy("c_nationkey")
+               .agg(F.sum(F.least(F.greatest(F.col("cents"),
+                                             F.col("lo_cents")),
+                                  F.col("hi_cents"))).alias("sum_wins")))
+    return (g.join(clipped, "c_nationkey")
+            .select("c_nationkey", "n_rows", "lo_cents", "hi_cents",
+                    "sum_raw", "sum_wins"))
+
+
+ORACLE["winsorize"] = """
+WITH c AS (
+  SELECT c_nationkey, c_custkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), r AS (
+  SELECT c_nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents, c_custkey) AS rn,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM c
+), g AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.1) AS BIGINT)
+                  THEN cents END) AS lo_cents,
+         MAX(CASE WHEN rn = CAST(CEIL(n * 0.9) AS BIGINT)
+                  THEN cents END) AS hi_cents,
+         CAST(SUM(cents) AS BIGINT) AS sum_raw
+  FROM r GROUP BY 1
+)
+SELECT r.c_nationkey, g.n_rows, g.lo_cents, g.hi_cents, g.sum_raw,
+       CAST(SUM(LEAST(GREATEST(r.cents, g.lo_cents), g.hi_cents))
+            AS BIGINT) AS sum_wins
+FROM r JOIN g USING (c_nationkey)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+QUERIES["winsorize"] = q_winsorize

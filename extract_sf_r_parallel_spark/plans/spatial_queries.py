@@ -2535,3 +2535,209 @@ FROM d3 GROUP BY 1, 2
 """
 
 QUERIES["dist_transform"] = q_dist_transform
+
+
+# --- k-bounded cost-distance surface (r07): the WEIGHTED sibling of
+# dist_transform (terra costDist / GRASS r.cost) — cheapest
+# accumulated traversal cost from any source cell (v ≥ 990), entering
+# cell c costs v(c) % 9 + 1, 4-connected, 3 unrolled min-plus rounds
+# (cap sentinel 28 = 9·3 + 1). Each round: ONE explode scatter + ONE
+# grouped MIN + ONE left join. The oracle unrolls the identical
+# tropical relaxation over the closed-form raster.
+def q_cost_distance(spark, sf_dir):
+    from ..operators.focal import cost_distance
+    return cost_distance(raster_df(spark), src_thresh=990,
+                         x="cx", y="cy", value="v", rounds=3)
+
+
+def _cd_round(prev: str, cur_n: str, cur_d: str) -> str:
+    return f"""{cur_n} AS (
+  SELECT cx + ox AS tx, cy + oy AS ty, MIN(d) AS nd
+  FROM {prev}, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(ox, oy)
+  GROUP BY 1, 2
+), {cur_d} AS (
+  SELECT p.cx, p.cy, p.cost,
+         LEAST(p.d, COALESCE(n.nd + p.cost, 28)) AS d
+  FROM {prev} p LEFT JOIN {cur_n} n ON n.tx = p.cx AND n.ty = p.cy
+)"""
+
+
+ORACLE["cost_distance"] = f"""
+WITH d0 AS (
+  SELECT cx, cy, ({_RVAL} % 9) + 1 AS cost,
+         CASE WHEN {_RVAL} >= 990 THEN 0 ELSE 28 END AS d
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+), {_cd_round('d0', 'n1', 'd1')}, {_cd_round('d1', 'n2', 'd2')},
+{_cd_round('d2', 'n3', 'd3')}
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       COUNT(CASE WHEN d < 28 THEN 1 END) AS n_reached
+FROM d3 GROUP BY 1, 2
+"""
+
+QUERIES["cost_distance"] = q_cost_distance
+
+
+# --- 3×3 non-maximum suppression (r07): strict-local-max peak
+# selection over the raster (the post-detector step of Harris/DoG,
+# and summit extraction in terrain work). ONE explode of 8 offsets +
+# ONE grouped MAX + ONE join back; interior ⟺ all 8 contributions
+# arrived. Counts and the peak-value sum per 25×25 tile.
+def q_nms_peaks(spark, sf_dir):
+    from ..operators.focal import nms_peaks
+    return nms_peaks(raster_df(spark), x="cx", y="cy", value="v")
+
+
+ORACLE["nms_peaks"] = f"""
+WITH px AS (
+  SELECT cx, cy, {_RVAL} AS v
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+), nbr AS (
+  SELECT cx + dx AS tx, cy + dy AS ty,
+         MAX(v) AS nbr_max, COUNT(*) AS n_nbr
+  FROM px, (VALUES (-1, -1), (-1, 0), (-1, 1), (0, -1),
+                   (0, 1), (1, -1), (1, 0), (1, 1)) o(dx, dy)
+  GROUP BY 1, 2
+), j AS (
+  SELECT p.cx, p.cy, p.v, n.nbr_max
+  FROM px p JOIN nbr n ON n.tx = p.cx AND n.ty = p.cy
+  WHERE n.n_nbr = 8
+)
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       COUNT(*) AS n_interior,
+       COUNT(CASE WHEN v > nbr_max THEN 1 END) AS n_peaks,
+       CAST(SUM(CASE WHEN v > nbr_max THEN v ELSE 0 END) AS BIGINT)
+         AS sum_peak_v
+FROM j GROUP BY 1, 2
+"""
+
+QUERIES["nms_peaks"] = q_nms_peaks
+
+
+# --- exact 2× bilinear disaggregation (r07): terra disagg(bilinear) /
+# gdalwarp -r bilinear at half pitch, half-pixel-centre alignment —
+# per-axis weights always {¾, ¼}, so the 2-D stencil is {9,3,3,1}/16
+# held as INTEGERS scaled ×16: bit-exact, zero float ops. Scatter =
+# ONE explode of 16 weighted contributions + ONE grouped SUM;
+# interior targets have exactly 4 contributors (Σw = 16).
+def q_upsample2(spark, sf_dir):
+    from ..operators.focal import upsample2
+    return upsample2(raster_df(spark), x="cx", y="cy", value="v")
+
+
+ORACLE["upsample2"] = f"""
+WITH px AS (
+  SELECT cx, cy, {_RVAL} AS v
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+), t AS (
+  SELECT 2 * cx + ax AS tx, 2 * cy + ay AS ty,
+         SUM(v * wx * wy) AS v16, COUNT(*) AS n
+  FROM px,
+       (VALUES (-1, 1), (0, 3), (1, 3), (2, 1)) ox(ax, wx),
+       (VALUES (-1, 1), (0, 3), (1, 3), (2, 1)) oy(ay, wy)
+  GROUP BY 1, 2
+)
+SELECT tx // 50 AS bx, ty // 50 AS by,
+       COUNT(*) AS n_cells,
+       CAST(SUM(v16) AS BIGINT) AS sum_v16
+FROM t WHERE n = 4 GROUP BY 1, 2
+"""
+
+QUERIES["upsample2"] = q_upsample2
+
+
+# --- majority (modal) resampling (r07): categorical-raster
+# aggregation (terra aggregate fun="modal", gdalwarp -r mode),
+# factor 4, ties → SMALLEST value. Spark takes the argmax as
+# max(struct(count, −v)) — two map-side-combinable groupBys, no
+# window shuffle-sort; the oracle replays via ROW_NUMBER.
+def q_mode_resample(spark, sf_dir):
+    from ..operators.focal import mode_resample
+    return mode_resample(raster_df(spark), x="cx", y="cy", value="v",
+                         factor=4)
+
+
+ORACLE["mode_resample"] = f"""
+WITH px AS (
+  SELECT cx, cy, {_RVAL} AS v
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+), cnt AS (
+  SELECT cx // 4 AS gx, cy // 4 AS gy, v, COUNT(*) AS c
+  FROM px GROUP BY 1, 2, 3
+), m AS (
+  SELECT gx, gy, v AS mode_v,
+         ROW_NUMBER() OVER (PARTITION BY gx, gy
+                            ORDER BY c DESC, v ASC) AS rn
+  FROM cnt
+)
+SELECT gx // 25 AS bx, gy // 25 AS by,
+       COUNT(*) AS n_blocks,
+       CAST(SUM(mode_v) AS BIGINT) AS sum_mode,
+       CAST(MAX(mode_v) AS BIGINT) AS max_mode
+FROM m WHERE rn = 1 GROUP BY 1, 2
+"""
+
+QUERIES["mode_resample"] = q_mode_resample
+
+
+# --- segment × segment crossing count (r07): the line-layer overlay
+# (sf/GEOS st_intersects on LINESTRINGs) as a PBSM spatial-merge join
+# — cell-bucketed candidates, reference-point dedup (NO distinct),
+# exact integer cross-product refinement (operators/segments.py).
+# Segments are short deterministic offsets (≤ ~283 m) hung off the
+# geotag points (+200 so endpoints stay non-negative — keeps div///
+# equivalent), entity = user_id, strict proper crossings only. The
+# oracle brute-forces every pair; agreement proves the cell cover,
+# the dedup rule, and the straddle test.
+_SEG_X1 = f"(CAST({G.sql_point_x('event_id')} AS BIGINT) + 200)"
+_SEG_Y1 = f"(CAST({G.sql_point_y('event_id')} AS BIGINT) + 200)"
+_SEG_DX = "((event_id * 40503 + 29) % 401 - 200)"
+_SEG_DY = "((event_id * 69621 + 31) % 399 - 199)"
+
+
+def q_seg_cross(spark, sf_dir):
+    from ..operators.segments import segment_crossings
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .filter("event_id % 5 = 0"))
+    segs = e.select(
+        F.col("event_id").alias("sid"),
+        F.col("user_id").alias("ent"),
+        F.expr(_SEG_X1).alias("x1"),
+        F.expr(_SEG_Y1).alias("y1"),
+        F.expr(f"{_SEG_X1} + {_SEG_DX}").alias("x2"),
+        F.expr(f"{_SEG_Y1} + {_SEG_DY}").alias("y2"))
+    return segment_crossings(segs)
+
+
+ORACLE["seg_cross"] = f"""
+WITH s0 AS (
+  SELECT event_id AS sid, user_id AS ent,
+         {_SEG_X1} AS x1, {_SEG_Y1} AS y1,
+         {_SEG_DX} AS dx, {_SEG_DY} AS dy
+  FROM events WHERE event_id % 5 = 0
+), s AS (
+  SELECT sid, ent, x1, y1, x1 + dx AS x2, y1 + dy AS y2 FROM s0
+), sb AS (
+  -- bbox columns precomputed: LEAST/GREATEST inside the join's ON
+  -- clause trips a DuckDB internal "flat vector" assertion; the same
+  -- predicates over plain columns in WHERE plan fine
+  SELECT sid, ent, x1, y1, x2, y2,
+         LEAST(x1, x2) AS lx, GREATEST(x1, x2) AS hx,
+         LEAST(y1, y2) AS ly, GREATEST(y1, y2) AS hy
+  FROM s
+), p AS (
+  SELECT GREATEST(a.lx, b.lx) AS rx, GREATEST(a.ly, b.ly) AS ry
+  FROM sb a JOIN sb b ON a.sid < b.sid
+  WHERE a.ent <> b.ent
+   AND a.lx <= b.hx AND b.lx <= a.hx
+   AND a.ly <= b.hy AND b.ly <= a.hy
+   AND ((a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1))
+     * ((a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1)) < 0
+   AND ((b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1))
+     * ((b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1)) < 0
+)
+SELECT rx // 2048 AS bx, ry // 2048 AS by, COUNT(*) AS n_cross
+FROM p GROUP BY 1, 2
+"""
+
+QUERIES["seg_cross"] = q_seg_cross

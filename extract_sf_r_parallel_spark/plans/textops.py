@@ -1034,3 +1034,40 @@ SELECT node AS word, mass FROM m{iters}
 ORACLE["textrank"] = _textrank_oracle()
 
 QUERIES["textrank"] = q_textrank
+
+
+# --- per-document top-3 tf·idf keywords (r07): keyword extraction
+# over the corpus (operators/ranking.py::tfidf_topk). Raw-ratio idf
+# N/df (monotone in ln(N/df)) keeps the score ONE exact IEEE division
+# of integers — no libm, no rounding; ties break by term ascending.
+def q_tfidf_topk(spark, sf_dir):
+    from ..operators.ranking import tfidf_topk
+    return tfidf_topk(_docs(spark, sf_dir), k=3, min_len=4)
+
+
+ORACLE["tfidf_topk"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+), ftoks AS (
+  SELECT doc_id, term FROM toks WHERE length(term) >= 4
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ftoks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM ftoks GROUP BY 1
+), sc AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / dfreq.df AS score
+  FROM tf JOIN dfreq USING (term), n
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term ASC) AS rnk
+  FROM sc
+)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS INT) AS rnk, score
+FROM rk WHERE rnk <= 3
+"""
+
+QUERIES["tfidf_topk"] = q_tfidf_topk

@@ -487,6 +487,49 @@ class IceLiteTable:
         out = out.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         return out, len(keep), len(snap["files"])
 
+    def read_incremental(self, spark: SparkSession, from_snapshot: int,
+                         to_snapshot: int | None = None
+                         ) -> tuple[DataFrame, int, int]:
+        """Incremental (CDC-style append) scan — Iceberg's
+        `incremental read` / Delta's `readChangeFeed` for appends: the
+        rows in data files PRESENT in `to_snapshot` (default: current)
+        but ABSENT from `from_snapshot`. Manifests are file LISTS, so
+        the changed-data computation is a set difference over file
+        paths — no data is read to answer "what's new", which is the
+        whole point at 100 TB: a consumer polling a petabyte table
+        reads only the appended files, never rescans history. Files
+        are projected to `to_snapshot`'s schema (evolution defaults
+        applied), so a reader started before an add_column sees the
+        new column on old-file rows as its recorded default.
+
+        Only append/compact-style commits are faithfully representable
+        this way (a delete_where REWRITES dirs, so its rewritten files
+        surface as "new" — same caveat Iceberg's incremental scan
+        documents: append-only history required). Returns
+        (df, files_new, files_total_at_to)."""
+        with open(os.path.join(self.meta,
+                               f"snap-{from_snapshot:06d}.json")) as f:
+            base = json.load(f)
+        if to_snapshot is None:
+            snap = self._current_snapshot()
+            if snap is None:
+                raise FileNotFoundError(f"empty table at {self.root}")
+        else:
+            with open(os.path.join(self.meta,
+                                   f"snap-{to_snapshot:06d}.json")) as f:
+                snap = json.load(f)
+        new_files = [p for p in snap["files"] if p not in set(base["files"])]
+        schema = T.StructType.fromJson(json.loads(snap["schema"]))
+        defaults = snap.get("defaults", {})
+        if not new_files:
+            return spark.createDataFrame([], schema), 0, len(snap["files"])
+        dfs = [self._project(spark.read.parquet(p), schema, defaults)
+               for p in new_files]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out, len(new_files), len(snap["files"])
+
     @staticmethod
     def _check_update_keys_unique(updates: DataFrame, keys: list) -> None:
         """Iceberg MERGE semantics: a CDC batch carrying the same key

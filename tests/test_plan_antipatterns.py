@@ -50,6 +50,10 @@ LAZY = [
     "ship_priority", "caption_stats",
     # r07 late wave
     "harris_corners", "flow_accum", "dist_transform",
+    "cost_distance", "nms_peaks", "upsample2", "mode_resample",
+    "seg_cross", "tfidf_topk", "winsorize",
+    # incremental_read commits IceLite snapshots at build — excluded
+    # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
     # excluded like compact_files; their COW scoping is pytest-pinned
 ]
