@@ -31,8 +31,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["focal_stats", "pyramid_rollup", "hillshade", "flow_d8",
            "flow_dirs", "flow_accum", "dist_transform", "cost_distance",
-           "nms_peaks", "upsample2", "mode_resample",
-           "contour_cases"]
+           "nms_peaks", "upsample2", "mode_resample", "moran_i",
+           "raster_equalize", "contour_cases"]
 
 
 def focal_stats(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
@@ -457,6 +457,104 @@ def upsample2(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
                      F.expr(f"ty div {block}").alias("by"))
             .agg(F.count(F.lit(1)).alias("n_cells"),
                  F.sum("v16").alias("sum_v16")))
+
+
+def moran_i(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
+            value: str = "value", decimals: int = 9) -> DataFrame:
+    """Global MORAN'S I (r07) — the canonical spatial-autocorrelation
+    statistic (R spdep `moran.test`, ArcGIS Spatial Autocorrelation,
+    PySAL `esda.Moran`) with rook (4-neighbour) binary weights:
+
+        I = (n / W) · Σᵢⱼ wᵢⱼ (xᵢ−x̄)(xⱼ−x̄) / Σᵢ (xᵢ−x̄)²
+
+    Exact-integer formulation: scale deviations by n so they stay
+    integral — c(i) = n·xᵢ − S with S = Σx (so c = n·(xᵢ−x̄)); the
+    n² scale factors cancel in the ratio. num = Σ_pairs c(i)·c(j)
+    over DIRECTED rook pairs, den = Σ c², and
+    I = (num·n) / (den·W) — num/den/W/n are emitted as exact BIGINTs
+    (the auditable components), I as a rounded double.
+
+    int64 bounds: callers must keep n·max|x| ≤ ~1e7 and
+    n·(n·max|x|)² within 2^63 — the 100×100/values<1000 driver grid
+    gives |num| ≤ 4e18, den ≤ 1e18 (documented at the call site).
+
+    Plan shape (100 TB): one global agg for (n, S) broadcast back; the
+    pair sum is the same literal 4-offset explode scatter as
+    dist_transform — each cell's c scattered onto its rook
+    neighbours, ONE equi join back onto the cell frame (never a
+    self-join on inequality), map-side-combinable sums throughout.
+    Returns ONE row (n, s_sum, w_pairs, num, den, moran)."""
+    base = cells.select(F.col(x).alias("cx_"), F.col(y).alias("cy_"),
+                        F.col(value).cast("long").alias("v"))
+    tot = base.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("v").alias("s_sum"))
+    c = (base.crossJoin(F.broadcast(tot))
+         .select("cx_", "cy_", "n", "s_sum",
+                 (F.col("n") * F.col("v") - F.col("s_sum")).alias("c")))
+    offs = F.array(*[F.struct(F.lit(ox).alias("ox"), F.lit(oy).alias("oy"))
+                     for ox, oy in ((1, 0), (-1, 0), (0, 1), (0, -1))])
+    scat = (c.select(F.explode(offs).alias("o"), "cx_", "cy_",
+                     F.col("c").alias("c_src"))
+            .select((F.col("cx_") + F.col("o.ox")).alias("tx"),
+                    (F.col("cy_") + F.col("o.oy")).alias("ty"), "c_src"))
+    pairs = (c.join(scat, (F.col("cx_") == F.col("tx"))
+                    & (F.col("cy_") == F.col("ty")))
+             .agg(F.count(F.lit(1)).alias("w_pairs"),
+                  F.sum(F.col("c") * F.col("c_src")).alias("num")))
+    den = c.agg(F.sum(F.col("c") * F.col("c")).alias("den"),
+                F.first("n").alias("n"), F.first("s_sum").alias("s_sum"))
+    return (den.crossJoin(pairs)
+            .select("n", "s_sum", "w_pairs", "num", "den",
+                    F.round((F.col("num").cast("double") * F.col("n"))
+                            / (F.col("den").cast("double")
+                               * F.col("w_pairs")), decimals)
+                    .alias("moran")))
+
+
+def raster_equalize(cells: DataFrame, levels: int = 1000,
+                  x: str = "cell_x", y: str = "cell_y",
+                  value: str = "value", block: int = 25) -> DataFrame:
+    """RASTER-WIDE HISTOGRAM EQUALIZATION (r07) — the mosaic
+    contrast normalization (GDAL gdal_translate -scale over a global
+    histogram, GRASS r.colors -e): one LUT for the WHOLE distributed
+    raster, unlike operators/multimodal.hist_equalize_stats which
+    equalizes each small image against its own histogram. Build the
+    global value histogram, its CDF, and remap every pixel through
+    the integer LUT
+
+        eq(v) = (cdf(v) − cdf_min) · (L−1) div (n − cdf_min)
+
+    (cdf_min = count of the smallest PRESENT level — the standard
+    formula's guard so the darkest level maps to 0). All operands
+    non-negative ⇒ Spark's truncating `div` ≡ DuckDB's flooring `//`.
+
+    Plan shape (100 TB): the histogram is ONE map-side-combinable
+    groupBy on the value (≤ `levels` rows regardless of raster size);
+    the CDF window runs over that ≤`levels`-row frame — a
+    single-partition window over the VALUE DOMAIN, not the data, so
+    it is driver-size-independent; the LUT is then a BROADCAST join
+    back onto the pixel stream (the big side never shuffles). Returns
+    per-(block × block) tile (bx, by, n_cells, sum_eq, max_eq)."""
+    from pyspark.sql import Window as W
+    hist = (cells.groupBy(F.col(value).alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    cdf = hist.withColumn(
+        "cdf", F.sum("cnt").over(
+            W.orderBy("v").rowsBetween(W.unboundedPreceding, 0)))
+    tot = cdf.agg(F.min("cdf").alias("cdf_min"),
+                  F.max("cdf").alias("n_tot"))
+    lut = (cdf.crossJoin(F.broadcast(tot))
+           .select(F.col("v").alias("_lv"), F.when(
+               F.col("n_tot") > F.col("cdf_min"),
+               F.expr(f"(cdf - cdf_min) * {levels - 1} "
+                      f"div (n_tot - cdf_min)"))
+               .otherwise(F.lit(0)).cast("long").alias("eq")))
+    return (cells.join(F.broadcast(lut), F.col(value) == F.col("_lv"))
+            .groupBy(F.expr(f"{x} div {block}").alias("bx"),
+                     F.expr(f"{y} div {block}").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("eq").alias("sum_eq"),
+                 F.max("eq").alias("max_eq")))
 
 
 def mode_resample(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",

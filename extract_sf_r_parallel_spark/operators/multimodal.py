@@ -39,7 +39,7 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
-           "band_class", "otsu_stats", "harris_stats"]
+           "band_class", "otsu_stats", "harris_stats", "ycbcr_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -806,3 +806,46 @@ def harris_stats(images: DataFrame, thresh: int = 0) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _HARRIS_SCHEMA.fields])
     return images.mapInPandas(gen, _HARRIS_SCHEMA)
+
+
+_YCBCR_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("sum_y", T.LongType()),
+    T.StructField("min_y", T.LongType()),
+    T.StructField("max_y", T.LongType()),
+    T.StructField("sum_cb", T.LongType()),
+    T.StructField("sum_cr", T.LongType()),
+])
+
+
+def ycbcr_stats(images: DataFrame) -> DataFrame:
+    """Integer RGB→YCbCr color-space conversion (r07) — the
+    preprocessing step every JPEG/video encoder and most augmentation
+    pipelines run first, and the FIRST op in this family to touch all
+    THREE channels (everything else reads channel 0). BT.601-shaped
+    integer coefficients scaled by 256 so each plane stays exact:
+
+        Y256  =  77·R + 150·G +  29·B      (weights sum to 256)
+        Cb256 = −43·R −  85·G + 128·B      (weights sum to 0)
+        Cr256 = 128·R − 107·G −  21·B
+
+    Per image: Σ/min/max of Y256 and Σ of the signed chroma planes
+    (int64-safe: ≤ 96·96 px · 65280 ≪ 2^63). No division, no
+    rounding — the oracle re-derives every plane bit-for-bit from the
+    synthetic pixel closed form at channel offsets j = 3p, 3p+1,
+    3p+2. Scale: shuffle-free mapInPandas, whole-array NumPy."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for im in pdf.itertuples():
+                img = codec.decode_image(im.bytes, im.fmt, im.w, im.h) \
+                    .astype(np.int64)
+                r, g, b = img[..., 0], img[..., 1], img[..., 2]
+                y = 77 * r + 150 * g + 29 * b
+                cb = -43 * r - 85 * g + 128 * b
+                cr = 128 * r - 107 * g - 21 * b
+                rows.append((im.image_id, int(y.sum()), int(y.min()),
+                             int(y.max()), int(cb.sum()), int(cr.sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _YCBCR_SCHEMA.fields])
+    return images.mapInPandas(gen, _YCBCR_SCHEMA)

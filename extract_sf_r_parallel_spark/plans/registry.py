@@ -2460,6 +2460,8 @@ _GATE_FIRST = [
     "caption_stats", "flow_accum", "harris_corners", "dist_transform",
     "cost_distance", "nms_peaks", "upsample2", "mode_resample",
     "seg_cross", "tfidf_topk", "winsorize", "incremental_read",
+    "moran_i", "raster_equalize", "traj_stays", "od_flows",
+    "interval_overlap", "substring_dups", "ycbcr_stats",
 ]
 
 
@@ -3116,6 +3118,48 @@ GROUP BY 1
 """
 
 QUERIES["incremental_read"] = q_incremental_read
+
+
+# --- integer RGB→YCbCr conversion (r07): the color-space transform
+# every JPEG/video encoder and augmentation pipeline runs first, and
+# the first query touching all THREE channels (the rest read channel
+# 0). BT.601-shaped weights scaled ×256 (77/150/29 etc.) keep every
+# plane exact-integer; the oracle re-derives all three channels from
+# the pixel closed form at byte offsets j = 3p, 3p+1, 3p+2.
+def _px_chan(c: int) -> str:
+    j = f"(3*p + {c})"
+    lehmer = f"(((base + {j} * 2654435761) % 4294967291) * 279470273) " \
+             f"% 4294967291"
+    return f"xor({lehmer}, ({lehmer}) >> 16) % 256"
+
+
+def q_ycbcr_stats(spark, sf_dir):
+    from ..operators.multimodal import ycbcr_stats
+    return ycbcr_stats(spark.createDataFrame(synth.images_pdf(240)))
+
+
+ORACLE["ycbcr_stats"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT image_id,
+         {_px_chan(0)} AS r, {_px_chan(1)} AS g, {_px_chan(2)} AS b
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+)
+SELECT image_id,
+       CAST(SUM(77*r + 150*g + 29*b) AS BIGINT) AS sum_y,
+       CAST(MIN(77*r + 150*g + 29*b) AS BIGINT) AS min_y,
+       CAST(MAX(77*r + 150*g + 29*b) AS BIGINT) AS max_y,
+       CAST(SUM(-43*r - 85*g + 128*b) AS BIGINT) AS sum_cb,
+       CAST(SUM(128*r - 107*g - 21*b) AS BIGINT) AS sum_cr
+FROM px GROUP BY 1
+"""
+
+QUERIES["ycbcr_stats"] = q_ycbcr_stats
 
 
 # ---------------------------------------------------------------------------

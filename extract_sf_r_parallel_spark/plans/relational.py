@@ -1537,3 +1537,59 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 QUERIES["winsorize"] = q_winsorize
+
+
+# --- sweep-line interval concurrency (r07): max simultaneous open
+# intervals per group — the "how many shipments in transit at once"
+# / concurrent-sessions / Gantt-overlap op (the classic event-sweep:
+# +1 at start, −1 past end, running sum, max). Intervals are
+# [shipday, shipday + len] in INTEGER day space (epoch_us div
+# 86400e6 — non-negative, so div ≡ //), len = (l_orderkey·7 +
+# l_linenumber) % 20 + 1 days, deterministic. The running sum uses
+# the DEFAULT window frame (RANGE UNBOUNDED PRECEDING → CURRENT ROW)
+# in BOTH engines, which groups same-day ties — so the max is taken
+# AFTER all of a day's openings and closings land, making tie order
+# irrelevant. One union + one keyed window + one groupBy at the same
+# grain (exchange reuse); scales per supplier.
+def q_interval_overlap(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.expr("unix_micros(cast(l_shipdate as timestamp)) "
+               "div 86400000000").alias("d0"),
+        F.expr("(l_orderkey * 7 + l_linenumber) % 20 + 1").alias("len"))
+    ev = (li.select("l_suppkey", F.col("d0").alias("d"),
+                    F.lit(1).alias("delta"))
+          .unionByName(
+              li.select("l_suppkey",
+                        (F.col("d0") + F.col("len") + 1).alias("d"),
+                        F.lit(-1).alias("delta"))))
+    from pyspark.sql import Window as W
+    run = F.sum("delta").over(W.partitionBy("l_suppkey").orderBy("d"))
+    return (ev.withColumn("open_", run)
+            .groupBy("l_suppkey")
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+                 F.max("open_").alias("max_open")))
+
+
+ORACLE["interval_overlap"] = """
+WITH li AS (
+  SELECT l_suppkey,
+         epoch_us(l_shipdate) // 86400000000 AS d0,
+         (l_orderkey * 7 + l_linenumber) % 20 + 1 AS len
+  FROM lineitem
+), ev AS (
+  SELECT l_suppkey, d0 AS d, 1 AS delta FROM li
+  UNION ALL
+  SELECT l_suppkey, d0 + len + 1 AS d, -1 AS delta FROM li
+), run AS (
+  SELECT l_suppkey,
+         SUM(delta) OVER (PARTITION BY l_suppkey ORDER BY d) AS open_
+  FROM ev
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals,
+       CAST(MAX(open_) AS BIGINT) AS max_open
+FROM run GROUP BY 1
+"""
+
+QUERIES["interval_overlap"] = q_interval_overlap

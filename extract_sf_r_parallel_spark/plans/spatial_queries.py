@@ -2741,3 +2741,188 @@ FROM p GROUP BY 1, 2
 """
 
 QUERIES["seg_cross"] = q_seg_cross
+
+
+# --- global Moran's I (r07): THE spatial-autocorrelation statistic
+# (spdep moran.test / PySAL esda.Moran / ArcGIS Spatial
+# Autocorrelation) with rook weights, exact-integer components
+# (operators/focal.py::moran_i). Restricted to the 100×100 corner of
+# the raster so every term stays int64: c = n·v − S ≤ 1e7,
+# den = Σc² ≤ 1e18, |num| ≤ 4e18 < 2^63. The oracle replays the same
+# 4-offset scatter join; the ratio is two int64→double casts, two
+# multiplies, one divide — identical IEEE ops both engines, rounded
+# to 9 dp through the established ROUND parity.
+def q_moran_i(spark, sf_dir):
+    from ..operators.focal import moran_i
+    cells = raster_df(spark).filter("cx < 100 AND cy < 100")
+    return moran_i(cells, x="cx", y="cy", value="v")
+
+
+ORACLE["moran_i"] = f"""
+WITH px AS (
+  SELECT cx, cy, {_RVAL} AS v
+  FROM range(100) t1(cx), range(100) t2(cy)
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s
+  FROM px
+), c AS (
+  SELECT cx, cy, t.n * v - t.s AS c
+  FROM px, tot t
+), nbr AS (
+  SELECT cx + ox AS tx, cy + oy AS ty, c AS c_src
+  FROM c, (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(ox, oy)
+), pairs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+         CAST(SUM(n.c_src * c.c) AS BIGINT) AS num
+  FROM nbr n JOIN c ON c.cx = n.tx AND c.cy = n.ty
+), den AS (
+  SELECT CAST(SUM(c * c) AS BIGINT) AS den FROM c
+)
+SELECT t.n, t.s AS s_sum, p.w_pairs, p.num, d.den,
+       ROUND(CAST(p.num AS DOUBLE) * t.n
+             / (CAST(d.den AS DOUBLE) * p.w_pairs), 9) AS moran
+FROM tot t, pairs p, den d
+"""
+
+QUERIES["moran_i"] = q_moran_i
+
+
+# --- raster-wide histogram equalization (r07): the MOSAIC contrast
+# normalization (gdal -scale over a global histogram, GRASS
+# r.colors -e) — ONE LUT for the whole distributed raster, vs the
+# per-image multimodal.hist_equalize_stats. The histogram collapses
+# to ≤1000 rows before the CDF window (value-DOMAIN-sized, not
+# data-sized), and the LUT broadcasts back — the big side never
+# shuffles. Non-negative operands keep div ≡ //.
+def q_raster_equalize(spark, sf_dir):
+    from ..operators.focal import raster_equalize
+    return raster_equalize(raster_df(spark), levels=1000,
+                           x="cx", y="cy", value="v")
+
+
+ORACLE["raster_equalize"] = f"""
+WITH px AS (
+  SELECT cx, cy, {_RVAL} AS v
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+), hist AS (
+  SELECT v, COUNT(*) AS cnt FROM px GROUP BY 1
+), cdf AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf
+  FROM hist
+), tot AS (
+  SELECT MIN(cdf) AS cdf_min, MAX(cdf) AS n_tot FROM cdf
+), lut AS (
+  SELECT v, CAST(CASE WHEN t.n_tot > t.cdf_min
+              THEN (cdf - t.cdf_min) * 999 // (t.n_tot - t.cdf_min)
+              ELSE 0 END AS BIGINT) AS eq
+  FROM cdf, tot t
+)
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(eq) AS BIGINT) AS sum_eq,
+       MAX(eq) AS max_eq
+FROM px JOIN lut USING (v)
+GROUP BY 1, 2
+"""
+
+QUERIES["raster_equalize"] = q_raster_equalize
+
+
+# --- trajectory stay-point segmentation (r07): split each user's
+# ping sequence at Chebyshev jumps > 5 km, call a segment a STAY at
+# ≥2 pings spanning ≥1 h (operators/trajectory.py::stay_segments).
+# Durations stay integer microseconds until ONE final /1e6 — no
+# order-dependent double summation. Window + groupBy at the same
+# grain (exchange reuse).
+def q_traj_stays(spark, sf_dir):
+    from ..operators.trajectory import stay_segments
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id",
+        F.expr(G.sql_point_x("event_id")).alias("x"),
+        F.expr(G.sql_point_y("event_id")).alias("y"))
+    s = stay_segments(e, jump=5000.0, min_pts=2, min_dur_s=3600.0,
+                      tiebreak="event_id")
+    return s.select("user_id", "n_segs", "n_stays", "stay_pts",
+                    F.round("stay_dur_s", 3).alias("stay_dur_s"))
+
+
+ORACLE["traj_stays"] = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         {G.sql_point_x('event_id')} AS x,
+         {G.sql_point_y('event_id')} AS y
+  FROM events
+), seq AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(x) OVER w IS NULL
+                OR GREATEST(ABS(x - LAG(x) OVER w),
+                            ABS(y - LAG(y) OVER w)) > 5000 THEN 1
+              ELSE 0 END AS brk
+  FROM pings
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), segd AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS seg
+  FROM seq
+), per_seg AS (
+  SELECT user_id, seg, COUNT(*) AS n_pts,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM segd GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       COUNT(CASE WHEN n_pts >= 2 AND dur_us >= 3600000000
+                  THEN 1 END) AS n_stays,
+       CAST(SUM(CASE WHEN n_pts >= 2 AND dur_us >= 3600000000
+                     THEN n_pts ELSE 0 END) AS BIGINT) AS stay_pts,
+       ROUND(CAST(SUM(CASE WHEN n_pts >= 2 AND dur_us >= 3600000000
+                           THEN dur_us ELSE 0 END) AS BIGINT) / 1e6, 3)
+         AS stay_dur_s
+FROM per_seg GROUP BY 1
+"""
+
+QUERIES["traj_stays"] = q_traj_stays
+
+
+# --- origin–destination tile flows (r07): the mobility OD matrix
+# (operators/trajectory.py::od_matrix) over 4 km tiles of the LCG
+# geotags — per user, consecutive tile transitions in (ts, event_id)
+# order, self-loops excluded; flows carry trip count and distinct-user
+# reach. Tiles come from the INTEGER coordinate before the double
+# cast, so div ≡ // (non-negative).
+_ODX = f"((event_id * 48271 + 13) % 999983) % {G.WINDOW}"
+_ODY = f"((event_id * 69621 + 7) % 999979) % {G.WINDOW}"
+
+
+def q_od_flows(spark, sf_dir):
+    from ..operators.trajectory import od_matrix
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id",
+        F.expr(f"{_ODX} div 4000").alias("tx"),
+        F.expr(f"{_ODY} div 4000").alias("ty"))
+    return od_matrix(e, tiebreak="event_id")
+
+
+ORACLE["od_flows"] = f"""
+WITH pings AS (
+  SELECT user_id, ts, event_id,
+         {_ODX} // 4000 AS tx,
+         {_ODY} // 4000 AS ty
+  FROM events
+), seq AS (
+  SELECT user_id, tx, ty,
+         LAG(tx) OVER w AS fx, LAG(ty) OVER w AS fy
+  FROM pings
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT fx AS from_tx, fy AS from_ty, tx AS to_tx, ty AS to_ty,
+       CAST(COUNT(*) AS BIGINT) AS n_trips,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE fx IS NOT NULL AND (fx <> tx OR fy <> ty)
+GROUP BY 1, 2, 3, 4
+"""
+
+QUERIES["od_flows"] = q_od_flows

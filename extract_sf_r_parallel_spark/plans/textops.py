@@ -1071,3 +1071,59 @@ FROM rk WHERE rnk <= 3
 """
 
 QUERIES["tfidf_topk"] = q_tfidf_topk
+
+
+# --- cross-document duplicate n-token windows (r07): the EXACT
+# SUBSTRING dedup signal (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — their suffix-array pass finds
+# repeated spans; at fixed span length the same signal is a rolling
+# 8-token window equality, which distributes as plain groupBy). Per
+# doc: total 8-token windows and how many occur in ≥2 DISTINCT docs —
+# the contaminated-span fraction a dedup pipeline thresholds on.
+# Window extraction is scan-side (transform over sequence — a
+# row-local fan-out, no shuffle of raw text); the dup vocabulary
+# groupBy is the only wide exchange, and at 100 TB the window strings
+# would be 64-bit rolling hashes instead (same plan shape, smaller
+# shuffle payload — strings kept here so the oracle is exact).
+_WIN8 = ("CASE WHEN size(tk) >= 8 THEN transform(sequence(0, size(tk) - 8),"
+         " i -> array_join(slice(tk, i + 1, 8), ' '))"
+         " ELSE CAST(array() AS array<string>) END")
+
+
+def q_substring_dups(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    wins = (docs.select("doc_id", F.split("text", " ").alias("tk"))
+            .select("doc_id", F.explode(F.expr(_WIN8)).alias("win")))
+    dup = (wins.groupBy("win")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("win"))
+    per = (wins.join(dup.withColumn("isdup", F.lit(1)), "win", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_win"),
+                F.count("isdup").alias("n_dup_win")))
+    return (docs.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_win", F.lit(0)).alias("n_win"),
+                    F.coalesce("n_dup_win", F.lit(0)).alias("n_dup_win")))
+
+
+ORACLE["substring_dups"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+), w AS (
+  SELECT doc_id, array_to_string(tk[i+1:i+8], ' ') AS win
+  FROM toks, LATERAL (SELECT UNNEST(range(GREATEST(len(tk) - 7, 0))) AS i) u
+), dup AS (
+  SELECT win FROM w GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), per AS (
+  SELECT w.doc_id, COUNT(*) AS n_win, COUNT(d.win) AS n_dup_win
+  FROM w LEFT JOIN dup d USING (win) GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COALESCE(per.n_win, 0) AS BIGINT) AS n_win,
+       CAST(COALESCE(per.n_dup_win, 0) AS BIGINT) AS n_dup_win
+FROM documents LEFT JOIN per USING (doc_id)
+"""
+
+QUERIES["substring_dups"] = q_substring_dups

@@ -52,6 +52,8 @@ LAZY = [
     "harris_corners", "flow_accum", "dist_transform",
     "cost_distance", "nms_peaks", "upsample2", "mode_resample",
     "seg_cross", "tfidf_topk", "winsorize",
+    "moran_i", "raster_equalize", "traj_stays", "od_flows",
+    "interval_overlap", "substring_dups", "ycbcr_stats",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
