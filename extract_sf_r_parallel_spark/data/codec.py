@@ -303,3 +303,18 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def decode_audio(data: bytes, fmt: str, n_samples: int) -> np.ndarray:
+    """Audio decode: raw s16le PCM → int16[n_samples]. Compressed
+    codecs (opus/mp3/aac) are a decode STUB — entropy-coded psycho-
+    acoustic codecs cannot be reimplemented from scratch in an offline
+    sandbox (same stance as the inter-frame video codecs above); the
+    Spark-side plumbing (binary column, batch shape, schema) is
+    exercised through the s16le path."""
+    if fmt == "s16le":
+        out = np.frombuffer(data, dtype="<i2", count=n_samples)
+        return out.astype(np.int16)
+    raise NotImplementedError(
+        f"audio codec {fmt!r}: compressed-audio decode is stubbed "
+        "offline; only raw s16le PCM decodes")

@@ -22,6 +22,7 @@ __all__ = [
     "images_pdf", "neardup_images_pdf", "geotag_images_pdf",
     "footprint_layers_pdf",
     "wetland_pdf", "overlap_layer_pdf", "videos_pdf",
+    "sample_plane", "audio_pdf",
     "LAYERS", "WETLAND_CLASSES",
 ]
 
@@ -299,4 +300,47 @@ def overlap_layer_pdf() -> pd.DataFrame:
     pdf = pd.DataFrame(rows)
     pdf["feature_id"] = pdf["feature_id"].astype("int64")
     pdf["YEAR"] = pdf["YEAR"].astype("int32")
+    return pdf
+
+
+def sample_plane(base: int, n_vals: int) -> np.ndarray:
+    """Flat int16 PCM sample stream for one audio clip — the SAME
+    Lehmer closed form as pixel_plane, reduced mod 2^16 and re-centred
+    to signed (s = h % 65536 − 32768), so the driver's DuckDB oracle
+    re-derives every sample with plain 64-bit integer arithmetic."""
+    idx = np.arange(n_vals, dtype=np.int64)
+    h1 = (base + idx * _PIX_M) % _PIX_P
+    h2 = (h1 * _PIX_A) % _PIX_P
+    h3 = (h2 ^ (h2 >> 16))
+    return (h3 % 65536 - 32768).astype(np.int16)
+
+
+def audio_pdf(n: int, seed: int = 42) -> pd.DataFrame:
+    """Synthetic audio table in the same opaque-binary model as
+    `images_pdf` / `videos_pdf` (input_hint shape, audio flavour):
+    (clip_id:string, bytes:binary, sr:int32, n_samples:int32,
+    fmt:string). fmt is "s16le" (raw 16-bit little-endian mono PCM —
+    the honestly-decodable path) except every 17th clip, which is
+    tagged "opus" and wraps the same PCM: compressed audio codecs are
+    NOT implementable from scratch offline, so codec.decode_audio
+    raises NotImplementedError for them (mirroring the inter-frame
+    video stub) and queries filter to the decodable fmt. Clip i draws
+    samples from sample_plane(seed·1000003 + 900000 + i) — the 900000
+    offset keeps audio bases disjoint from image (i) and video
+    (500000+) bases. n_samples = 2048/4096/8192 by i % 3; sr mirrors
+    8000/16000/22050."""
+    rows = []
+    for i in range(n):
+        ns = (2048, 4096, 8192)[i % 3]
+        pcm = sample_plane(seed * 1_000_003 + 900_000 + i, ns)
+        rows.append({
+            "clip_id": f"clip{i:08d}",
+            "bytes": pcm.astype("<i2").tobytes(),
+            "sr": np.int32((8000, 16000, 22050)[i % 3]),
+            "n_samples": np.int32(ns),
+            "fmt": "opus" if i % 17 == 0 else "s16le",
+        })
+    pdf = pd.DataFrame(rows)
+    pdf["sr"] = pdf["sr"].astype("int32")
+    pdf["n_samples"] = pdf["n_samples"].astype("int32")
     return pdf

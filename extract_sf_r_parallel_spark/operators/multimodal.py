@@ -39,7 +39,8 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "ahash_bits", "image_dup_groups", "sobel_stats", "blob_stats",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
-           "band_class", "otsu_stats", "harris_stats", "ycbcr_stats"]
+           "band_class", "otsu_stats", "harris_stats", "ycbcr_stats",
+           "waveform_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -849,3 +850,50 @@ def ycbcr_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _YCBCR_SCHEMA.fields])
     return images.mapInPandas(gen, _YCBCR_SCHEMA)
+
+
+_WAVE_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("max_abs", T.LongType()),
+    T.StructField("sum_abs", T.LongType()),
+    T.StructField("zero_cross", T.LongType()),
+    T.StructField("energy", T.LongType()),
+    T.StructField("n_frames", T.LongType()),
+    T.StructField("n_voiced", T.LongType()),
+])
+
+
+def waveform_stats(clips: DataFrame, frame: int = 1024,
+                   vad_thresh_ms: int = 358_000_000) -> DataFrame:
+    """Audio waveform features (r07) — the audio leg of the multimodal
+    family (librosa `zero_crossing_rate`/RMS, WebRTC-style energy
+    VAD), all exact-integer so the oracle replays every sample from
+    the closed form:
+
+    - max_abs / sum_abs / energy (Σ s², ≤ 8192·2^30 ≪ 2^63)
+    - zero_cross: #(t : s_t·s_{t+1} < 0) — strict sign change
+    - n_voiced: of the n div `frame` FULL frames, how many have
+      frame energy ≥ `vad_thresh_ms`·frame (i.e. mean square ≥
+      vad_thresh_ms — the uniform-PCM mean square is ≈ 2^32/12 ≈
+      3.58e8, so the default splits frames near 50/50)
+
+    Input must be pre-filtered to decodable fmt ('s16le'):
+    codec.decode_audio raises on compressed codecs by design (decode
+    stub, same stance as inter-frame video). Scale: shuffle-free
+    mapInPandas, whole-array NumPy per clip."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                s = codec.decode_audio(r.bytes, r.fmt, r.n_samples) \
+                    .astype(np.int64)
+                zc = int(((s[:-1] * s[1:]) < 0).sum())
+                nf = len(s) // frame
+                fe = (s[:nf * frame] ** 2).reshape(nf, frame).sum(axis=1)
+                rows.append((r.clip_id, len(s), int(np.abs(s).max()),
+                             int(np.abs(s).sum()), zc, int((s * s).sum()),
+                             nf, int((fe >= vad_thresh_ms * frame).sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _WAVE_SCHEMA.fields])
+    return clips.mapInPandas(gen, _WAVE_SCHEMA)

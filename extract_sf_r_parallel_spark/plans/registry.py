@@ -2462,6 +2462,7 @@ _GATE_FIRST = [
     "seg_cross", "tfidf_topk", "winsorize", "incremental_read",
     "moran_i", "raster_equalize", "traj_stays", "od_flows",
     "interval_overlap", "substring_dups", "ycbcr_stats",
+    "waveform_stats", "trend_mk",
 ]
 
 
@@ -3160,6 +3161,62 @@ FROM px GROUP BY 1
 """
 
 QUERIES["ycbcr_stats"] = q_ycbcr_stats
+
+
+# --- audio waveform features (r07): the AUDIO leg of the multimodal
+# family — zero-crossing count, abs/energy sums, and an energy-VAD
+# frame count (librosa zcr/RMS, WebRTC-VAD shape), exact-integer over
+# the synthetic s16le PCM clips (data/synth.py::audio_pdf — same
+# Lehmer closed form as the pixel plane, mod 2^16, recentred signed).
+# Compressed clips (fmt='opus', every 17th) are a DOCUMENTED decode
+# stub (codec.decode_audio raises) and are filtered out here, like
+# the inter-frame video codecs. The oracle re-derives every sample
+# AND its successor in closed form — no joins for the sign-change
+# term — and replays the frame-energy VAD as a two-level aggregate.
+def _smp(t: str) -> str:
+    lehmer = (f"(((base + ({t}) * 2654435761) % 4294967291)"
+              f" * 279470273) % 4294967291")
+    return f"(xor({lehmer}, ({lehmer}) >> 16) % 65536 - 32768)"
+
+
+def q_waveform_stats(spark, sf_dir):
+    from ..operators.multimodal import waveform_stats
+    clips = spark.createDataFrame(synth.audio_pdf(240)) \
+        .filter("fmt = 's16le'")
+    return waveform_stats(clips)
+
+
+ORACLE["waveform_stats"] = f"""
+WITH clips AS (
+  SELECT i, 'clip' || lpad(CAST(i AS VARCHAR), 8, '0') AS clip_id,
+         CASE i % 3 WHEN 0 THEN 2048 WHEN 1 THEN 4096 ELSE 8192 END AS ns,
+         42 * 1000003 + 900000 + i AS base
+  FROM range(240) t(i)
+  WHERE i % 17 <> 0
+), px AS (
+  SELECT clip_id, ns, t, {_smp('t')} AS s,
+         CASE WHEN t < ns - 1 THEN {_smp('t + 1')} END AS snext
+  FROM clips, LATERAL (SELECT UNNEST(range(ns)) AS t) u
+), fr AS (
+  SELECT clip_id, t // 1024 AS f, CAST(SUM(s * s) AS BIGINT) AS fe
+  FROM px GROUP BY 1, 2
+), vad AS (
+  SELECT clip_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+         COUNT(CASE WHEN fe >= 366592000000 THEN 1 END) AS n_voiced
+  FROM fr GROUP BY 1
+)
+SELECT p.clip_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(s)) AS BIGINT) AS max_abs,
+       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+       COUNT(CASE WHEN s * snext < 0 THEN 1 END) AS zero_cross,
+       CAST(SUM(s * s) AS BIGINT) AS energy,
+       v.n_frames, v.n_voiced
+FROM px p JOIN vad v USING (clip_id)
+GROUP BY 1, v.n_frames, v.n_voiced
+"""
+
+QUERIES["waveform_stats"] = q_waveform_stats
 
 
 # ---------------------------------------------------------------------------

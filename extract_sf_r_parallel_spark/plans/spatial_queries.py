@@ -2926,3 +2926,74 @@ GROUP BY 1, 2, 3, 4
 """
 
 QUERIES["od_flows"] = q_od_flows
+
+
+# --- Mann-Kendall trend per tile (r07): the statistic inside
+# "Emerging Hot Spot Analysis" (ArcGIS space-time cube; Kendall 1975,
+# Mann 1945) — per 2 km tile, the monotone-trend score over the DAILY
+# event-count series S = Σ_{i<j} sign(c_j − c_i), computed on the
+# COMPLETE day spine (zero-count days included via tiles × days LEFT
+# join — a missing day IS data to a trend test). Exact integers
+# throughout. Plan shape: the cube collapses to (tiles × days) rows
+# BEFORE the pair join, so the quadratic term is days², independent
+# of event volume — the standard space-time-cube contract at 100 TB;
+# the pair join is tile-equi (never cartesian across tiles).
+def q_trend_mk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(f"{_ODX} div 2000").alias("tx"),
+        F.expr(f"{_ODY} div 2000").alias("ty"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"))
+    counts = e.groupBy("tx", "ty", "day").agg(
+        F.count(F.lit(1)).alias("c"))
+    tiles = counts.select("tx", "ty").distinct()
+    days = counts.select("day").distinct()
+    spine = (tiles.crossJoin(days)
+             .join(counts, ["tx", "ty", "day"], "left")
+             .select("tx", "ty", "day",
+                     F.coalesce("c", F.lit(0)).alias("c")))
+    a = spine.select("tx", "ty", F.col("day").alias("d1"),
+                     F.col("c").alias("c1"))
+    b = spine.select(F.col("tx").alias("btx"), F.col("ty").alias("bty"),
+                     F.col("day").alias("d2"), F.col("c").alias("c2"))
+    pairs = a.join(b, (F.col("tx") == F.col("btx"))
+                   & (F.col("ty") == F.col("bty"))
+                   & (F.col("d1") < F.col("d2")))
+    return (pairs.groupBy("tx", "ty")
+            .agg(F.sum(F.signum(F.col("c2") - F.col("c1"))).cast("long")
+                 .alias("s_mk"),
+                 F.count(F.lit(1)).alias("n_pairs"))
+            .join(spine.groupBy("tx", "ty")
+                  .agg(F.count(F.lit(1)).alias("n_days"),
+                       F.sum("c").alias("total")), ["tx", "ty"]))
+
+
+ORACLE["trend_mk"] = f"""
+WITH pings AS (
+  SELECT {_ODX} // 2000 AS tx, {_ODY} // 2000 AS ty,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+), counts AS (
+  SELECT tx, ty, day, COUNT(*) AS c FROM pings GROUP BY 1, 2, 3
+), spine AS (
+  SELECT t.tx, t.ty, d.day, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT tx, ty FROM counts) t
+  CROSS JOIN (SELECT DISTINCT day FROM counts) d
+  LEFT JOIN counts c ON c.tx = t.tx AND c.ty = t.ty AND c.day = d.day
+), pairs AS (
+  SELECT a.tx, a.ty,
+         CAST(SUM(SIGN(b.c - a.c)) AS BIGINT) AS s_mk,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM spine a JOIN spine b
+    ON b.tx = a.tx AND b.ty = a.ty AND a.day < b.day
+  GROUP BY 1, 2
+), tot AS (
+  SELECT tx, ty, CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS total
+  FROM spine GROUP BY 1, 2
+)
+SELECT p.tx, p.ty, p.s_mk, p.n_pairs, t.n_days, t.total
+FROM pairs p JOIN tot t ON t.tx = p.tx AND t.ty = p.ty
+"""
+
+QUERIES["trend_mk"] = q_trend_mk

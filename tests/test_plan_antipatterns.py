@@ -54,6 +54,7 @@ LAZY = [
     "seg_cross", "tfidf_topk", "winsorize",
     "moran_i", "raster_equalize", "traj_stays", "od_flows",
     "interval_overlap", "substring_dups", "ycbcr_stats",
+    "waveform_stats", "trend_mk",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —

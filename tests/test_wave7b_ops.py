@@ -183,3 +183,61 @@ def test_ycbcr_matches_numpy(spark):
         assert (row.sum_y, row.min_y, row.max_y) == \
             (y.sum(), y.min(), y.max())
         assert (row.sum_cb, row.sum_cr) == (cb.sum(), cr.sum())
+
+
+def test_waveform_stats_matches_numpy(spark):
+    from extract_sf_r_parallel_spark.data import codec, synth
+    from extract_sf_r_parallel_spark.operators.multimodal import (
+        waveform_stats)
+
+    pdf = synth.audio_pdf(10)
+    dec = pdf[pdf.fmt == "s16le"]
+    got = waveform_stats(spark.createDataFrame(dec)).toPandas() \
+        .set_index("clip_id")
+    assert len(got) == len(dec)
+    for r in dec.itertuples():
+        s = codec.decode_audio(bytes(r.bytes), r.fmt,
+                               int(r.n_samples)).astype(np.int64)
+        row = got.loc[r.clip_id]
+        assert row.n_samples == len(s)
+        assert row.max_abs == np.abs(s).max()
+        assert row.sum_abs == np.abs(s).sum()
+        assert row.zero_cross == int(((s[:-1] * s[1:]) < 0).sum())
+        assert row.energy == (s * s).sum()
+        nf = len(s) // 1024
+        fe = (s[: nf * 1024] ** 2).reshape(nf, 1024).sum(axis=1)
+        assert row.n_frames == nf
+        assert row.n_voiced == int((fe >= 358_000_000 * 1024).sum())
+
+
+def test_decode_audio_stub_raises(spark):
+    from extract_sf_r_parallel_spark.data import codec
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        codec.decode_audio(b"\x00\x00", "opus", 1)
+
+
+def test_trend_mk_brute(spark):
+    # deterministic planted series on two tiles: one rising, one flat
+    import extract_sf_r_parallel_spark.plans.spatial_queries as S
+    import itertools
+    t0 = dt.datetime(2024, 1, 1)
+    # brute Mann-Kendall on the q_trend_mk output at sf0.001
+    got = S.QUERIES["trend_mk"](spark, "/root/testdata/sf0.001").toPandas()
+    ev = pd.read_parquet("/root/testdata/sf0.001/events.parquet")
+    tx = ((ev.event_id * 48271 + 13) % 999983 % 20000) // 2000
+    ty = ((ev.event_id * 69621 + 7) % 999979 % 20000) // 2000
+    day = ev.ts.astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+    cube = pd.DataFrame({"tx": tx, "ty": ty, "day": day}) \
+        .groupby(["tx", "ty", "day"]).size().rename("c").reset_index()
+    all_days = sorted(cube.day.unique())
+    exp = {}
+    for (gx, gy), g in cube.groupby(["tx", "ty"]):
+        cs = g.set_index("day").c.reindex(all_days, fill_value=0).to_numpy()
+        s = sum(int(np.sign(cs[j] - cs[i]))
+                for i, j in itertools.combinations(range(len(cs)), 2))
+        exp[(gx, gy)] = (s, len(cs) * (len(cs) - 1) // 2,
+                         len(cs), int(cs.sum()))
+    got_map = {(r.tx, r.ty): (r.s_mk, r.n_pairs, r.n_days, r.total)
+               for r in got.itertuples()}
+    assert got_map == exp
