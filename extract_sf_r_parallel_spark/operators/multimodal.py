@@ -40,7 +40,7 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "hist_equalize_stats", "crop_stats", "morph_stats", "sat_stats",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
            "band_class", "otsu_stats", "harris_stats", "ycbcr_stats",
-           "waveform_stats"]
+           "waveform_stats", "audio_pitch", "run_length_stats"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -897,3 +897,89 @@ def waveform_stats(clips: DataFrame, frame: int = 1024,
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _WAVE_SCHEMA.fields])
     return clips.mapInPandas(gen, _WAVE_SCHEMA)
+
+
+_PITCH_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("best_lag", T.LongType()),
+    T.StructField("r_best", T.LongType()),
+    T.StructField("r_lag32", T.LongType()),
+    T.StructField("f0_milli", T.LongType()),
+])
+
+
+def audio_pitch(clips: DataFrame, win: int = 512,
+                lags: tuple = tuple(range(32, 97, 8))) -> DataFrame:
+    """Autocorrelation pitch estimation (r07 wave D) — the classic
+    ACF pitch tracker (YIN/RAPT's first stage): over the first `win`
+    samples of each clip, R(L) = Σ_t s_t·s_{t+L} for a fixed lag
+    grid; the fundamental period estimate is argmax R (ties → the
+    SMALLEST lag, deterministic in both engines), and
+    f0_milli = sr·1000 div best_lag. Exact int64 throughout
+    (|s| < 2^15, win = 512 → |R| < 512·2^30 ≪ 2^63), so the oracle
+    re-derives every product from the closed-form sample plane.
+
+    Input must be pre-filtered to decodable fmt ('s16le') —
+    codec.decode_audio raises on compressed codecs by design.
+    Scale: shuffle-free mapInPandas; per clip one win×|lags| NumPy
+    matmul-shaped dot, no per-sample Python."""
+    lag_arr = np.asarray(lags, dtype=np.int64)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                s = codec.decode_audio(r.bytes, r.fmt, r.n_samples) \
+                    .astype(np.int64)
+                head = s[:win]
+                acf = np.array([int(head @ s[L:L + win])
+                                for L in lag_arr], dtype=np.int64)
+                i = int(np.argmax(acf))  # first max = smallest lag
+                best = int(lag_arr[i])
+                rows.append((r.clip_id, best, int(acf[i]), int(acf[0]),
+                             int(r.sr) * 1000 // best))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PITCH_SCHEMA.fields])
+    return clips.mapInPandas(gen, _PITCH_SCHEMA)
+
+
+_RLE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_px", T.LongType()),
+    T.StructField("n_runs", T.LongType()),
+    T.StructField("max_run", T.LongType()),
+    T.StructField("mean_run_milli", T.LongType()),
+])
+
+
+def run_length_stats(images: DataFrame, q_shift: int = 6) -> DataFrame:
+    """Run-length encoding statistics (r07 wave D) — the RLE
+    compressibility probe (fax G3 / TIFF PackBits shape, and the
+    cheap "is this image synthetic/flat?" screen for vision training
+    data): channel 0 is quantized to 2^(8−q_shift) levels
+    (q = v >> q_shift), runs are maximal same-q spans WITHIN each
+    pixel row (runs never cross row boundaries, as in every scanline
+    codec), and per image we emit run count, longest run, and mean
+    run length in exact milli-pixels (n_px·1000 div n_runs).
+
+    Scale: shuffle-free mapInPandas; runs found by one vectorized
+    diff per image. The oracle replays runs as a gaps-and-islands
+    window over the closed-form pixel plane."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                q = (v.astype(np.int64) >> q_shift)
+                starts = np.ones_like(q, dtype=bool)
+                starts[:, 1:] = q[:, 1:] != q[:, :-1]
+                flat = starts.ravel()
+                n_runs = int(flat.sum())
+                idx = np.flatnonzero(flat)
+                lens = np.diff(np.append(idx, q.size))
+                n_px = int(q.size)
+                rows.append((r.image_id, n_px, n_runs, int(lens.max()),
+                             n_px * 1000 // n_runs))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RLE_SCHEMA.fields])
+    return images.mapInPandas(gen, _RLE_SCHEMA)

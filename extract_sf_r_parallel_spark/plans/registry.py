@@ -2463,6 +2463,9 @@ _GATE_FIRST = [
     "moran_i", "raster_equalize", "traj_stays", "od_flows",
     "interval_overlap", "substring_dups", "ycbcr_stats",
     "waveform_stats", "trend_mk",
+    "cusum_change", "gap_fill", "bellman_hops",
+    "quadtree_tiles", "box_iou_join", "acf_lags",
+    "audio_pitch", "run_length",
 ]
 
 
@@ -3217,6 +3220,106 @@ GROUP BY 1, v.n_frames, v.n_voiced
 """
 
 QUERIES["waveform_stats"] = q_waveform_stats
+
+
+# --- autocorrelation pitch estimation (r07 wave D): the ACF pitch
+# tracker (YIN/RAPT first stage) over the s16le clips — R(L) =
+# Σ_{t<512} s_t·s_{t+L} on a fixed lag grid (32..96 step 8), argmax
+# with ties → smallest lag, f0_milli = sr·1000 div best_lag. Exact
+# int64; the oracle re-derives both sample streams (s_t and the
+# lag-shifted s_{t+L}) from the Lehmer closed form and replays the
+# deterministic argmax as max-then-min-lag. Compressed clips
+# (fmt='opus') are the documented decode stub and are filtered.
+def q_audio_pitch(spark, sf_dir):
+    from ..operators.multimodal import audio_pitch
+    clips = spark.createDataFrame(synth.audio_pdf(240)) \
+        .filter("fmt = 's16le'")
+    return audio_pitch(clips)
+
+
+ORACLE["audio_pitch"] = f"""
+WITH clips AS (
+  SELECT i, 'clip' || lpad(CAST(i AS VARCHAR), 8, '0') AS clip_id,
+         CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 22050 END AS sr,
+         42 * 1000003 + 900000 + i AS base
+  FROM range(240) t(i)
+  WHERE i % 17 <> 0
+), acf AS (
+  SELECT clip_id, sr, lag,
+         CAST(SUM(({_smp('t')}) * ({_smp('t + lag')})) AS BIGINT) AS r
+  FROM clips,
+       LATERAL (SELECT UNNEST(range(32, 97, 8)) AS lag) lg,
+       LATERAL (SELECT UNNEST(range(512)) AS t) u
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT clip_id, MAX(r) AS r_best FROM acf GROUP BY 1
+), sel AS (
+  SELECT a.clip_id, MIN(a.lag) AS best_lag
+  FROM acf a JOIN best b ON b.clip_id = a.clip_id AND a.r = b.r_best
+  GROUP BY 1
+)
+SELECT s.clip_id,
+       CAST(s.best_lag AS BIGINT) AS best_lag,
+       b.r_best,
+       a32.r AS r_lag32,
+       CAST(a32.sr * 1000 // s.best_lag AS BIGINT) AS f0_milli
+FROM sel s
+JOIN best b ON b.clip_id = s.clip_id
+JOIN acf a32 ON a32.clip_id = s.clip_id AND a32.lag = 32
+"""
+
+QUERIES["audio_pitch"] = q_audio_pitch
+
+
+# --- run-length encoding statistics (r07 wave D): the RLE
+# compressibility probe (fax G3 / PackBits shape) — channel 0
+# quantized to 4 levels (v >> 6), runs are maximal same-level spans
+# within each pixel ROW (scanline semantics: runs never cross row
+# boundaries), per image run count / longest run / exact mean run
+# length in milli-pixels. The oracle replays runs as gaps-and-islands
+# windows (run start ⇔ row start or level change) over the
+# closed-form pixel plane.
+def q_run_length(spark, sf_dir):
+    from ..operators.multimodal import run_length_stats
+    return run_length_stats(spark.createDataFrame(synth.images_pdf(240)))
+
+
+ORACLE["run_length"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT image_id, w, h, p, ({_px_chan(0)}) // 64 AS q
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), st AS (
+  SELECT image_id, w, h, p, q,
+         CASE WHEN p % w = 0 THEN 1
+              WHEN q <> LAG(q) OVER (PARTITION BY image_id ORDER BY p)
+                THEN 1 ELSE 0 END AS start
+  FROM px
+), isl AS (
+  SELECT image_id, w, h,
+         SUM(start) OVER (PARTITION BY image_id ORDER BY p
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM st
+), runs AS (
+  SELECT image_id, w, h, run_id, COUNT(*) AS run_len
+  FROM isl GROUP BY 1, 2, 3, 4
+)
+SELECT image_id,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_px,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(MAX(w) * MAX(h) * 1000 // COUNT(*) AS BIGINT)
+         AS mean_run_milli
+FROM runs GROUP BY 1
+"""
+
+QUERIES["run_length"] = q_run_length
 
 
 # ---------------------------------------------------------------------------

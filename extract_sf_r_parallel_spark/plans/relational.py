@@ -1593,3 +1593,228 @@ FROM run GROUP BY 1
 """
 
 QUERIES["interval_overlap"] = q_interval_overlap
+
+
+# --- CUSUM changepoint detection (r07 wave D): the classic
+# monitoring/data-drift primitive (Page's cumulative-sum statistic)
+# over each supplier's daily shipment-count series. Floats under a
+# distributed fold aren't replayable, so the statistic is the exact
+# integer cross-multiplied form: with n days, prefix sums P_k and
+# grand total T, D_k = n·P_k − k·T (the CUSUM deviation scaled by n —
+# sign and argmax are unchanged), all int64. The changepoint is the
+# day maximizing |D_k| (ties → earliest day, deterministic in both
+# engines via the min-over-argmax pattern, no arg_max tie ambiguity).
+# One window partition + one groupBy = two shuffles on the same key;
+# pure JVM, no spine needed (observed days only).
+def q_cusum_change(spark, sf_dir):
+    daily = (_t(spark, sf_dir, "lineitem")
+             .select("l_suppkey",
+                     F.expr("unix_micros(cast(l_shipdate as timestamp)) "
+                            "div 86400000000").alias("day"))
+             .groupBy("l_suppkey", "day")
+             .agg(F.count(F.lit(1)).alias("x")))
+    wo = (W.partitionBy("l_suppkey").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wp = W.partitionBy("l_suppkey")
+    s = (daily
+         .withColumn("k", F.row_number().over(
+             W.partitionBy("l_suppkey").orderBy("day")))
+         .withColumn("pref", F.sum("x").over(wo))
+         .withColumn("n", F.count(F.lit(1)).over(wp))
+         .withColumn("total", F.sum("x").over(wp))
+         .withColumn("absd", F.abs(F.col("n") * F.col("pref")
+                                   - F.col("k") * F.col("total")))
+         .withColumn("mx", F.max("absd").over(wp)))
+    return (s.groupBy("l_suppkey")
+            .agg(F.max("n").cast("long").alias("n_days"),
+                 F.max("total").cast("long").alias("total"),
+                 F.max("mx").cast("long").alias("max_absd"),
+                 F.min(F.when(F.col("absd") == F.col("mx"),
+                              F.col("day"))).alias("cp_day")))
+
+
+ORACLE["cusum_change"] = """
+WITH daily AS (
+  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS day,
+         COUNT(*) AS x
+  FROM lineitem GROUP BY 1, 2
+), s AS (
+  SELECT l_suppkey, day,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY day) AS k,
+         SUM(x) OVER (PARTITION BY l_suppkey ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS pref,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n,
+         SUM(x) OVER (PARTITION BY l_suppkey) AS total
+  FROM daily
+), d AS (
+  SELECT l_suppkey, day, n, total, ABS(n * pref - k * total) AS absd,
+         MAX(ABS(n * pref - k * total))
+           OVER (PARTITION BY l_suppkey) AS mx
+  FROM s
+)
+SELECT l_suppkey,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(total) AS BIGINT) AS total,
+       CAST(MAX(mx) AS BIGINT) AS max_absd,
+       CAST(MIN(CASE WHEN absd = mx THEN day END) AS BIGINT) AS cp_day
+FROM d GROUP BY 1
+"""
+
+QUERIES["cusum_change"] = q_cusum_change
+
+
+# --- time-series gap fill with linear interpolation (r07 wave D):
+# the resample/align primitive every feature pipeline needs — each
+# supplier's daily quantity series is completed over its own
+# [min_day, max_day] spine and missing days get the linear
+# interpolation of the bracketing observed values. The interpolated
+# value is kept exact-integer via the NON-NEGATIVE barycentric form
+# interp_milli = 1000·(v_prev·(d_next−d) + v_next·(d−d_prev))
+#                div (d_next−d_prev)
+# (both weights ≥ 0, so Spark's truncating `div` and DuckDB's
+# flooring `//` agree — the subtraction form would not). Bracketing
+# neighbours come from two IGNORE-NULLS window scans (last/first
+# value over the day-ordered spine), probed engine-identical. The
+# spine explodes a per-supplier sequence (bounded by the date span,
+# not data size); one window partition + one groupBy. Pure JVM.
+def q_gap_fill(spark, sf_dir):
+    daily = (_t(spark, sf_dir, "lineitem")
+             .select("l_suppkey",
+                     F.expr("unix_micros(cast(l_shipdate as timestamp)) "
+                            "div 86400000000").alias("day"),
+                     F.col("l_quantity").cast("long").alias("q"))
+             .groupBy("l_suppkey", "day").agg(F.sum("q").alias("v")))
+    spine = (daily.groupBy("l_suppkey")
+             .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+             .select("l_suppkey",
+                     F.explode(F.sequence("d0", "d1")).alias("day")))
+    j = spine.join(daily, ["l_suppkey", "day"], "left")
+    back = (W.partitionBy("l_suppkey").orderBy("day")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    fwd = (W.partitionBy("l_suppkey").orderBy("day")
+           .rowsBetween(W.currentRow, W.unboundedFollowing))
+    kday = F.when(F.col("v").isNotNull(), F.col("day"))
+    s = (j.withColumn("vprev", F.last("v", ignorenulls=True).over(back))
+         .withColumn("dprev", F.last(kday, ignorenulls=True).over(back))
+         .withColumn("vnext", F.first("v", ignorenulls=True).over(fwd))
+         .withColumn("dnext", F.first(kday, ignorenulls=True).over(fwd)))
+    interp = F.expr("(1000 * (vprev * (dnext - day) + vnext * (day - dprev)))"
+                    " div (dnext - dprev)")
+    miss = F.col("v").isNull()
+    return (s.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum(miss.cast("long")).alias("n_missing"),
+                 F.coalesce(F.sum(F.when(miss, interp)), F.lit(0))
+                 .cast("long").alias("sum_interp_milli"),
+                 F.coalesce(F.max(F.when(miss, F.col("dnext")
+                                         - F.col("dprev") - 1)),
+                            F.lit(0)).cast("long").alias("max_gap")))
+
+
+ORACLE["gap_fill"] = """
+WITH daily AS (
+  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2
+), spine AS (
+  SELECT b.l_suppkey, u.day
+  FROM (SELECT l_suppkey, MIN(day) AS d0, MAX(day) AS d1
+        FROM daily GROUP BY 1) b,
+       LATERAL (SELECT UNNEST(generate_series(b.d0, b.d1)) AS day) u
+), s AS (
+  SELECT sp.l_suppkey, sp.day, d.v,
+    LAST_VALUE(d.v IGNORE NULLS) OVER
+      (PARTITION BY sp.l_suppkey ORDER BY sp.day
+       ROWS UNBOUNDED PRECEDING) AS vprev,
+    LAST_VALUE(CASE WHEN d.v IS NOT NULL THEN sp.day END IGNORE NULLS)
+      OVER (PARTITION BY sp.l_suppkey ORDER BY sp.day
+            ROWS UNBOUNDED PRECEDING) AS dprev,
+    FIRST_VALUE(d.v IGNORE NULLS) OVER
+      (PARTITION BY sp.l_suppkey ORDER BY sp.day
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vnext,
+    FIRST_VALUE(CASE WHEN d.v IS NOT NULL THEN sp.day END IGNORE NULLS)
+      OVER (PARTITION BY sp.l_suppkey ORDER BY sp.day
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS dnext
+  FROM spine sp LEFT JOIN daily d
+    ON d.l_suppkey = sp.l_suppkey AND d.day = sp.day
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(COUNT(CASE WHEN v IS NULL THEN 1 END) AS BIGINT) AS n_missing,
+       CAST(COALESCE(SUM(CASE WHEN v IS NULL THEN
+         (1000 * (vprev * (dnext - day) + vnext * (day - dprev)))
+           // (dnext - dprev) END), 0) AS BIGINT) AS sum_interp_milli,
+       CAST(COALESCE(MAX(CASE WHEN v IS NULL THEN dnext - dprev - 1 END),
+                     0) AS BIGINT) AS max_gap
+FROM s GROUP BY 1
+"""
+
+QUERIES["gap_fill"] = q_gap_fill
+
+
+# --- Bellman-Ford shortest paths, k min-plus rounds (r07 wave D):
+# weighted single-source-set shortest distance over the user-journey
+# transition graph (the weighted completion of pagerank_walk /
+# label_prop's edge derivation — consecutive per-user event `k`
+# values). Edge weight = (src + dst) % 9 + 1 (deterministic integer);
+# sources = nodes ≡ 0 (mod 10) at distance 0. Three rounds of the
+# min-plus relaxation dist' = min(dist, min_{(u,v,w)} dist(u)+w) —
+# the iterative-join shape Spark executes as one edge join + one
+# grouped MIN per round (constant rounds, no per-row Python; at
+# 100 TB each round is a single shuffle on dst). Oracle: the same
+# three rounds unrolled as chained CTEs.
+def q_bellman_hops(spark, sf_dir):
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (e.select(F.col("k").alias("dst"),
+                      F.lag("k").over(w).alias("src"))
+             .filter("src IS NOT NULL").distinct()
+             .withColumn("wt", F.expr("(src + dst) % 9 + 1")))
+    dist = (e.select(F.col("k").alias("node")).distinct()
+            .filter("node % 10 = 0")
+            .withColumn("dist", F.lit(0).cast("long")))
+    for _ in range(3):
+        relaxed = (edges.join(dist, edges.src == dist.node)
+                   .select(F.col("dst").alias("node"),
+                           (F.col("dist") + F.col("wt")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                .groupBy("node").agg(F.min("dist").alias("dist")))
+    return dist
+
+
+def _bellman_oracle(rounds: int = 3) -> str:
+    parts = ["""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), hop AS (
+  SELECT k AS dst,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM seq
+), edges AS (
+  SELECT DISTINCT src, dst, (src + dst) % 9 + 1 AS wt
+  FROM hop WHERE src IS NOT NULL
+), d0 AS (
+  SELECT DISTINCT k AS node, CAST(0 AS BIGINT) AS dist
+  FROM seq WHERE k % 10 = 0
+)"""]
+    for i in range(rounds):
+        parts.append(f""", d{i + 1} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.wt AS dist
+    FROM d{i} d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)""")
+    parts.append(f"""
+SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}""")
+    return "".join(parts)
+
+
+ORACLE["bellman_hops"] = _bellman_oracle()
+
+QUERIES["bellman_hops"] = q_bellman_hops

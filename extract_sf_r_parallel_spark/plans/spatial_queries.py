@@ -2997,3 +2997,209 @@ FROM pairs p JOIN tot t ON t.tx = p.tx AND t.ty = p.ty
 """
 
 QUERIES["trend_mk"] = q_trend_mk
+
+
+# --- adaptive quadtree tiling (r07 wave D): operators/quadtree.py —
+# the skew-aware partitioner (PR-quadtree / S2-compaction shape):
+# cells split until ≤ cap points or max_level. The recursion is
+# flattened declaratively (leaf = SHALLOWEST level whose cell count
+# ≤ cap — valid because nested-cell counts are monotone down the
+# chain), the level×cell histogram is geometry-bounded (Σ4^l) and
+# broadcast. cap=50 yields a mixed-depth tree on the LCG geotags at
+# every fixture SF. Oracle replays the same min-qualifying-level
+# rule over an UNNESTed level range.
+def q_quadtree_tiles(spark, sf_dir):
+    from ..operators.quadtree import quadtree_leaves
+    pts = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").alias("id"),
+        F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y"))
+    return quadtree_leaves(pts, window=G.WINDOW, max_level=5, cap=50)
+
+
+ORACLE["quadtree_tiles"] = f"""
+WITH p AS (
+  SELECT event_id AS id, {_ODX} AS x, {_ODY} AS y FROM events
+), e AS (
+  SELECT id, l,
+         x // (20000 // (1 << l)) AS cx,
+         y // (20000 // (1 << l)) AS cy
+  FROM p, LATERAL (SELECT UNNEST(range(6)) AS l) u
+), c AS (
+  SELECT l, cx, cy, COUNT(*) AS cnt FROM e GROUP BY 1, 2, 3
+), leaf AS (
+  SELECT e.id, MIN(e.l) AS lvl
+  FROM e JOIN c USING (l, cx, cy)
+  WHERE c.cnt <= 50 OR l = 5
+  GROUP BY 1
+)
+SELECT e.l AS lvl, e.cx, e.cy,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(20000 // (1 << e.l) AS BIGINT) AS side
+FROM leaf q JOIN e ON e.id = q.id AND e.l = q.lvl
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["quadtree_tiles"] = q_quadtree_tiles
+
+
+# --- box-IoU spatial self-join (r07 wave D): the object-detection
+# dedup primitive (NMS's pair-finding half) as a grid-blocked join —
+# every box explodes to the ≤4 coarse cells it overlaps (cell 256 >
+# max box dim 160, so the cover is exact), pairs join on cell, and
+# the owner-cell rule (only the cell containing the intersection's
+# min corner emits) dedups without a distinct. IoU ≥ 0.2 is tested
+# in exact integers (6·inter ≥ areaA+areaB ⇔ inter/union ≥ 1/5).
+# Boxes derive from the event geotags compressed into a 1840² px
+# frame (every 20th event, so the all-pairs oracle stays small while
+# Spark runs the real blocked plan). The oracle is the UNBLOCKED
+# quadratic join — a value match proves the cover is complete.
+_BX0 = f"(({_ODX}) % 1800)"
+_BY0 = f"(({_ODY}) % 1800)"
+_BW = "((event_id % 7) * 20 + 40)"
+_BH = "(((event_id div 7) % 7) * 20 + 40)"          # Spark (div)
+_BH_SQL = "(((event_id // 7) % 7) * 20 + 40)"       # DuckDB (//)
+
+
+def q_box_iou_join(spark, sf_dir):
+    b = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .filter("event_id % 20 = 0")
+         .select(F.col("event_id").alias("id"),
+                 F.expr(_BX0).alias("x0"), F.expr(_BY0).alias("y0"),
+                 F.expr(f"{_BX0} + {_BW}").alias("x1"),
+                 F.expr(f"{_BY0} + {_BH}").alias("y1")))
+    blocked = b.select(
+        "id", "x0", "y0", "x1", "y1",
+        F.explode(F.expr("sequence(x0 div 256, (x1 - 1) div 256)"))
+        .alias("gx")).select(
+        "*", F.explode(F.expr("sequence(y0 div 256, (y1 - 1) div 256)"))
+        .alias("gy"))
+    a = blocked.select(*[F.col(c).alias(f"a_{c}") for c in
+                         ("id", "x0", "y0", "x1", "y1")], "gx", "gy")
+    c = blocked.select(*[F.col(c).alias(f"b_{c}") for c in
+                         ("id", "x0", "y0", "x1", "y1")], "gx", "gy")
+    pairs = (a.join(c, ["gx", "gy"])
+             .filter("a_id < b_id")
+             .filter("gx = greatest(a_x0, b_x0) div 256 AND "
+                     "gy = greatest(a_y0, b_y0) div 256")
+             .withColumn("iw", F.expr("least(a_x1, b_x1)"
+                                      " - greatest(a_x0, b_x0)"))
+             .withColumn("ih", F.expr("least(a_y1, b_y1)"
+                                      " - greatest(a_y0, b_y0)"))
+             .filter("iw > 0 AND ih > 0")
+             .withColumn("inter", F.expr("iw * ih"))
+             .withColumn("union_", F.expr(
+                 "(a_x1 - a_x0) * (a_y1 - a_y0)"
+                 " + (b_x1 - b_x0) * (b_y1 - b_y0) - inter"))
+             .filter("6 * inter >= (a_x1 - a_x0) * (a_y1 - a_y0)"
+                     " + (b_x1 - b_x0) * (b_y1 - b_y0)"))
+    return pairs.select(
+        F.col("a_id").alias("id_a"), F.col("b_id").alias("id_b"),
+        F.col("inter").cast("long").alias("inter"),
+        F.col("union_").cast("long").alias("union_"),
+        F.expr("1000 * inter div union_").cast("long")
+        .alias("iou_milli"))
+
+
+ORACLE["box_iou_join"] = f"""
+WITH b AS (
+  SELECT event_id AS id,
+         {_BX0} AS x0, {_BY0} AS y0,
+         {_BX0} + {_BW} AS x1, {_BY0} + {_BH_SQL} AS y1
+  FROM events WHERE event_id % 20 = 0
+), p AS (
+  SELECT a.id AS id_a, b2.id AS id_b,
+         (LEAST(a.x1, b2.x1) - GREATEST(a.x0, b2.x0))
+       * (LEAST(a.y1, b2.y1) - GREATEST(a.y0, b2.y0)) AS inter,
+         (a.x1 - a.x0) * (a.y1 - a.y0)
+       + (b2.x1 - b2.x0) * (b2.y1 - b2.y0) AS sum_area
+  FROM b a JOIN b b2 ON a.id < b2.id
+  WHERE LEAST(a.x1, b2.x1) > GREATEST(a.x0, b2.x0)
+    AND LEAST(a.y1, b2.y1) > GREATEST(a.y0, b2.y0)
+)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+       CAST(sum_area - inter AS BIGINT) AS union_,
+       CAST(1000 * inter // (sum_area - inter) AS BIGINT) AS iou_milli
+FROM p WHERE 6 * inter >= sum_area
+"""
+
+QUERIES["box_iou_join"] = q_box_iou_join
+
+
+# --- autocorrelation function per tile (r07 wave D): ACF at lags
+# 1-3 over each 2-km tile's complete daily-count series (the
+# trend_mk spine) — the seasonality/persistence feature for
+# spatio-temporal forecasting. Floats aren't fold-replayable, so the
+# centered products use the n-scaled integer form u_t = n·c_t − S
+# (u ∈ int64; num_l = Σ u_t·u_{t+l}, den = Σ u_t² are exact), and
+# only the final ratio divides (one double division — bit-identical
+# in both engines). Spark shape: one spine build, one LEAD window
+# per lag over the SAME sort (one shuffle), stack() to long form.
+# Oracle replays the leads as a day-offset self-join.
+def q_acf_lags(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.expr(f"{_ODX} div 2000").alias("tx"),
+        F.expr(f"{_ODY} div 2000").alias("ty"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("day"))
+    counts = e.groupBy("tx", "ty", "day").agg(
+        F.count(F.lit(1)).alias("c"))
+    spine = (counts.select("tx", "ty").distinct()
+             .crossJoin(counts.select("day").distinct())
+             .join(counts, ["tx", "ty", "day"], "left")
+             .select("tx", "ty", "day",
+                     F.coalesce("c", F.lit(0)).alias("c")))
+    wp = W.partitionBy("tx", "ty")
+    wo = wp.orderBy("day")
+    u = (spine.withColumn("n", F.count(F.lit(1)).over(wp))
+         .withColumn("s", F.sum("c").over(wp))
+         .withColumn("u", F.col("n") * F.col("c") - F.col("s")))
+    leads = u.select(
+        "tx", "ty", "u",
+        *[F.lead("u", k).over(wo).alias(f"u{k}") for k in (1, 2, 3)])
+    agg = leads.groupBy("tx", "ty").agg(
+        F.sum(F.col("u") * F.col("u")).alias("den"),
+        *[F.sum(F.col("u") * F.col(f"u{k}")).alias(f"num{k}")
+          for k in (1, 2, 3)])
+    return (agg.selectExpr(
+        "tx", "ty", "den",
+        "stack(3, 1L, num1, 2L, num2, 3L, num3) AS (lag, num)")
+        .filter("den > 0")
+        .select("tx", "ty", "lag", "num", "den",
+                F.expr("round(cast(num as double) / cast(den as double),"
+                       " 9)").alias("acf")))
+
+
+ORACLE["acf_lags"] = f"""
+WITH pings AS (
+  SELECT {_ODX} // 2000 AS tx, {_ODY} // 2000 AS ty,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+), counts AS (
+  SELECT tx, ty, day, COUNT(*) AS c FROM pings GROUP BY 1, 2, 3
+), spine AS (
+  SELECT t.tx, t.ty, d.day, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT tx, ty FROM counts) t
+  CROSS JOIN (SELECT DISTINCT day FROM counts) d
+  LEFT JOIN counts c ON c.tx = t.tx AND c.ty = t.ty AND c.day = d.day
+), u AS (
+  SELECT tx, ty, day,
+         COUNT(*) OVER (PARTITION BY tx, ty) * c
+           - SUM(c) OVER (PARTITION BY tx, ty) AS u
+  FROM spine
+), num AS (
+  SELECT a.tx, a.ty, l.lag,
+         CAST(SUM(a.u * b.u) AS BIGINT) AS num
+  FROM u a
+  JOIN (SELECT UNNEST(range(1, 4)) AS lag) l ON TRUE
+  JOIN u b ON b.tx = a.tx AND b.ty = a.ty AND b.day = a.day + l.lag
+  GROUP BY 1, 2, 3
+), den AS (
+  SELECT tx, ty, CAST(SUM(u * u) AS BIGINT) AS den FROM u GROUP BY 1, 2
+)
+SELECT n.tx, n.ty, n.lag, n.num, d.den,
+       ROUND(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE), 9) AS acf
+FROM num n JOIN den d ON d.tx = n.tx AND d.ty = n.ty
+WHERE d.den > 0
+"""
+
+QUERIES["acf_lags"] = q_acf_lags

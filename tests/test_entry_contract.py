@@ -92,6 +92,18 @@ def test_gate_order_never_recorded_first():
     assert list(QUERIES) == keys, "entry queries() must preserve registry order"
     last_seen, _ = registry._gate_last_seen()
     never = [k for k in keys if k not in last_seen]
-    budget = set(keys[:50])
-    starved = [k for k in never if k not in budget]
-    assert not starved, f"never-recorded queries outside gate budget: {starved}"
+    # The no-PERMANENT-starvation invariant: every never-recorded query
+    # sorts BEFORE every recorded one except the pricing_summary
+    # warm-up absorber (pinned to position 0 by design). When more
+    # than ~50 queries are new in one round, the overflow simply waits
+    # one round (it is still never-recorded, so it sorts first again) —
+    # that is rotation working, not the r06 bug (which placed late
+    # registrations permanently PAST the budget, after recorded rows).
+    if never:
+        last_never = max(i for i, k in enumerate(keys) if k in set(never))
+        starved = [k for k in keys[:last_never]
+                   if k not in set(never) and k != "pricing_summary"]
+        assert not starved, \
+            f"recorded queries ahead of never-recorded ones: {starved}"
+    if len(never) <= 49:
+        assert all(k in set(keys[:50]) for k in never)

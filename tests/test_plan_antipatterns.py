@@ -55,6 +55,11 @@ LAZY = [
     "moran_i", "raster_equalize", "traj_stays", "od_flows",
     "interval_overlap", "substring_dups", "ycbcr_stats",
     "waveform_stats", "trend_mk",
+    # r07 wave D (all lazily built; acf_lags' spine crossJoin plans
+    # as a broadcast NLJ like trend_mk's, not a CartesianProduct)
+    "cusum_change", "gap_fill", "bellman_hops",
+    "quadtree_tiles", "box_iou_join", "acf_lags",
+    "audio_pitch", "run_length",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —

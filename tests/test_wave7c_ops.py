@@ -1,0 +1,258 @@
+"""Brute-force pins for the r07 wave-D operators: quadtree_leaves
+(vs a serial recursive PR-quadtree), audio_pitch (vs whole-array
+NumPy autocorrelation + the tie rule on a perfectly periodic clip),
+run_length_stats (vs a scanline RLE dict), and the inline wave-D
+queries (cusum_change / gap_fill / bellman_hops / box_iou_join /
+acf_lags) vs sequential pandas/NumPy recomputations at sf0.001."""
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from extract_sf_r_parallel_spark.operators.multimodal import (
+    audio_pitch, run_length_stats)
+from extract_sf_r_parallel_spark.operators.quadtree import quadtree_leaves
+
+SF = "/root/testdata/sf0.001"
+
+
+# --- quadtree ---------------------------------------------------------------
+
+def _serial_quadtree(pts, window, max_level, cap):
+    out = {}
+
+    def rec(lvl, cx, cy):
+        side = window // (1 << lvl)
+        mine = [(x, y) for x, y in pts
+                if x // side == cx and y // side == cy]
+        if not mine:
+            return
+        if len(mine) <= cap or lvl == max_level:
+            out[(lvl, cx, cy)] = len(mine)
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(lvl + 1, 2 * cx + dx, 2 * cy + dy)
+
+    rec(0, 0, 0)
+    return out
+
+
+def test_quadtree_matches_serial_recursion(spark):
+    rng = np.random.default_rng(31)
+    # skewed: one dense cluster + uniform background
+    n_bg, n_cl = 300, 500
+    xs = np.concatenate([rng.integers(0, 20000, n_bg),
+                         rng.integers(1000, 1700, n_cl)])
+    ys = np.concatenate([rng.integers(0, 20000, n_bg),
+                         rng.integers(9000, 9700, n_cl)])
+    pdf = pd.DataFrame({"id": np.arange(len(xs)), "x": xs, "y": ys})
+    got = quadtree_leaves(spark.createDataFrame(pdf), window=20000,
+                          max_level=5, cap=40).toPandas()
+    want = _serial_quadtree(list(zip(xs.tolist(), ys.tolist())),
+                            20000, 5, 40)
+    assert {(r.lvl, r.cx, r.cy): r.n_points
+            for r in got.itertuples()} == want
+    # partition invariants: every point in exactly one leaf; only
+    # max-level leaves may exceed cap; the dense cluster forced depth
+    assert got.n_points.sum() == len(xs)
+    assert (got[got.lvl < 5].n_points <= 40).all()
+    assert got.lvl.max() >= 4 and got.lvl.min() <= 2
+    assert (got.side == 20000 // (2 ** got.lvl)).all()
+
+
+# --- audio pitch ------------------------------------------------------------
+
+def _clips_df(spark, waves):
+    rows = [{"clip_id": f"t{i:04d}",
+             "bytes": np.asarray(s, dtype="<i2").tobytes(),
+             "sr": np.int32(16000), "n_samples": np.int32(len(s)),
+             "fmt": "s16le"} for i, s in enumerate(waves)]
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_audio_pitch_periodic_and_tie_rule(spark):
+    # period-40 square wave: R(40) == R(80) exactly (two full periods)
+    # → the tie rule must pick the SMALLEST lag
+    t = np.arange(2048)
+    sq = np.where((t // 20) % 2 == 0, 10000, -10000).astype(np.int16)
+    got = audio_pitch(_clips_df(spark, [sq])).toPandas().iloc[0]
+    assert got.best_lag == 40
+    assert got.r_best == 512 * 10000 * 10000
+    assert got.f0_milli == 16000 * 1000 // 40
+
+
+def test_audio_pitch_matches_numpy(spark):
+    rng = np.random.default_rng(37)
+    s = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    got = audio_pitch(_clips_df(spark, [s])).toPandas().iloc[0]
+    s64 = s.astype(np.int64)
+    lags = list(range(32, 97, 8))
+    acf = [int(s64[:512] @ s64[L:L + 512]) for L in lags]
+    i = int(np.argmax(acf))
+    assert got.best_lag == lags[i]
+    assert got.r_best == acf[i]
+    assert got.r_lag32 == acf[0]
+
+
+# --- run length -------------------------------------------------------------
+
+def test_run_length_matches_scanline_rle(spark):
+    rng = np.random.default_rng(41)
+    h, w = 7, 11
+    v = (rng.integers(0, 4, (h, w)) * 64).astype(np.uint8)
+    img = np.repeat(v[..., None], 3, axis=2)
+    pdf = pd.DataFrame([{
+        "image_id": "t0", "bytes": img.tobytes(),
+        "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+        "caption": "", "phash": np.int64(0)}])
+    got = run_length_stats(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    runs = []
+    for row in (v >> 6):
+        cur = 1
+        for a, b in zip(row[:-1], row[1:]):
+            if a == b:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+    assert got.n_px == h * w
+    assert got.n_runs == len(runs)
+    assert got.max_run == max(runs)
+    assert got.mean_run_milli == h * w * 1000 // len(runs)
+
+
+# --- inline wave-D queries vs pandas ---------------------------------------
+
+def _day(ts: pd.Series) -> pd.Series:
+    micros = ts.to_numpy().astype("datetime64[us]").astype("int64")
+    return pd.Series(micros // 86_400_000_000, index=ts.index)
+
+
+def test_cusum_change_matches_pandas(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_cusum_change
+    got = q_cusum_change(spark, SF).toPandas().set_index("l_suppkey")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_suppkey", "l_shipdate"])
+    li["day"] = _day(li.l_shipdate)
+    for sk, g in li.groupby("l_suppkey"):
+        daily = g.groupby("day").size().sort_index()
+        n, total = len(daily), int(daily.sum())
+        pref = daily.cumsum()
+        d = (n * pref - np.arange(1, n + 1) * total).abs()
+        r = got.loc[sk]
+        assert (r.n_days, r.total) == (n, total)
+        assert r.max_absd == d.max()
+        assert r.cp_day == d.index[d.values == d.max()].min()
+
+
+def test_gap_fill_matches_pandas(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_gap_fill
+    got = q_gap_fill(spark, SF).toPandas().set_index("l_suppkey")
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity"])
+    li["day"] = _day(li.l_shipdate)
+    li["q"] = li.l_quantity.astype("int64")
+    for sk, g in li.groupby("l_suppkey"):
+        daily = g.groupby("day").q.sum().sort_index()
+        days = daily.index.to_numpy()
+        n_days = int(days[-1] - days[0] + 1)
+        n_miss = s_interp = max_gap = 0
+        for i in range(len(days) - 1):
+            dp, dn = int(days[i]), int(days[i + 1])
+            vp, vn = int(daily.iloc[i]), int(daily.iloc[i + 1])
+            gap = dn - dp - 1
+            if gap:
+                n_miss += gap
+                max_gap = max(max_gap, gap)
+                for d in range(dp + 1, dn):
+                    s_interp += (1000 * (vp * (dn - d) + vn * (d - dp))
+                                 ) // (dn - dp)
+        r = got.loc[sk]
+        assert (r.n_days, r.n_missing) == (n_days, n_miss)
+        assert r.sum_interp_milli == s_interp
+        assert r.max_gap == max_gap
+
+
+def test_bellman_hops_matches_serial_relaxation(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_bellman_hops
+    got = {r.node: r.dist for r in
+           q_bellman_hops(spark, SF).toPandas().itertuples()}
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "props"])
+    ev["k"] = ev.props.map(
+        lambda p: int(re.search(r'"k": (\d+)', p).group(1)))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    edges = set()
+    for _, g in ev.groupby("user_id"):
+        ks = g.k.tolist()
+        edges.update(zip(ks[:-1], ks[1:]))
+    dist = {k: 0 for k in ev.k.unique() if k % 10 == 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for (u, v) in edges:
+            if u in dist:
+                w = (u + v) % 9 + 1
+                nxt[v] = min(nxt.get(v, 1 << 60), dist[u] + w)
+        dist = nxt
+    assert got == dist
+
+
+def test_box_iou_join_matches_allpairs(spark):
+    from extract_sf_r_parallel_spark.plans.spatial_queries import (
+        q_box_iou_join)
+    got = q_box_iou_join(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev.event_id[ev.event_id % 20 == 0].to_numpy()
+    x0 = (ids * 48271 + 13) % 999983 % 20000 % 1800
+    y0 = (ids * 69621 + 7) % 999979 % 20000 % 1800
+    x1 = x0 + (ids % 7) * 20 + 40
+    y1 = y0 + (ids // 7 % 7) * 20 + 40
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] >= ids[j]:
+                continue
+            iw = min(x1[i], x1[j]) - max(x0[i], x0[j])
+            ih = min(y1[i], y1[j]) - max(y0[i], y0[j])
+            if iw <= 0 or ih <= 0:
+                continue
+            inter = iw * ih
+            areas = ((x1[i] - x0[i]) * (y1[i] - y0[i])
+                     + (x1[j] - x0[j]) * (y1[j] - y0[j]))
+            if 6 * inter >= areas:
+                want.add((ids[i], ids[j], inter, areas - inter,
+                          1000 * inter // (areas - inter)))
+    assert {tuple(r) for r in got.itertuples(index=False)} == want
+
+
+def test_acf_lags_matches_numpy(spark):
+    from extract_sf_r_parallel_spark.plans.spatial_queries import q_acf_lags
+    got = q_acf_lags(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["event_id", "ts"])
+    tx = (ev.event_id * 48271 + 13) % 999983 % 20000 // 2000
+    ty = (ev.event_id * 69621 + 7) % 999979 % 20000 // 2000
+    day = _day(ev.ts)
+    counts = (pd.DataFrame({"tx": tx, "ty": ty, "day": day})
+              .groupby(["tx", "ty", "day"]).size())
+    all_days = sorted(day.unique())
+    cd = counts.to_dict()
+    for (gtx, gty), sub in counts.groupby(level=[0, 1]):
+        c = np.array([cd.get((gtx, gty, d), 0) for d in all_days],
+                     dtype=np.int64)
+        n, s = len(c), int(c.sum())
+        u = n * c - s
+        den = int(u @ u)
+        rows = got[(got.tx == gtx) & (got.ty == gty)]
+        if den == 0:
+            assert rows.empty
+            continue
+        for lag in (1, 2, 3):
+            num = int(u[:-lag] @ u[lag:])
+            r = rows[rows.lag == lag].iloc[0]
+            assert (r.num, r.den) == (num, den)
+            assert abs(r.acf - round(num / den, 9)) < 1e-12
