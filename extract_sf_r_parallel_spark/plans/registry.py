@@ -2466,6 +2466,7 @@ _GATE_FIRST = [
     "cusum_change", "gap_fill", "bellman_hops",
     "quadtree_tiles", "box_iou_join", "acf_lags",
     "audio_pitch", "run_length",
+    "point_sample", "voronoi_assign", "kcore", "image_moments",
 ]
 
 
@@ -3320,6 +3321,49 @@ FROM runs GROUP BY 1
 """
 
 QUERIES["run_length"] = q_run_length
+
+
+# --- raw + central image moments (r07 wave E): cv2.moments / Hu-
+# moment stage-one on channel 0 — mass, centroid numerators, and
+# M-scaled central second moments µ20·M = M·m20 − m10² (exact int64;
+# the M scaling clears the centroid division), plus the integer
+# anisotropy verdict sign(µ20M − µ02M). The oracle re-derives every
+# moment term from the closed-form pixel plane.
+def q_image_moments(spark, sf_dir):
+    from ..operators.multimodal import image_moments
+    return image_moments(spark.createDataFrame(synth.images_pdf(240)))
+
+
+ORACLE["image_moments"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT image_id, p % w AS x, p // w AS y, {_px_chan(0)} AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), m AS (
+  SELECT image_id,
+         CAST(SUM(v) AS BIGINT) AS mass,
+         CAST(SUM(v * x) AS BIGINT) AS m10,
+         CAST(SUM(v * y) AS BIGINT) AS m01,
+         CAST(SUM(v * x * x) AS BIGINT) AS m20,
+         CAST(SUM(v * y * y) AS BIGINT) AS m02,
+         CAST(SUM(v * x * y) AS BIGINT) AS m11
+  FROM px GROUP BY 1
+)
+SELECT image_id, mass, m10, m01,
+       mass * m20 - m10 * m10 AS mu20m,
+       mass * m02 - m01 * m01 AS mu02m,
+       mass * m11 - m10 * m01 AS mu11m,
+       CAST(SIGN(mass * m20 - m10 * m10
+                 - (mass * m02 - m01 * m01)) AS BIGINT) AS elong
+FROM m
+"""
+
+QUERIES["image_moments"] = q_image_moments
 
 
 # ---------------------------------------------------------------------------

@@ -1818,3 +1818,74 @@ SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}""")
 ORACLE["bellman_hops"] = _bellman_oracle()
 
 QUERIES["bellman_hops"] = q_bellman_hops
+
+
+# --- k-core decomposition, 3 prune rounds (r07 wave E): the graph-
+# sparsification primitive (community seeding, spam-cluster mining) —
+# iteratively drop nodes whose degree in the SURVIVING subgraph is
+# < k. Fifth graph kernel next to the damped walk, label-prop,
+# triangles and Bellman-Ford; edges are the undirected (self-loop-
+# free) closure of the user-journey transitions. Each round = one
+# semi-join of edges against the alive set + one map-side-combinable
+# degree count; constant rounds, no per-row Python. Output: nodes
+# still alive after 3 prunes with their round-3 degree. Oracle:
+# identical rounds unrolled as CTEs.
+def q_kcore(spark, sf_dir):
+    K = 3
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    hop = (e.select(F.col("k").alias("dst"),
+                    F.lag("k").over(w).alias("src"))
+           .filter("src IS NOT NULL AND src <> dst"))
+    edges = (hop.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+             .distinct())
+    alive = (edges.select(F.col("a").alias("node"))
+             .union(edges.select(F.col("b").alias("node"))).distinct())
+    for _ in range(3):
+        live = (edges
+                .join(alive.select(F.col("node").alias("a")), "a")
+                .join(alive.select(F.col("node").alias("b")), "b"))
+        deg = (live.select(F.col("a").alias("node"))
+               .union(live.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        alive = deg.filter(F.col("deg") >= K)
+    return alive
+
+
+def _kcore_oracle(rounds: int = 3, k: int = 3) -> str:
+    parts = ["""
+WITH seq AS (
+  SELECT user_id, ts, event_id,
+         CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k
+  FROM events
+), hop AS (
+  SELECT k AS dst,
+         LAG(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM seq
+), edges AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM hop WHERE src IS NOT NULL AND src <> dst
+), a0 AS (
+  SELECT a AS node FROM edges UNION SELECT b FROM edges
+)"""]
+    for i in range(rounds):
+        parts.append(f""", a{i + 1} AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT e.a AS node FROM edges e
+    JOIN a{i} x ON x.node = e.a JOIN a{i} y ON y.node = e.b
+    UNION ALL
+    SELECT e.b AS node FROM edges e
+    JOIN a{i} x ON x.node = e.a JOIN a{i} y ON y.node = e.b
+  ) GROUP BY node HAVING COUNT(*) >= {k}
+)""")
+    parts.append(f"""
+SELECT node, deg FROM a{rounds}""")
+    return "".join(parts)
+
+
+ORACLE["kcore"] = _kcore_oracle()
+
+QUERIES["kcore"] = q_kcore

@@ -3203,3 +3203,147 @@ WHERE d.den > 0
 """
 
 QUERIES["acf_lags"] = q_acf_lags
+
+
+# --- bilinear raster extraction at points (r07 wave E): the other
+# half of the reference's extraction loop — terra::extract(method=
+# "bilinear") / GDAL's bilinear point sampler. Each event point reads
+# the 4 surrounding cell CENTERS of the 25 m raster and blends them
+# with exact ×50-scaled integer weights (tx50 = 2x − 50·fx − 25 ∈
+# [0,50), so val2500 = Σ w_x·w_y·v is int64-exact and val =
+# val2500/2500 is one IEEE division). Points within half a pitch of
+# the border are filtered (identically in both engines) so the
+# 4-corner stencil always exists and no operand goes negative
+# (trunc ≡ floor). Spark shape: a REAL raster lookup join — 4
+# exploded contributions per point equi-join the 640k-row raster on
+# (cx, cy) and re-group per point; at 100 TB the raster is a table,
+# not a formula, so the join IS the operator (the oracle replays the
+# corner values from the closed form instead — a match proves the
+# join's stencil).
+def q_point_sample(spark, sf_dir):
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select(F.col("event_id").alias("id"),
+                   F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y"))
+           .filter("x BETWEEN 13 AND 19987 AND y BETWEEN 13 AND 19987")
+           .withColumn("fx", F.expr("(2*x - 25) div 50"))
+           .withColumn("fy", F.expr("(2*y - 25) div 50"))
+           .withColumn("tx", F.expr("2*x - 50*fx - 25"))
+           .withColumn("ty", F.expr("2*y - 50*fy - 25")))
+    contrib = pts.select(
+        "id", "tx", "ty", "fx", "fy",
+        F.explode(F.arrays_zip(
+            F.array(F.lit(0), F.lit(1), F.lit(0), F.lit(1)).alias("dx"),
+            F.array(F.lit(0), F.lit(0), F.lit(1), F.lit(1)).alias("dy"),
+        )).alias("o")).select(
+        "id",
+        (F.col("fx") + F.col("o.dx")).alias("cx"),
+        (F.col("fy") + F.col("o.dy")).alias("cy"),
+        ((F.when(F.col("o.dx") == 1, F.col("tx"))
+          .otherwise(50 - F.col("tx")))
+         * (F.when(F.col("o.dy") == 1, F.col("ty"))
+            .otherwise(50 - F.col("ty")))).alias("w"))
+    r = raster_df(spark)
+    return (contrib.join(r, ["cx", "cy"])
+            .groupBy("id")
+            .agg(F.sum(F.col("w") * F.col("v")).alias("val2500"))
+            .withColumn("val", F.expr("cast(val2500 as double) / "
+                                      "cast(2500 as double)")))
+
+
+def _ps_corner(dx: int, dy: int) -> str:
+    vx = f"(fx + {dx})"
+    vy = f"(fy + {dy})"
+    wx = "tx" if dx else "(50 - tx)"
+    wy = "ty" if dy else "(50 - ty)"
+    return (f"{wx} * {wy} * "
+            f"((({vx} * 2654435761 + {vy} * 40503 + 7) % 4294967291)"
+            f" % 1000)")
+
+
+ORACLE["point_sample"] = f"""
+WITH p AS (
+  SELECT event_id AS id, {_ODX} AS x, {_ODY} AS y FROM events
+), q AS (
+  SELECT id, x, y,
+         (2*x - 25) // 50 AS fx, (2*y - 25) // 50 AS fy
+  FROM p WHERE x BETWEEN 13 AND 19987 AND y BETWEEN 13 AND 19987
+), t AS (
+  SELECT id, fx, fy,
+         2*x - 50*fx - 25 AS tx, 2*y - 50*fy - 25 AS ty
+  FROM q
+)
+SELECT id,
+       CAST({_ps_corner(0, 0)} + {_ps_corner(1, 0)}
+          + {_ps_corner(0, 1)} + {_ps_corner(1, 1)} AS BIGINT)
+         AS val2500,
+       CAST(({_ps_corner(0, 0)} + {_ps_corner(1, 0)}
+           + {_ps_corner(0, 1)} + {_ps_corner(1, 1)}) AS DOUBLE)
+         / 2500.0 AS val
+FROM t
+"""
+
+QUERIES["point_sample"] = q_point_sample
+
+
+# --- Voronoi / nearest-site assignment (r07 wave E): the discrete
+# Voronoi tessellation (and one Lloyd half-step) — every event point
+# assigns to its nearest of 16 deterministic sites by exact integer
+# squared distance, ties → smallest site id; per-cell emit point
+# count, Σd² (the k-means inertia term) and the centroid numerators
+# (Σx, Σy) a Lloyd update would divide. Spark shape: the 16-row site
+# table broadcasts (a site/codebook side is always tiny — same
+# pattern as IVF coarse quantization in operators/similarity.py),
+# argmin via min(struct(d2, site)) — one narrow shuffle per point
+# grain, then one per-site agg.
+_VSX = "((s * 7919 + 53) % 19000 + 500)"
+_VSY = "((s * 104729 + 97) % 19000 + 500)"
+
+
+def q_voronoi_assign(spark, sf_dir):
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select(F.col("event_id").alias("id"),
+                   F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y")))
+    sites = spark.range(16).select(
+        F.col("id").alias("s"),
+        F.expr(_VSX).alias("sx"), F.expr(_VSY).alias("sy"))
+    d2 = ((F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx"))
+          + (F.col("y") - F.col("sy")) * (F.col("y") - F.col("sy")))
+    best = (pts.join(F.broadcast(sites))
+            .withColumn("d2", d2)
+            .groupBy("id", "x", "y")
+            .agg(F.min(F.struct("d2", "s")).alias("b")))
+    return (best.select("x", "y", F.col("b.d2").alias("d2"),
+                        F.col("b.s").alias("site"))
+            .groupBy("site")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("d2").alias("sum_d2"),
+                 F.sum("x").alias("sum_x"),
+                 F.sum("y").alias("sum_y")))
+
+
+ORACLE["voronoi_assign"] = f"""
+WITH p AS (
+  SELECT event_id AS id, {_ODX} AS x, {_ODY} AS y FROM events
+), sites AS (
+  SELECT s, {_VSX} AS sx, {_VSY} AS sy
+  FROM (SELECT UNNEST(range(16)) AS s)
+), d AS (
+  SELECT p.id, p.x, p.y, sites.s,
+         (p.x - sx)*(p.x - sx) + (p.y - sy)*(p.y - sy) AS d2
+  FROM p CROSS JOIN sites
+), m AS (
+  SELECT id, MIN(d2) AS mind2 FROM d GROUP BY 1
+), a AS (
+  SELECT d.id, d.x, d.y, d.d2, MIN(d.s) AS site
+  FROM d JOIN m ON m.id = d.id AND d.d2 = m.mind2
+  GROUP BY 1, 2, 3, 4
+)
+SELECT site,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(d2) AS BIGINT) AS sum_d2,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y
+FROM a GROUP BY 1
+"""
+
+QUERIES["voronoi_assign"] = q_voronoi_assign

@@ -60,6 +60,8 @@ LAZY = [
     "cusum_change", "gap_fill", "bellman_hops",
     "quadtree_tiles", "box_iou_join", "acf_lags",
     "audio_pitch", "run_length",
+    # r07 wave E
+    "point_sample", "voronoi_assign", "kcore", "image_moments",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —

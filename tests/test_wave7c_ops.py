@@ -256,3 +256,120 @@ def test_acf_lags_matches_numpy(spark):
             r = rows[rows.lag == lag].iloc[0]
             assert (r.num, r.den) == (num, den)
             assert abs(r.acf - round(num / den, 9)) < 1e-12
+
+
+# --- wave E ------------------------------------------------------------------
+
+def test_point_sample_matches_numpy_bilinear(spark):
+    from extract_sf_r_parallel_spark.plans.spatial_queries import (
+        q_point_sample)
+    got = q_point_sample(spark, SF).toPandas().set_index("id")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev.event_id.to_numpy()
+    x = (ids * 48271 + 13) % 999983 % 20000
+    y = (ids * 69621 + 7) % 999979 % 20000
+
+    def rval(cx, cy):
+        return (cx * 2654435761 + cy * 40503 + 7) % 4294967291 % 1000
+
+    n_checked = 0
+    for i in range(len(ids)):
+        if not (13 <= x[i] <= 19987 and 13 <= y[i] <= 19987):
+            assert ids[i] not in got.index
+            continue
+        fx, fy = (2 * x[i] - 25) // 50, (2 * y[i] - 25) // 50
+        tx, ty = 2 * x[i] - 50 * fx - 25, 2 * y[i] - 50 * fy - 25
+        want = ((50 - tx) * (50 - ty) * rval(fx, fy)
+                + tx * (50 - ty) * rval(fx + 1, fy)
+                + (50 - tx) * ty * rval(fx, fy + 1)
+                + tx * ty * rval(fx + 1, fy + 1))
+        r = got.loc[ids[i]]
+        assert r.val2500 == want
+        assert r.val == want / 2500.0
+        n_checked += 1
+    assert n_checked == len(got)
+    # bilinear bound: every sample within [min, max] of its 4 corners
+    assert got.val.between(0, 999).all()
+
+
+def test_voronoi_assign_matches_numpy(spark):
+    from extract_sf_r_parallel_spark.plans.spatial_queries import (
+        q_voronoi_assign)
+    got = (q_voronoi_assign(spark, SF).toPandas()
+           .set_index("site").sort_index())
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev.event_id.to_numpy()
+    x = (ids * 48271 + 13) % 999983 % 20000
+    y = (ids * 69621 + 7) % 999979 % 20000
+    s = np.arange(16)
+    sx = (s * 7919 + 53) % 19000 + 500
+    sy = (s * 104729 + 97) % 19000 + 500
+    d2 = (x[:, None] - sx) ** 2 + (y[:, None] - sy) ** 2
+    site = d2.argmin(axis=1)  # argmin picks the first (smallest id) tie
+    for j in np.unique(site):
+        m = site == j
+        r = got.loc[j]
+        assert r.n_points == m.sum()
+        assert r.sum_d2 == d2[m, j].sum()
+        assert (r.sum_x, r.sum_y) == (x[m].sum(), y[m].sum())
+    assert got.n_points.sum() == len(ids)
+
+
+def test_kcore_matches_serial_peeling(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_kcore
+    got = {r.node: r.deg for r in
+           q_kcore(spark, SF).toPandas().itertuples()}
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id", "props"])
+    ev["k"] = ev.props.map(
+        lambda p: int(re.search(r'"k": (\d+)', p).group(1)))
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    edges = set()
+    for _, g in ev.groupby("user_id"):
+        ks = g.k.tolist()
+        for a, b in zip(ks[:-1], ks[1:]):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    alive = {n for e in edges for n in e}
+    deg = {}
+    for _ in range(3):
+        deg = {}
+        for a, b in edges:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        alive = {n for n, d in deg.items() if d >= 3}
+    assert got == {n: deg[n] for n in alive}
+
+
+def test_image_moments_matches_numpy(spark):
+    from extract_sf_r_parallel_spark.operators.multimodal import (
+        image_moments)
+    rng = np.random.default_rng(43)
+    h, w = 9, 13
+    v = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    img = np.repeat(v[..., None], 3, axis=2)
+    pdf = pd.DataFrame([{
+        "image_id": "t0", "bytes": img.tobytes(),
+        "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+        "caption": "", "phash": np.int64(0)}])
+    got = image_moments(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    ys, xs = np.mgrid[0:h, 0:w]
+    v64 = v.astype(np.int64)
+    m = int(v64.sum())
+    m10, m01 = int((v64 * xs).sum()), int((v64 * ys).sum())
+    m20, m02 = int((v64 * xs ** 2).sum()), int((v64 * ys ** 2).sum())
+    m11 = int((v64 * xs * ys).sum())
+    assert (got.mass, got.m10, got.m01) == (m, m10, m01)
+    assert got.mu20m == m * m20 - m10 * m10
+    assert got.mu02m == m * m02 - m01 * m01
+    assert got.mu11m == m * m11 - m10 * m01
+    # a wide horizontal bar must read as wider-than-tall
+    bar = np.zeros((16, 16, 3), dtype=np.uint8)
+    bar[7:9, 1:15] = 200
+    pdf2 = pd.DataFrame([{
+        "image_id": "t1", "bytes": bar.tobytes(),
+        "w": np.int32(16), "h": np.int32(16), "fmt": "raw",
+        "caption": "", "phash": np.int64(0)}])
+    assert image_moments(
+        spark.createDataFrame(pdf2)).toPandas().iloc[0].elong == 1
