@@ -41,7 +41,7 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
            "band_class", "otsu_stats", "harris_stats", "ycbcr_stats",
            "waveform_stats", "audio_pitch", "run_length_stats",
-           "image_moments"]
+           "image_moments", "hough_lines"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -1031,3 +1031,57 @@ def image_moments(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _MOM_SCHEMA.fields])
     return images.mapInPandas(gen, _MOM_SCHEMA)
+
+
+_HOUGH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_edges", T.LongType()),
+    T.StructField("best_count", T.LongType()),
+    T.StructField("best_theta", T.LongType()),
+    T.StructField("best_rho", T.LongType()),
+])
+
+# 1024-scaled cos/sin at θ = t·30° for t = 0..5 — integer literals so
+# the SQL oracle votes with bit-identical arithmetic
+_HCOS = (1024, 887, 512, 0, -512, -887)
+_HSIN = (0, 512, 887, 1024, 887, 512)
+
+
+def hough_lines(images: DataFrame, thresh: int = 800,
+                scale: int = 4096, off: int = 131072) -> DataFrame:
+    """Hough line detection (r07 wave F) — the classic voting
+    transform (Duda–Hart '72; OpenCV HoughLines) kept exact-integer:
+    edge pixels (interior Sobel L1 ≥ `thresh`) vote into a (θ, ρ)
+    accumulator with 1024-scaled integer trig, ρ bucket =
+    (x·cosθ₁₀₂₄ + y·sinθ₁₀₂₄ + off) div scale (`off` keeps the
+    numerator positive so floor ≡ trunc). Per image: edge count and
+    the strongest accumulator cell — ties break to the smallest
+    (θ, ρ), deterministic in both engines via max-count → min-θ →
+    min-ρ. Shuffle-free mapInPandas; votes via one bincount per θ."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                gx = ((v[:-2, 2:] + 2 * v[1:-1, 2:] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[1:-1, :-2] + v[2:, :-2]))
+                gy = ((v[2:, :-2] + 2 * v[2:, 1:-1] + v[2:, 2:])
+                      - (v[:-2, :-2] + 2 * v[:-2, 1:-1] + v[:-2, 2:]))
+                mask = (np.abs(gx) + np.abs(gy)) >= thresh
+                ys, xs = np.nonzero(mask)
+                xs, ys = xs + 1, ys + 1      # interior → image coords
+                best = (0, -1, -1)           # (count, theta, rho)
+                for t in range(6):
+                    rho = (xs * _HCOS[t] + ys * _HSIN[t] + off) // scale
+                    if rho.size == 0:
+                        continue
+                    vals, cnts = np.unique(rho, return_counts=True)
+                    i = int(np.argmax(cnts))  # first max = smallest rho
+                    if cnts[i] > best[0]:
+                        best = (int(cnts[i]), t, int(vals[i]))
+                rows.append((r.image_id, int(mask.sum()),
+                             best[0], best[1], best[2]))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _HOUGH_SCHEMA.fields])
+    return images.mapInPandas(gen, _HOUGH_SCHEMA)

@@ -2467,6 +2467,7 @@ _GATE_FIRST = [
     "quadtree_tiles", "box_iou_join", "acf_lags",
     "audio_pitch", "run_length",
     "point_sample", "voronoi_assign", "kcore", "image_moments",
+    "dow_seasonal", "dbscan_classify", "hough_lines",
 ]
 
 
@@ -3364,6 +3365,95 @@ FROM m
 """
 
 QUERIES["image_moments"] = q_image_moments
+
+
+# --- Hough line detection (r07 wave F): Duda–Hart voting with
+# 1024-scaled integer trig over the Sobel edge mask (interior L1 ≥
+# 800); ρ bucket floor-safe via the +131072 offset. Per image the
+# strongest (θ, ρ) accumulator cell, ties → smallest θ then ρ —
+# replayed in SQL as max-count → min-θ → min-ρ over the identical
+# integer votes (edge mask re-derived with the sobel oracle's
+# materialized-scatter join).
+def q_hough_lines(spark, sf_dir):
+    from ..operators.multimodal import hough_lines
+    return hough_lines(spark.createDataFrame(synth.images_pdf(120)))
+
+
+ORACLE["hough_lines"] = """
+WITH imgs AS (
+  SELECT printf('img%08d', i) AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), px AS (
+  SELECT image_id, w, h,
+    (j // 3) // w AS py,
+    (j // 3) % w AS pxx,
+    xor((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + j * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h*3)) AS j)
+  WHERE j % 3 = 0
+), offs AS (
+  SELECT dr.dr, dc.dc
+  FROM (VALUES (-1), (0), (1)) dr(dr), (VALUES (-1), (0), (1)) dc(dc)
+), tgt AS (
+  SELECT c.image_id, c.py, c.pxx, o.dr, o.dc,
+         c.py + o.dr AS npy, c.pxx + o.dc AS npx
+  FROM px c CROSS JOIN offs o
+  WHERE c.py >= 1 AND c.py <= c.h - 2
+    AND c.pxx >= 1 AND c.pxx <= c.w - 2
+), g AS (
+  SELECT t.image_id, t.py, t.pxx,
+    SUM(n.v * t.dc * (2 - ABS(t.dr))) AS gx,
+    SUM(n.v * t.dr * (2 - ABS(t.dc))) AS gy
+  FROM tgt t
+  JOIN px n ON n.image_id = t.image_id
+           AND n.py = t.npy AND n.pxx = t.npx
+  GROUP BY t.image_id, t.py, t.pxx
+), edges AS (
+  SELECT image_id, pxx AS x, py AS y
+  FROM g WHERE ABS(gx) + ABS(gy) >= 800
+), ne AS (
+  SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM edges GROUP BY 1
+), acc AS (
+  SELECT image_id, th.t,
+         (x * th.c + y * th.s + 131072) // 4096 AS rho,
+         COUNT(*) AS cnt
+  FROM edges,
+       (VALUES (0, 1024, 0), (1, 887, 512), (2, 512, 887),
+               (3, 0, 1024), (4, -512, 887), (5, -887, 512))
+       th(t, c, s)
+  GROUP BY 1, 2, 3
+), mx AS (
+  SELECT image_id, MAX(cnt) AS best_count FROM acc GROUP BY 1
+), t1 AS (
+  SELECT a.image_id, MIN(a.t) AS best_theta
+  FROM acc a JOIN mx ON mx.image_id = a.image_id
+  WHERE a.cnt = mx.best_count GROUP BY 1
+), r1 AS (
+  SELECT a.image_id, MIN(a.rho) AS best_rho
+  FROM acc a
+  JOIN mx ON mx.image_id = a.image_id
+  JOIN t1 ON t1.image_id = a.image_id
+  WHERE a.cnt = mx.best_count AND a.t = t1.best_theta
+  GROUP BY 1
+)
+SELECT i.image_id,
+       COALESCE(ne.n_edges, 0) AS n_edges,
+       CAST(COALESCE(mx.best_count, 0) AS BIGINT) AS best_count,
+       CAST(COALESCE(t1.best_theta, -1) AS BIGINT) AS best_theta,
+       CAST(COALESCE(r1.best_rho, -1) AS BIGINT) AS best_rho
+FROM imgs i
+LEFT JOIN ne ON ne.image_id = i.image_id
+LEFT JOIN mx ON mx.image_id = i.image_id
+LEFT JOIN t1 ON t1.image_id = i.image_id
+LEFT JOIN r1 ON r1.image_id = i.image_id
+"""
+
+QUERIES["hough_lines"] = q_hough_lines
 
 
 # ---------------------------------------------------------------------------

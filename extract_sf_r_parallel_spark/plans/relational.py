@@ -1889,3 +1889,62 @@ SELECT node, deg FROM a{rounds}""")
 ORACLE["kcore"] = _kcore_oracle()
 
 QUERIES["kcore"] = q_kcore
+
+
+# --- day-of-week seasonal indices (r07 wave F): the season/trend
+# split (STL's seasonal component at weekly period) every demand-
+# forecasting feature set starts from — per supplier and day-of-week,
+# the exact-integer seasonal effect held in cross-multiplied form:
+# effect_num = n_tot·sum_dow − n_dow·sum_tot (positive ⟺ that
+# weekday runs above the supplier's mean; the n_tot·n_dow
+# denominator never divides, so everything stays int64). One groupBy
+# to the (supplier, dow) grain + one grouped total joined back —
+# both shuffles on the same key prefix.
+def q_dow_seasonal(spark, sf_dir):
+    d = (_t(spark, sf_dir, "lineitem")
+         .select("l_suppkey",
+                 F.expr("unix_micros(cast(l_shipdate as timestamp)) "
+                        "div 86400000000").alias("day"),
+                 F.col("l_quantity").cast("long").alias("q"))
+         .groupBy("l_suppkey", "day").agg(F.sum("q").alias("v"))
+         .withColumn("dow", F.expr("day % 7")))
+    g = d.groupBy("l_suppkey", "dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("v").alias("sum_v"))
+    tot = d.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum("v").alias("sum_tot"))
+    return (g.join(tot, "l_suppkey")
+            .select("l_suppkey", "dow", "n_days", "sum_v",
+                    (F.col("n_tot") * F.col("sum_v")
+                     - F.col("n_days") * F.col("sum_tot"))
+                    .alias("effect_num"),
+                    (F.col("n_tot") * F.col("n_days"))
+                    .alias("effect_den")))
+
+
+ORACLE["dow_seasonal"] = """
+WITH daily AS (
+  SELECT l_suppkey, epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+  FROM lineitem GROUP BY 1, 2
+), d AS (
+  SELECT l_suppkey, day % 7 AS dow, v FROM daily
+), g AS (
+  SELECT l_suppkey, dow,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(v) AS BIGINT) AS sum_v
+  FROM d GROUP BY 1, 2
+), tot AS (
+  SELECT l_suppkey,
+         CAST(COUNT(*) AS BIGINT) AS n_tot,
+         CAST(SUM(v) AS BIGINT) AS sum_tot
+  FROM d GROUP BY 1
+)
+SELECT g.l_suppkey, g.dow, g.n_days, g.sum_v,
+       t.n_tot * g.sum_v - g.n_days * t.sum_tot AS effect_num,
+       t.n_tot * g.n_days AS effect_den
+FROM g JOIN tot t ON t.l_suppkey = g.l_suppkey
+"""
+
+QUERIES["dow_seasonal"] = q_dow_seasonal

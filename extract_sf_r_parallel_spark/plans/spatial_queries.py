@@ -3347,3 +3347,85 @@ FROM a GROUP BY 1
 """
 
 QUERIES["voronoi_assign"] = q_voronoi_assign
+
+
+# --- DBSCAN point classification (r07 wave F): stage one of DBSCAN
+# (Ester et al. '96) — the part that IS deterministic and order-free:
+# per point the ε-neighborhood size (self included, as in the
+# original definition), then core (n_nb ≥ minPts) / border (non-core
+# with a core ε-neighbor) / noise. Cluster-id propagation is NOT
+# emitted here (full connected components is iterative; the bounded-
+# round label kernels live in label_prop / cluster.py). ε = 300 m,
+# minPts = 5. Spark shape: the probe side explodes to its 3×3
+# ε-cell neighborhood (cell = ε ⇒ the cover is exact) and equi-joins
+# the point set on cell — the same PBSM blocking as range_near /
+# seg_cross; border detection reuses the SAME pair table (one extra
+# semi-join, no second distance computation). The oracle replays the
+# identical cell blocking (not a quadratic join) — at sf0.01 the
+# quadratic form would be 10^8 pairs.
+def q_dbscan_classify(spark, sf_dir, eps: int = 300, min_pts: int = 5):
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select(F.col("event_id").alias("id"),
+                   F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y")))
+    probe = pts.select(
+        "id", "x", "y",
+        F.explode(F.expr(f"sequence(x div {eps} - 1, x div {eps} + 1)"))
+        .alias("cx")).select(
+        "*", F.explode(F.expr(f"sequence(y div {eps} - 1, "
+                              f"y div {eps} + 1)")).alias("cy"))
+    build = pts.select(F.col("id").alias("bid"),
+                       F.col("x").alias("bx"), F.col("y").alias("by"),
+                       F.expr(f"x div {eps}").alias("cx"),
+                       F.expr(f"y div {eps}").alias("cy"))
+    pairs = (probe.join(build, ["cx", "cy"])
+             .filter(f"(x-bx)*(x-bx) + (y-by)*(y-by) <= {eps * eps}")
+             .select("id", "bid"))
+    nb = pairs.groupBy("id").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = nb.filter(F.col("n_nb") >= min_pts).select("id")
+    # border: non-core with ≥1 CORE neighbor — semi-join the pair
+    # table against the core set on the build side
+    has_core_nb = (pairs
+                   .join(core.select(F.col("id").alias("bid")), "bid")
+                   .select("id").distinct())
+    return (nb
+            .join(core.withColumn("is_core", F.lit(1)), "id", "left")
+            .join(has_core_nb.withColumn("near_core", F.lit(1)),
+                  "id", "left")
+            .select("id", "n_nb",
+                    F.when(F.col("is_core") == 1, F.lit("core"))
+                    .when(F.col("near_core") == 1, F.lit("border"))
+                    .otherwise(F.lit("noise")).alias("cls")))
+
+
+ORACLE["dbscan_classify"] = f"""
+WITH p AS (
+  SELECT event_id AS id, {_ODX} AS x, {_ODY} AS y FROM events
+), probe AS (
+  SELECT id, x, y, x // 300 + dx.d AS cx, y // 300 + dy.d AS cy
+  FROM p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+), build AS (
+  SELECT id AS bid, x AS bx, y AS by, x // 300 AS cx, y // 300 AS cy
+  FROM p
+), pairs AS (
+  SELECT pr.id, b.bid
+  FROM probe pr JOIN build b USING (cx, cy)
+  WHERE (pr.x - b.bx)*(pr.x - b.bx) + (pr.y - b.by)*(pr.y - b.by)
+        <= 90000
+), nb AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_nb FROM pairs GROUP BY 1
+), core AS (
+  SELECT id FROM nb WHERE n_nb >= 5
+), near_core AS (
+  SELECT DISTINCT pairs.id
+  FROM pairs JOIN core ON core.id = pairs.bid
+)
+SELECT nb.id, nb.n_nb,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN nc.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS cls
+FROM nb
+LEFT JOIN core c ON c.id = nb.id
+LEFT JOIN near_core nc ON nc.id = nb.id
+"""
+
+QUERIES["dbscan_classify"] = q_dbscan_classify

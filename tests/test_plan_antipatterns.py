@@ -62,6 +62,8 @@ LAZY = [
     "audio_pitch", "run_length",
     # r07 wave E
     "point_sample", "voronoi_assign", "kcore", "image_moments",
+    # r07 wave F
+    "dow_seasonal", "dbscan_classify", "hough_lines",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —

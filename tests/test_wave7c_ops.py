@@ -373,3 +373,107 @@ def test_image_moments_matches_numpy(spark):
         "caption": "", "phash": np.int64(0)}])
     assert image_moments(
         spark.createDataFrame(pdf2)).toPandas().iloc[0].elong == 1
+
+
+# --- wave F ------------------------------------------------------------------
+
+def test_dow_seasonal_matches_pandas(spark):
+    from extract_sf_r_parallel_spark.plans.relational import q_dow_seasonal
+    got = (q_dow_seasonal(spark, SF).toPandas()
+           .set_index(["l_suppkey", "dow"]).sort_index())
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_suppkey", "l_shipdate", "l_quantity"])
+    li["day"] = _day(li.l_shipdate)
+    li["q"] = li.l_quantity.astype("int64")
+    daily = li.groupby(["l_suppkey", "day"]).q.sum().reset_index()
+    daily["dow"] = daily.day % 7
+    for (sk, dow), g in daily.groupby(["l_suppkey", "dow"]):
+        tot = daily[daily.l_suppkey == sk]
+        n_tot, sum_tot = len(tot), int(tot.q.sum())
+        r = got.loc[(sk, dow)]
+        assert (r.n_days, r.sum_v) == (len(g), int(g.q.sum()))
+        assert r.effect_num == n_tot * int(g.q.sum()) - len(g) * sum_tot
+        assert r.effect_den == n_tot * len(g)
+    # seasonal effects sum to zero per supplier when weighted by n_days
+    chk = got.reset_index().groupby("l_suppkey").apply(
+        lambda d: int((d.effect_num).sum()), include_groups=False)
+    assert (chk == 0).all()
+
+
+def test_dbscan_classify_matches_brute(spark):
+    from extract_sf_r_parallel_spark.plans.spatial_queries import (
+        q_dbscan_classify)
+    got = (q_dbscan_classify(spark, SF).toPandas()
+           .set_index("id").sort_index())
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_id"])
+    ids = ev.event_id.to_numpy()
+    x = (ids * 48271 + 13) % 999983 % 20000
+    y = (ids * 69621 + 7) % 999979 % 20000
+    d2 = ((x[:, None] - x) ** 2 + (y[:, None] - y) ** 2)
+    nb = (d2 <= 300 * 300)           # self included on the diagonal
+    n_nb = nb.sum(axis=1)
+    is_core = n_nb >= 5
+    near_core = (nb & is_core).any(axis=1)
+    for i in range(len(ids)):
+        r = got.loc[ids[i]]
+        assert r.n_nb == n_nb[i]
+        want = ("core" if is_core[i]
+                else "border" if near_core[i] else "noise")
+        assert r.cls == want
+    assert len(got) == len(ids)
+
+
+def test_hough_lines_detects_planted_line(spark):
+    from extract_sf_r_parallel_spark.operators.multimodal import hough_lines
+    # a black image with one bright VERTICAL line at x=20: every edge
+    # pixel shares x ∈ {19, 21} → θ=0 (cos=1024) wins with a dominant
+    # rho bucket; and the vote count matches the two edge columns
+    h, w = 64, 64
+    v = np.zeros((h, w), dtype=np.uint8)
+    v[:, 20] = 255
+    img = np.repeat(v[..., None], 3, axis=2)
+    pdf = pd.DataFrame([{
+        "image_id": "t0", "bytes": img.tobytes(),
+        "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+        "caption": "", "phash": np.int64(0)}])
+    got = hough_lines(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got.best_theta == 0
+    # θ=0: rho = (x·1024 + 131072) // 4096 — x=19 and x=21 land in
+    # buckets 36 and 37; each column has h−2 interior edge pixels
+    assert got.best_count == h - 2
+    assert got.best_rho in (36, 37)
+    assert got.n_edges == 2 * (h - 2)
+
+
+def test_hough_lines_matches_numpy_votes(spark):
+    from extract_sf_r_parallel_spark.operators.multimodal import hough_lines
+    rng = np.random.default_rng(47)
+    h, w = 24, 31
+    v = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    img = np.repeat(v[..., None], 3, axis=2)
+    pdf = pd.DataFrame([{
+        "image_id": "t0", "bytes": img.tobytes(),
+        "w": np.int32(w), "h": np.int32(h), "fmt": "raw",
+        "caption": "", "phash": np.int64(0)}])
+    got = hough_lines(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    v64 = v.astype(np.int64)
+    gx = ((v64[:-2, 2:] + 2 * v64[1:-1, 2:] + v64[2:, 2:])
+          - (v64[:-2, :-2] + 2 * v64[1:-1, :-2] + v64[2:, :-2]))
+    gy = ((v64[2:, :-2] + 2 * v64[2:, 1:-1] + v64[2:, 2:])
+          - (v64[:-2, :-2] + 2 * v64[:-2, 1:-1] + v64[:-2, 2:]))
+    ys, xs = np.nonzero(np.abs(gx) + np.abs(gy) >= 800)
+    xs, ys = xs + 1, ys + 1
+    assert got.n_edges == len(xs)
+    cos = (1024, 887, 512, 0, -512, -887)
+    sin = (0, 512, 887, 1024, 887, 512)
+    acc = {}
+    for t in range(6):
+        rho = (xs * cos[t] + ys * sin[t] + 131072) // 4096
+        for rr in rho:
+            acc[(t, int(rr))] = acc.get((t, int(rr)), 0) + 1
+    best = max(acc.items(), key=lambda kv: (kv[1], -kv[0][0], -kv[0][1]))
+    mx = max(acc.values())
+    cands = sorted(k for k, c in acc.items() if c == mx)
+    assert got.best_count == mx
+    assert (got.best_theta, got.best_rho) == cands[0]
