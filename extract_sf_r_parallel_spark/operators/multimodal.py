@@ -41,7 +41,7 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
            "band_class", "otsu_stats", "harris_stats", "ycbcr_stats",
            "waveform_stats", "audio_pitch", "run_length_stats",
-           "image_moments", "hough_lines"]
+           "image_moments", "hough_lines", "audio_fingerprint"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -1085,3 +1085,35 @@ def hough_lines(images: DataFrame, thresh: int = 800,
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _HOUGH_SCHEMA.fields])
     return images.mapInPandas(gen, _HOUGH_SCHEMA)
+
+
+_AFP_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("fp", T.LongType()),
+])
+
+
+def audio_fingerprint(clips: DataFrame, frame: int = 64,
+                      bits: int = 16) -> DataFrame:
+    """Acoustic fingerprint (r07 wave G) — the Chromaprint/Shazam
+    shape reduced to its deterministic core: frame energies E_f over
+    `frame`-sample windows, bit_i = (E_{i+1} > E_i), fp = Σ bit_i·2^i
+    (a `bits`-bit energy-delta signature, exact int64 end-to-end).
+    Needs bits+1 frames — every s16le clip (≥2048 samples) has ≥32
+    at the default 64. Shuffle-free mapInPandas; the dedup screen
+    over these fingerprints is LSH-banded downstream (the audio
+    analog of simhash banding)."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                s = codec.decode_audio(r.bytes, r.fmt, r.n_samples) \
+                    .astype(np.int64)
+                nf = bits + 1
+                en = (s[:nf * frame] ** 2).reshape(nf, frame).sum(axis=1)
+                bvec = (en[1:] > en[:-1]).astype(np.int64)
+                fp = int((bvec << np.arange(bits)).sum())
+                rows.append((r.clip_id, fp))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AFP_SCHEMA.fields])
+    return clips.mapInPandas(gen, _AFP_SCHEMA)

@@ -796,3 +796,75 @@ def ivf_topk_lloyd(queries: DataFrame, corpus: DataFrame, k: int = 5,
         .filter(F.col("rk") <= k)
         .select("qid", "rk", "nid", "cos")
     )
+
+
+# --- product quantization (r07 wave G) ------------------------------------
+# PQ (Jégou et al. 2011) — the compression half of IVF+PQ: split the
+# 64-dim embedding into 8 subvectors of 8 dims, assign each to the
+# nearest of 4 deterministic codebook centroids, pack the 8 two-bit
+# codes into one integer. Completes the ANN family (IVF coarse
+# quantizer + Lloyd refinement already live above): at 10^12 vectors
+# the packed code is what you store and scan, not the float vector.
+#
+# Determinism contract: centroid components are EXACT binary
+# fractions (k/8 with small integer k), every subdistance is written
+# as the SAME fixed-order 8-term expression in both engines (no
+# group-sum reordering), so d² is bit-identical IEEE and the argmin
+# (ties → smallest code, via the chained <= CASE) never needs an
+# epsilon.
+
+PQ_SUBS, PQ_DIMS, PQ_CODES = 8, 8, 4
+
+
+def pq_centroid(s: int, c: int, j: int) -> float:
+    """Deterministic codebook: component j of centroid c in subspace
+    s — an exact binary fraction in [-0.75, 0.75]."""
+    return ((s * 31 + c * 17 + j * 7) % 13 - 6) / 8.0
+
+
+def pq_dist_sql(s: int, c: int, elem) -> str:
+    """The fixed-order 8-term squared-distance expression for
+    subspace s, centroid c; `elem(k)` renders 1-based element access
+    in the target dialect (shared between the Spark plan and the
+    DuckDB oracle so the IEEE evaluation order is identical)."""
+    terms = []
+    for j in range(PQ_DIMS):
+        e = elem(PQ_DIMS * s + j + 1)
+        v = repr(pq_centroid(s, c, j))
+        terms.append(f"({e} - ({v})) * ({e} - ({v}))")
+    return " + ".join(terms)
+
+
+def pq_code_sql(s: int) -> str:
+    """Deterministic argmin over the 4 per-subspace distances
+    (columns d{s}_0..3), ties → the smallest code."""
+    return (f"CASE WHEN d{s}_0 <= d{s}_1 AND d{s}_0 <= d{s}_2 "
+            f"AND d{s}_0 <= d{s}_3 THEN 0 "
+            f"WHEN d{s}_1 <= d{s}_2 AND d{s}_1 <= d{s}_3 THEN 1 "
+            f"WHEN d{s}_2 <= d{s}_3 THEN 2 ELSE 3 END")
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """emb(vec_id, embedding: array<float>[64]) → (vec_id, packed,
+    err6): the 16-bit packed PQ code (Σ code_s·4^s) and the total
+    quantization error rounded to 6 dp. Pure codegen'd Column
+    arithmetic — no UDF, no shuffle."""
+    def elem(k: int) -> str:
+        return f"CAST(element_at(embedding, {k}) AS DOUBLE)"
+
+    d = emb.select(
+        "vec_id",
+        *[F.expr(pq_dist_sql(s, c, elem)).alias(f"d{s}_{c}")
+          for s in range(PQ_SUBS) for c in range(PQ_CODES)])
+    coded = d.select(
+        "vec_id",
+        *[F.expr(pq_code_sql(s)).cast("long").alias(f"c{s}")
+          for s in range(PQ_SUBS)],
+        *[F.expr(f"least(d{s}_0, d{s}_1, d{s}_2, d{s}_3)")
+          .alias(f"e{s}") for s in range(PQ_SUBS)])
+    packed = " + ".join(f"c{s} * {4 ** s}" for s in range(PQ_SUBS))
+    err = " + ".join(f"e{s}" for s in range(PQ_SUBS))
+    return coded.select(
+        "vec_id",
+        F.expr(packed).cast("long").alias("packed"),
+        F.expr(f"round({err}, 6)").alias("err6"))

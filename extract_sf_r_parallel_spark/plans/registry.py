@@ -2468,6 +2468,7 @@ _GATE_FIRST = [
     "audio_pitch", "run_length",
     "point_sample", "voronoi_assign", "kcore", "image_moments",
     "dow_seasonal", "dbscan_classify", "hough_lines",
+    "pq_encode", "audio_fp_dedup",
 ]
 
 
@@ -3454,6 +3455,134 @@ LEFT JOIN r1 ON r1.image_id = i.image_id
 """
 
 QUERIES["hough_lines"] = q_hough_lines
+
+
+# --- product quantization encode (r07 wave G): Jégou-style PQ over
+# the embeddings table — the compression half of IVF+PQ (the IVF
+# coarse quantizer + Lloyd refinement are embed_ann_ivf*). Codebook
+# components are exact binary fractions and every subdistance is the
+# SAME fixed-order 8-term IEEE expression in both engines, so the
+# argmin needs no epsilon (operators/similarity.py::pq_dist_sql is
+# shared verbatim between the Spark plan and this oracle).
+def q_pq_encode(spark, sf_dir):
+    from ..operators.similarity import pq_encode
+    return pq_encode(_emb(spark, sf_dir))
+
+
+def _pq_oracle() -> str:
+    from ..operators.similarity import (PQ_CODES, PQ_SUBS, pq_code_sql,
+                                        pq_dist_sql)
+
+    def elem(k: int) -> str:
+        return f"CAST(embedding[{k}] AS DOUBLE)"
+
+    dists = ",\n    ".join(
+        f"{pq_dist_sql(s, c, elem)} AS d{s}_{c}"
+        for s in range(PQ_SUBS) for c in range(PQ_CODES))
+    codes = ",\n    ".join(
+        f"{pq_code_sql(s)} AS c{s}" for s in range(PQ_SUBS))
+    errs = ",\n    ".join(
+        f"LEAST(d{s}_0, d{s}_1, d{s}_2, d{s}_3) AS e{s}"
+        for s in range(PQ_SUBS))
+    packed = " + ".join(f"c{s} * {4 ** s}" for s in range(PQ_SUBS))
+    err = " + ".join(f"e{s}" for s in range(PQ_SUBS))
+    return f"""
+WITH d AS (
+  SELECT vec_id,
+    {dists}
+  FROM embeddings
+), coded AS (
+  SELECT vec_id,
+    {codes},
+    {errs}
+  FROM d
+)
+SELECT vec_id,
+       CAST({packed} AS BIGINT) AS packed,
+       ROUND({err}, 6) AS err6
+FROM coded
+"""
+
+
+ORACLE["pq_encode"] = _pq_oracle()
+
+QUERIES["pq_encode"] = q_pq_encode
+
+
+# --- banded audio-fingerprint dedup (r07 wave G): the audio analog
+# of simhash banding — 16-bit energy-delta fingerprints
+# (operators/multimodal.py::audio_fingerprint), LSH-banded into
+# (5,5,6)-bit bands so hamming ≤ 2 pairs are GUARANTEED to share a
+# band (3 bands > max hamming — the pigeonhole completeness rule),
+# candidate pairs join on band equality and refine on
+# bit_count(xor) ≤ 2 (probed engine-identical). The oracle
+# re-derives every frame energy from the closed-form sample plane,
+# replays the bits as a LEAD window and the banding arithmetic
+# verbatim — completeness comes from replaying the SAME bands, while
+# tests pin banding recall against the unbanded quadratic screen.
+def q_audio_fp_dedup(spark, sf_dir):
+    from ..operators.multimodal import audio_fingerprint
+    clips = spark.createDataFrame(synth.audio_pdf(240)) \
+        .filter("fmt = 's16le'")
+    fp = audio_fingerprint(clips)
+    bands = fp.select(
+        "clip_id", "fp",
+        F.explode(F.expr(
+            "array(struct(0L AS band_id, fp % 32 AS band_val),"
+            " struct(1L AS band_id, (fp div 32) % 32 AS band_val),"
+            " struct(2L AS band_id, (fp div 1024) % 64 AS band_val))"
+        )).alias("b")).select("clip_id", "fp", "b.band_id", "b.band_val")
+    a = bands.select(F.col("clip_id").alias("id_a"),
+                     F.col("fp").alias("fp_a"), "band_id", "band_val")
+    b = bands.select(F.col("clip_id").alias("id_b"),
+                     F.col("fp").alias("fp_b"), "band_id", "band_val")
+    return (a.join(b, ["band_id", "band_val"])
+            .filter("id_a < id_b")
+            .select("id_a", "id_b", "fp_a", "fp_b").distinct()
+            .withColumn("ham", F.expr("bit_count(fp_a ^ fp_b)")
+                        .cast("long"))
+            .filter("ham <= 2")
+            .select("id_a", "id_b", "ham"))
+
+
+ORACLE["audio_fp_dedup"] = f"""
+WITH clips AS (
+  SELECT i, 'clip' || lpad(CAST(i AS VARCHAR), 8, '0') AS clip_id,
+         42 * 1000003 + 900000 + i AS base
+  FROM range(240) t(i)
+  WHERE i % 17 <> 0
+), en AS (
+  SELECT clip_id, t // 64 AS f,
+         CAST(SUM(({_smp('t')}) * ({_smp('t')})) AS BIGINT) AS e
+  FROM clips, LATERAL (SELECT UNNEST(range(1088)) AS t) u
+  GROUP BY 1, 2
+), bits AS (
+  SELECT clip_id, f,
+         CASE WHEN LEAD(e) OVER (PARTITION BY clip_id ORDER BY f) > e
+              THEN 1 ELSE 0 END AS bit
+  FROM en
+), fp AS (
+  SELECT clip_id,
+         CAST(SUM(bit << f) AS BIGINT) AS fp
+  FROM bits WHERE f < 16 GROUP BY 1
+), bands AS (
+  SELECT clip_id, fp, v.band_id,
+         CASE v.band_id WHEN 0 THEN fp % 32
+                        WHEN 1 THEN (fp // 32) % 32
+                        ELSE (fp // 1024) % 64 END AS band_val
+  FROM fp, (VALUES (0), (1), (2)) v(band_id)
+), pairs AS (
+  SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b,
+         a.fp AS fp_a, b.fp AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.clip_id < b.clip_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS ham
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 2
+"""
+
+QUERIES["audio_fp_dedup"] = q_audio_fp_dedup
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,8 @@ LAZY = [
     "point_sample", "voronoi_assign", "kcore", "image_moments",
     # r07 wave F
     "dow_seasonal", "dbscan_classify", "hough_lines",
+    # r07 wave G
+    "pq_encode", "audio_fp_dedup",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —

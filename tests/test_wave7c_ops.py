@@ -477,3 +477,63 @@ def test_hough_lines_matches_numpy_votes(spark):
     cands = sorted(k for k, c in acc.items() if c == mx)
     assert got.best_count == mx
     assert (got.best_theta, got.best_rho) == cands[0]
+
+
+# --- wave G ------------------------------------------------------------------
+
+def test_pq_encode_matches_numpy(spark):
+    from extract_sf_r_parallel_spark.operators.similarity import (
+        pq_centroid, pq_encode)
+    got = (pq_encode(spark.read.parquet(f"{SF}/embeddings.parquet"))
+           .toPandas().set_index("vec_id").sort_index())
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    cb = np.array([[[pq_centroid(s, c, j) for j in range(8)]
+                    for c in range(4)] for s in range(8)])
+    for r in emb.itertuples():
+        v = np.asarray(r.embedding, dtype=np.float64)
+        packed = 0
+        err = 0.0
+        for s in range(8):
+            d = ((v[8 * s:8 * s + 8] - cb[s]) ** 2).sum(axis=1)
+            # ties → smallest code (argmin picks first)
+            c = int(np.argmin(d))
+            packed += c * 4 ** s
+            err += float(d[c])
+        g = got.loc[r.vec_id]
+        assert g.packed == packed
+        assert abs(g.err6 - round(err, 6)) < 1e-9
+    assert got.packed.between(0, 4 ** 8 - 1).all()
+
+
+def test_audio_fingerprint_matches_numpy_and_banding_recall(spark):
+    from extract_sf_r_parallel_spark.operators.multimodal import (
+        audio_fingerprint)
+    from extract_sf_r_parallel_spark.data import synth
+    from extract_sf_r_parallel_spark.plans.registry import (
+        q_audio_fp_dedup)
+    clips = synth.audio_pdf(60)
+    dec = clips[clips.fmt == "s16le"].reset_index(drop=True)
+    got = (audio_fingerprint(spark.createDataFrame(dec))
+           .toPandas().set_index("clip_id"))
+    fps = {}
+    for r in dec.itertuples():
+        s = np.frombuffer(r.bytes, dtype="<i2",
+                          count=r.n_samples).astype(np.int64)
+        en = (s[:17 * 64] ** 2).reshape(17, 64).sum(axis=1)
+        fp = int(((en[1:] > en[:-1]).astype(np.int64)
+                  << np.arange(16)).sum())
+        assert got.loc[r.clip_id].fp == fp
+        fps[r.clip_id] = fp
+    # banding completeness: the banded screen finds EVERY hamming≤2
+    # pair the unbanded quadratic screen finds (pigeonhole: 3 bands
+    # > max hamming 2) — recall proven, not assumed
+    want = set()
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(fps[a] ^ fps[b]).count("1") <= 2:
+                want.add((a, b))
+    full = q_audio_fp_dedup(spark, SF).toPandas()
+    got_pairs = {(r.id_a, r.id_b) for r in full.itertuples()
+                 if r.id_a in fps and r.id_b in fps}
+    assert got_pairs == want
