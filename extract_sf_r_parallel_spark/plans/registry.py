@@ -2469,6 +2469,7 @@ _GATE_FIRST = [
     "point_sample", "voronoi_assign", "kcore", "image_moments",
     "dow_seasonal", "dbscan_classify", "hough_lines",
     "pq_encode", "audio_fp_dedup",
+    "basket_pairs", "mad_outliers",
 ]
 
 

@@ -1948,3 +1948,139 @@ FROM g JOIN tot t ON t.l_suppkey = g.l_suppkey
 """
 
 QUERIES["dow_seasonal"] = q_dow_seasonal
+
+
+# --- market-basket pair mining (r07 wave H): co-occurrence counting,
+# the first level of FP-growth / Apriori — part pairs appearing in
+# ≥2 common orders, with the lift verdict kept exact by cross-
+# multiplication (lift > 1 ⟺ support·N > cnt_a·cnt_b — no float
+# ratio ever materializes). Spark shape: distinct (order, part)
+# first (dedup BEFORE the fan-out), then a self-equi-join on
+# l_orderkey — per-order fan-out is bounded by basket size (~7
+# lines ⇒ ≤21 pairs), so the join scales linearly in orders, never
+# quadratically in parts; per-part counts broadcast back onto the
+# surviving pairs.
+def q_basket_pairs(spark, sf_dir):
+    d = (_t(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+             .filter("part_a < part_b")
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("support"))
+             .filter("support >= 2"))
+    cnt = d.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    # N as a broadcast 1-row aggregate, not a driver-side count() —
+    # the plan stays lazy and there is no collect at build time
+    n_orders = d.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (pairs
+            .join(cnt.select(F.col("l_partkey").alias("part_a"),
+                             F.col("cnt").alias("cnt_a")), "part_a")
+            .join(cnt.select(F.col("l_partkey").alias("part_b"),
+                             F.col("cnt").alias("cnt_b")), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "support", "cnt_a", "cnt_b",
+                    (F.col("support") * F.col("n_orders")
+                     > F.col("cnt_a") * F.col("cnt_b"))
+                    .alias("lift_pos")))
+
+
+ORACLE["basket_pairs"] = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS support
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), cnt AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM d
+)
+SELECT p.part_a, p.part_b, p.support, ca.cnt AS cnt_a, cb.cnt AS cnt_b,
+       p.support * n.n_orders > ca.cnt * cb.cnt AS lift_pos
+FROM pairs p
+JOIN cnt ca ON ca.l_partkey = p.part_a
+JOIN cnt cb ON cb.l_partkey = p.part_b
+CROSS JOIN n
+"""
+
+QUERIES["basket_pairs"] = q_basket_pairs
+
+
+# --- median absolute deviation outliers (r07 wave H): the robust
+# dispersion screen next to iqr_outliers / winsorize — per nation,
+# the LOWER median of customer balance cents (rank (n+1) div 2 over
+# the total (cents, custkey) order — deterministic under ties), the
+# MAD as the lower median of |cents − med| under the same total
+# order, and the k=3 outlier count with the comparison kept integer
+# (dev > 3·mad — the 1.4826 normal-consistency factor is
+# deliberately NOT applied so no float enters; documented). Two
+# window passes on the same partition key, one final groupBy.
+def q_mad_outliers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    wp = W.partitionBy("c_nationkey")
+    w1 = wp.orderBy("cents", "c_custkey")
+    m1 = (c.withColumn("rn", F.row_number().over(w1))
+          .withColumn("n", F.count(F.lit(1)).over(wp))
+          .withColumn("med", F.max(F.when(
+              F.col("rn") == F.expr("(n + 1) div 2"),
+              F.col("cents"))).over(wp))
+          .withColumn("dev", F.abs(F.col("cents") - F.col("med"))))
+    w2 = wp.orderBy("dev", "c_custkey")
+    m2 = (m1.withColumn("rn2", F.row_number().over(w2))
+          .withColumn("mad", F.max(F.when(
+              F.col("rn2") == F.expr("(n + 1) div 2"),
+              F.col("dev"))).over(wp)))
+    return (m2.groupBy("c_nationkey")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.max("med").alias("med_cents"),
+                 F.max("mad").alias("mad_cents"),
+                 F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers")))
+
+
+ORACLE["mad_outliers"] = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), m1 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY cents, c_custkey) AS rn,
+    COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+  FROM c
+), m2 AS (
+  SELECT *,
+    MAX(CASE WHEN rn = (n + 1) // 2 THEN cents END)
+      OVER (PARTITION BY c_nationkey) AS med
+  FROM m1
+), m3 AS (
+  SELECT *, ABS(cents - med) AS dev FROM m2
+), m4 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY dev, c_custkey) AS rn2
+  FROM m3
+), m5 AS (
+  SELECT *,
+    MAX(CASE WHEN rn2 = (n + 1) // 2 THEN dev END)
+      OVER (PARTITION BY c_nationkey) AS mad
+  FROM m4
+)
+SELECT c_nationkey,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(med) AS BIGINT) AS med_cents,
+       CAST(MAX(mad) AS BIGINT) AS mad_cents,
+       CAST(SUM(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers
+FROM m5 GROUP BY 1
+"""
+
+QUERIES["mad_outliers"] = q_mad_outliers

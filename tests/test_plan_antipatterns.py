@@ -66,6 +66,8 @@ LAZY = [
     "dow_seasonal", "dbscan_classify", "hough_lines",
     # r07 wave G
     "pq_encode", "audio_fp_dedup",
+    # r07 wave H
+    "basket_pairs", "mad_outliers",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
