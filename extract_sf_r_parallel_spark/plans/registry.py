@@ -2470,6 +2470,7 @@ _GATE_FIRST = [
     "dow_seasonal", "dbscan_classify", "hough_lines",
     "pq_encode", "audio_fp_dedup",
     "basket_pairs", "mad_outliers",
+    "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
 ]
 
 

@@ -2084,3 +2084,103 @@ FROM m5 GROUP BY 1
 """
 
 QUERIES["mad_outliers"] = q_mad_outliers
+
+
+# --- unpivot / melt (r07 wave I): the wide→long reshape every
+# feature-store export needs — four lineitem money/quantity metrics
+# melted to (metric, value_cents) rows with stack() (pure codegen'd
+# Generate, no shuffle until the final 4-group agg), then profiled.
+# Cents are rounded BEFORE the melt so both engines aggregate the
+# same exact integers. At 100 TB the melt is embarrassingly parallel
+# (row-local 4× fan-out) and the agg reduces to 4 rows map-side.
+def q_unpivot_melt(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_quantity") * 100).cast("long").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc"),
+        F.round(F.col("l_tax") * 100).cast("long").alias("tax"))
+    long = li.select(F.expr(
+        "stack(4, 'qty', qty, 'price', price, 'disc', disc, 'tax', tax)"
+        ).alias("metric", "value_cents"))
+    return (long.groupBy("metric")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value_cents").alias("sum_cents"),
+                 F.min("value_cents").alias("min_cents"),
+                 F.max("value_cents").alias("max_cents")))
+
+
+ORACLE["unpivot_melt"] = """
+WITH c AS (
+  SELECT CAST(ROUND(l_quantity * 100) AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+         CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+  FROM lineitem
+), long AS (
+  SELECT 'qty' AS metric, qty AS value_cents FROM c
+  UNION ALL SELECT 'price', price FROM c
+  UNION ALL SELECT 'disc', disc FROM c
+  UNION ALL SELECT 'tax', tax FROM c
+)
+SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(value_cents) AS BIGINT) AS sum_cents,
+       MIN(value_cents) AS min_cents, MAX(value_cents) AS max_cents
+FROM long GROUP BY metric
+"""
+
+QUERIES["unpivot_melt"] = q_unpivot_melt
+
+
+# --- Gini / Lorenz inequality (r07 wave I): per-nation wealth
+# concentration over customer balances, fully integer. Balances are
+# shifted to positive cents (x = cents + 100000 ≥ 1, acctbal ≥
+# −999.99 by TPC-H spec) and ranked under the total (x, custkey)
+# order; the Gini numerator is Σ(2i − n − 1)·x_i (denominator n·Σx
+# is emitted, never divided), and the Lorenz curve's halfway point
+# is the cumulative sum at rank n div 2. One window over one
+# partition key → a single shuffle; per-group work is linear.
+# int64 headroom: x ≤ 1.1e6, so gini_num < 2n²·x — safe to ~2e6
+# rows per group, far beyond any per-nation cardinality here.
+def q_gini_lorenz(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        (F.round(F.col("c_acctbal") * 100).cast("long") + 100000)
+        .alias("x"))
+    wp = W.partitionBy("c_nationkey")
+    w = wp.orderBy("x", "c_custkey")
+    r = (c.withColumn("i", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wp))
+         .withColumn("cum", F.sum("x").over(w)))
+    return (r.groupBy("c_nationkey")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.sum("x").alias("sum_x"),
+                 F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x"))
+                 .alias("gini_num"),
+                 F.max(F.when(F.col("i") == F.expr("n div 2"),
+                              F.col("cum"))).alias("lorenz_half")))
+
+
+ORACLE["gini_lorenz"] = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS x
+  FROM customer
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                       ORDER BY x, c_custkey) AS i,
+    COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+    SUM(x) OVER (PARTITION BY c_nationkey
+                 ORDER BY x, c_custkey) AS cum
+  FROM c
+)
+SELECT c_nationkey,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM((2 * i - n - 1) * x) AS BIGINT) AS gini_num,
+       CAST(MAX(CASE WHEN i = n // 2 THEN cum END) AS BIGINT)
+         AS lorenz_half
+FROM r GROUP BY 1
+"""
+
+QUERIES["gini_lorenz"] = q_gini_lorenz

@@ -3429,3 +3429,165 @@ LEFT JOIN near_core nc ON nc.id = nb.id
 """
 
 QUERIES["dbscan_classify"] = q_dbscan_classify
+
+
+# --- Ripley's K pair counts (r07 wave I): the spatial point-pattern
+# clustering statistic — unordered point-pair counts within r ∈
+# {300, 600, 1200} m over the LCG geotags, from ONE PBSM cell join
+# at the largest radius (cell = 1200 ⇒ a 3×3 neighborhood cover is
+# exact: |Δx| ≤ 1200 bounds the cell difference to ±1), smaller
+# radii as conditional sums over the same pair table. `id < bid`
+# counts each unordered pair exactly once (the probe side explodes,
+# the build side stays in its home cell). K(r) itself is
+# n_pairs·2A/(n²λ) — a driver-side division; the exact integer
+# numerators are what the engines must agree on. At 100 TB the join
+# is cell-local (no quadratic blowup) and skew is bounded by cell
+# occupancy — the same salting escape hatch as range_near applies.
+def q_ripley_k(spark, sf_dir, cell: int = 1200):
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select(F.col("event_id").alias("id"),
+                   F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y")))
+    probe = pts.select(
+        "id", "x", "y",
+        F.explode(F.expr(f"sequence(x div {cell} - 1, x div {cell} + 1)"))
+        .alias("cx")).select(
+        "*", F.explode(F.expr(f"sequence(y div {cell} - 1, "
+                              f"y div {cell} + 1)")).alias("cy"))
+    build = pts.select(F.col("id").alias("bid"),
+                       F.col("x").alias("bx"), F.col("y").alias("by"),
+                       F.expr(f"x div {cell}").alias("cx"),
+                       F.expr(f"y div {cell}").alias("cy"))
+    d2 = "(x-bx)*(x-bx) + (y-by)*(y-by)"
+    return (probe.join(build, ["cx", "cy"])
+            .filter(f"id < bid AND {d2} <= {cell * cell}")
+            .agg(F.sum(F.expr(f"CASE WHEN {d2} <= 90000 THEN 1 ELSE 0 END"))
+                 .cast("long").alias("k300"),
+                 F.sum(F.expr(f"CASE WHEN {d2} <= 360000 THEN 1 ELSE 0 END"))
+                 .cast("long").alias("k600"),
+                 F.count(F.lit(1)).alias("k1200")))
+
+
+ORACLE["ripley_k"] = f"""
+WITH p AS (
+  SELECT event_id AS id, {_ODX} AS x, {_ODY} AS y FROM events
+), probe AS (
+  SELECT id, x, y, x // 1200 + dx.d AS cx, y // 1200 + dy.d AS cy
+  FROM p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+), build AS (
+  SELECT id AS bid, x AS bx, y AS by, x // 1200 AS cx, y // 1200 AS cy
+  FROM p
+), pairs AS (
+  SELECT (x-bx)*(x-bx) + (y-by)*(y-by) AS d2
+  FROM probe JOIN build USING (cx, cy)
+  WHERE id < bid AND (x-bx)*(x-bx) + (y-by)*(y-by) <= 1440000
+)
+SELECT CAST(SUM(CASE WHEN d2 <= 90000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS k300,
+       CAST(SUM(CASE WHEN d2 <= 360000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS k600,
+       CAST(COUNT(*) AS BIGINT) AS k1200
+FROM pairs
+"""
+
+QUERIES["ripley_k"] = q_ripley_k
+
+
+# --- Knox space-time interaction test (r07 wave I): epidemiology's
+# cluster-detection statistic — over the geotagged event stream,
+# count unordered event pairs that are close in SPACE (d ≤ 600 m,
+# PBSM cell join), close in TIME (Δt ≤ 600 s, the same
+# blocked-join pattern in 1-D on Δt-sized buckets — exact under tie
+# timestamps, unlike a RANGE-frame count), and close in BOTH (the
+# space pair table carries timestamps, so `both` is one more
+# predicate on it — no third join). The Knox verdict keeps the
+# expected-count comparison integer by cross-multiplication:
+# both·total > space·time ⟺ observed > expected. int64 headroom to
+# ~3e9 pairs per factor; beyond that the verdict needs a decimal
+# widen (documented, not hit at any test SF).
+def q_knox_test(spark, sf_dir, eps: int = 600, tau_us: int = 600_000_000):
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select(F.col("event_id").alias("id"),
+                   F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y"),
+                   F.expr("unix_micros(cast(ts as timestamp))").alias("us")))
+    # space pairs (with timestamps carried for the `both` predicate)
+    sp = pts.select(
+        "id", "x", "y", "us",
+        F.explode(F.expr(f"sequence(x div {eps} - 1, x div {eps} + 1)"))
+        .alias("cx")).select(
+        "*", F.explode(F.expr(f"sequence(y div {eps} - 1, "
+                              f"y div {eps} + 1)")).alias("cy"))
+    sb = pts.select(F.col("id").alias("bid"), F.col("x").alias("bx"),
+                    F.col("y").alias("by"), F.col("us").alias("bus"),
+                    F.expr(f"x div {eps}").alias("cx"),
+                    F.expr(f"y div {eps}").alias("cy"))
+    spairs = (sp.join(sb, ["cx", "cy"])
+              .filter(f"id < bid AND (x-bx)*(x-bx) + (y-by)*(y-by)"
+                      f" <= {eps * eps}")
+              .select("id", F.expr(f"abs(us - bus) <= {tau_us}")
+                      .alias("near_t")))
+    s_agg = spairs.agg(
+        F.count(F.lit(1)).alias("pairs_space"),
+        F.sum(F.when(F.col("near_t"), 1).otherwise(0)).cast("long")
+        .alias("pairs_both"))
+    # time pairs: 1-D blocked self-join on tau-sized buckets
+    tp = pts.select(
+        "id", "us",
+        F.explode(F.expr(f"sequence(us div {tau_us} - 1, "
+                         f"us div {tau_us} + 1)")).alias("tb"))
+    tb_ = pts.select(F.col("id").alias("bid"), F.col("us").alias("bus"),
+                     F.expr(f"us div {tau_us}").alias("tb"))
+    t_agg = (tp.join(tb_, "tb")
+             .filter(f"id < bid AND abs(us - bus) <= {tau_us}")
+             .agg(F.count(F.lit(1)).alias("pairs_time")))
+    n_agg = pts.agg(F.count(F.lit(1)).alias("n_events"))
+    return (s_agg.crossJoin(F.broadcast(t_agg))
+            .crossJoin(F.broadcast(n_agg))
+            .select("n_events", "pairs_space", "pairs_time", "pairs_both",
+                    F.expr("n_events * (n_events - 1) div 2")
+                    .alias("pairs_total"))
+            .withColumn("knox_pos",
+                        F.col("pairs_both") * F.col("pairs_total")
+                        > F.col("pairs_space") * F.col("pairs_time")))
+
+
+ORACLE["knox_test"] = f"""
+WITH p AS (
+  SELECT event_id AS id, {_ODX} AS x, {_ODY} AS y,
+         epoch_us(ts) AS us
+  FROM events
+), sprobe AS (
+  SELECT id, x, y, us, x // 600 + dx.d AS cx, y // 600 + dy.d AS cy
+  FROM p, (VALUES (-1), (0), (1)) dx(d), (VALUES (-1), (0), (1)) dy(d)
+), sbuild AS (
+  SELECT id AS bid, x AS bx, y AS by, us AS bus,
+         x // 600 AS cx, y // 600 AS cy
+  FROM p
+), spairs AS (
+  SELECT ABS(us - bus) <= 600000000 AS near_t
+  FROM sprobe JOIN sbuild USING (cx, cy)
+  WHERE id < bid AND (x-bx)*(x-bx) + (y-by)*(y-by) <= 360000
+), s_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_space,
+         CAST(SUM(CASE WHEN near_t THEN 1 ELSE 0 END) AS BIGINT)
+           AS pairs_both
+  FROM spairs
+), tprobe AS (
+  SELECT id, us, us // 600000000 + dt.d AS tb
+  FROM p, (VALUES (-1), (0), (1)) dt(d)
+), tbuild AS (
+  SELECT id AS bid, us AS bus, us // 600000000 AS tb FROM p
+), t_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS pairs_time
+  FROM tprobe JOIN tbuild USING (tb)
+  WHERE id < bid AND ABS(us - bus) <= 600000000
+), n_agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_events FROM p
+)
+SELECT n_events, pairs_space, pairs_time, pairs_both,
+       n_events * (n_events - 1) // 2 AS pairs_total,
+       pairs_both * (n_events * (n_events - 1) // 2)
+         > pairs_space * pairs_time AS knox_pos
+FROM s_agg CROSS JOIN t_agg CROSS JOIN n_agg
+"""
+
+QUERIES["knox_test"] = q_knox_test

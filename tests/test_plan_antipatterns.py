@@ -68,6 +68,8 @@ LAZY = [
     "pq_encode", "audio_fp_dedup",
     # r07 wave H
     "basket_pairs", "mad_outliers",
+    # r07 wave I
+    "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
