@@ -2471,6 +2471,7 @@ _GATE_FIRST = [
     "pq_encode", "audio_fp_dedup",
     "basket_pairs", "mad_outliers",
     "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
+    "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
 ]
 
 
@@ -3585,6 +3586,71 @@ FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 2
 """
 
 QUERIES["audio_fp_dedup"] = q_audio_fp_dedup
+
+
+# --- local binary patterns (r07 wave J): Ojala's LBP texture codes
+# over channel-0 interior pixels — bit k ⟺ neighbor_k ≥ centre
+# (counterclockwise from east), per image the code sum, the UNIFORM
+# count (≤ 2 circular transitions: bit_count(code XOR rol8(code)) ≤ 2)
+# and a 4-bin coarse histogram. Engine = mapInPandas NumPy shifted
+# views (operators/multimodal.py::lbp_stats, zero shuffle); the
+# oracle re-derives the centre AND all 8 neighbor bytes from the
+# Lehmer pixel closed form (9 expressions per pixel) and replays the
+# rol8/popcount uniformity test in SQL.
+def _lbp_nb(dr: int, dc: int) -> str:
+    j = f"(3*(p + ({dr})*w + ({dc})))"
+    lehmer = f"(((base + {j} * 2654435761) % 4294967291) * 279470273) " \
+             f"% 4294967291"
+    return f"(xor({lehmer}, ({lehmer}) >> 16) % 256)"
+
+
+def q_lbp_hist(spark, sf_dir):
+    from ..operators.multimodal import lbp_stats
+    return lbp_stats(spark.createDataFrame(synth.images_pdf(120)))
+
+
+_LBP_CODE = " + ".join(
+    f"(CASE WHEN {_lbp_nb(dr, dc)} >= ctr THEN {1 << k} ELSE 0 END)"
+    for k, (dr, dc) in enumerate(
+        ((0, 1), (-1, 1), (-1, 0), (-1, -1),
+         (0, -1), (1, -1), (1, 0), (1, 1))))
+
+ORACLE["lbp_hist"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), px AS (
+  SELECT image_id, base, w, h, p, p // w AS r, p % w AS c,
+         {_lbp_nb(0, 0).replace('p +', 'p + 0*w +')} AS ctr
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), coded AS (
+  SELECT image_id, ({_LBP_CODE}) AS code
+  FROM px
+  WHERE r BETWEEN 1 AND h - 2 AND c BETWEEN 1 AND w - 2
+), uni AS (
+  SELECT image_id, code,
+         bit_count(CAST(xor(code, (code * 2) % 256 + code // 128)
+                        AS BIGINT)) AS trans
+  FROM coded
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(code) AS BIGINT) AS sum_code,
+       CAST(SUM(CASE WHEN trans <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_uniform,
+       CAST(SUM(CASE WHEN code < 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_q0,
+       CAST(SUM(CASE WHEN code >= 64 AND code < 128 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_q1,
+       CAST(SUM(CASE WHEN code >= 128 AND code < 192 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_q2,
+       CAST(SUM(CASE WHEN code >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS n_q3
+FROM uni GROUP BY 1
+"""
+
+QUERIES["lbp_hist"] = q_lbp_hist
 
 
 # ---------------------------------------------------------------------------

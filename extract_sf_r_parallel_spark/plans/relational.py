@@ -2184,3 +2184,72 @@ FROM r GROUP BY 1
 """
 
 QUERIES["gini_lorenz"] = q_gini_lorenz
+
+
+# --- graph node Jaccard similarity (r07 wave J): link-prediction's
+# standard score over the part co-purchase graph — nodes are parts,
+# edges are part pairs sharing ≥ 2 orders (the basket_pairs screen,
+# so the graph is SPARSE by construction), and for every node pair
+# with ≥ 1 common neighbor the engine emits |N(a)∩N(b)| and both
+# degrees, with the Jaccard ≥ 1/3 verdict kept integer by
+# cross-multiplication (3·common ≥ deg_a + deg_b − common). Shape:
+# wedge enumeration — undirected adjacency self-joined on the
+# middle node w, pair (a < b) per wedge, one groupBy; degree join
+# after. Wedge fan-out is Σ_w deg(w)² — bounded here by the
+# support-≥2 edge screen; at 100 TB a hub-degree cap (same pattern
+# as the LSH bucket caps) bounds the worst node.
+def q_jaccard_nodes(spark, sf_dir):
+    d = (_t(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    a = d.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "l_orderkey").filter("pa < pb")
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("sup"))
+             .filter("sup >= 2").select("pa", "pb"))
+    # undirected adjacency (both directions), then wedges through w
+    adj = (edges.select(F.col("pa").alias("w"), F.col("pb").alias("v"))
+           .union(edges.select(F.col("pb").alias("w"),
+                               F.col("pa").alias("v"))))
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg")) \
+             .withColumnRenamed("w", "node")
+    l = adj.select("w", F.col("v").alias("a"))
+    r = adj.select("w", F.col("v").alias("b"))
+    common = (l.join(r, "w").filter("a < b")
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("common")))
+    return (common
+            .join(deg.select(F.col("node").alias("a"),
+                             F.col("deg").alias("deg_a")), "a")
+            .join(deg.select(F.col("node").alias("b"),
+                             F.col("deg").alias("deg_b")), "b")
+            .select("a", "b", "common", "deg_a", "deg_b",
+                    (3 * F.col("common")
+                     >= F.col("deg_a") + F.col("deg_b") - F.col("common"))
+                    .alias("strong")))
+
+
+ORACLE["jaccard_nodes"] = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), adj AS (
+  SELECT pa AS w, pb AS v FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+), deg AS (
+  SELECT w AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+), common AS (
+  SELECT l.v AS a, r.v AS b, CAST(COUNT(*) AS BIGINT) AS common
+  FROM adj l JOIN adj r ON l.w = r.w AND l.v < r.v
+  GROUP BY 1, 2
+)
+SELECT c.a, c.b, c.common, da.deg AS deg_a, db.deg AS deg_b,
+       3 * c.common >= da.deg + db.deg - c.common AS strong
+FROM common c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+"""
+
+QUERIES["jaccard_nodes"] = q_jaccard_nodes

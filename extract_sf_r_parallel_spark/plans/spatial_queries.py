@@ -3591,3 +3591,142 @@ FROM s_agg CROSS JOIN t_agg CROSS JOIN n_agg
 """
 
 QUERIES["knox_test"] = q_knox_test
+
+
+# --- vector→raster line burn (r07 wave J): the rasterization half of
+# G9 for LINE geometry (roads/streams burned onto a grid — GDAL's
+# gdal_rasterize for linestrings). 400 LCG segments are traced by a
+# closed-form integer DDA: with n = max(|dx|, |dy|, 1) steps, the
+# t-th cell is p0 + floor((2·t·d + n) / (2·n)) per axis (round-half-
+# up linear interpolation — on the major axis this is the exact unit
+# step, on the minor axis Bresenham's midpoint rule). floor-vs-trunc
+# divergence (Spark `div` truncates, DuckDB `//` floors) is
+# neutralized by shifting the numerator positive by 20000·2n before
+# the division. The burned cells are aggregated to a 100 m grid and
+# reported as a coverage histogram (how many cells are crossed by
+# exactly k segments) plus a position checksum — the multi-layer
+# burn-count raster in one integer row set. Scale: explode is
+# row-local (no shuffle until the cell groupBy); segments partition
+# freely; the per-segment fan-out is bounded by segment length.
+_SEG_N = 400
+
+
+def _seg_end(s: str, mul: int, add: int, mod: int) -> str:
+    return f"(({s} * {mul} + {add}) % {mod}) % {G.WINDOW}"
+
+
+def q_raster_line(spark, sf_dir):
+    seg = spark.range(_SEG_N).select(
+        F.col("id").alias("s"),
+        F.expr(_seg_end("id", 48271, 13, 999983)).alias("x0"),
+        F.expr(_seg_end("id", 69621, 7, 999979)).alias("y0"),
+        F.expr(_seg_end("id", 16807, 3, 999983)).alias("x1"),
+        F.expr(_seg_end("id", 65539, 11, 999979)).alias("y1"))
+    seg = seg.withColumn(
+        "n", F.expr("greatest(abs(x1 - x0), abs(y1 - y0), 1)"))
+    cells = (seg
+             .select("s", "x0", "y0", "x1", "y1", "n",
+                     F.explode(F.expr("sequence(0, n)")).alias("t"))
+             .select("s", F.expr(
+                 "x0 + (2*t*(x1 - x0) + n + 40000*n) div (2*n) - 20000")
+                 .alias("x"),
+                 F.expr(
+                 "y0 + (2*t*(y1 - y0) + n + 40000*n) div (2*n) - 20000")
+                 .alias("y"))
+             .select("s", F.expr("x div 100").alias("gx"),
+                     F.expr("y div 100").alias("gy"))
+             .distinct())
+    cov = (cells.groupBy("gx", "gy")
+           .agg(F.count(F.lit(1)).alias("coverage")))
+    return (cov.groupBy("coverage")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum(F.col("gx") * 31 + F.col("gy")).alias("checksum")))
+
+
+ORACLE["raster_line"] = f"""
+WITH seg AS (
+  SELECT s, {_seg_end('s', 48271, 13, 999983)} AS x0,
+         {_seg_end('s', 69621, 7, 999979)} AS y0,
+         {_seg_end('s', 16807, 3, 999983)} AS x1,
+         {_seg_end('s', 65539, 11, 999979)} AS y1
+  FROM range({_SEG_N}) t(s)
+), sn AS (
+  SELECT *, GREATEST(ABS(x1 - x0), ABS(y1 - y0), 1) AS n FROM seg
+), cells AS (
+  SELECT DISTINCT s,
+    (x0 + (2*t*(x1 - x0) + n + 40000*n) // (2*n) - 20000) // 100 AS gx,
+    (y0 + (2*t*(y1 - y0) + n + 40000*n) // (2*n) - 20000) // 100 AS gy
+  FROM sn, LATERAL (SELECT UNNEST(range(n + 1)) AS t) u
+), cov AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS coverage
+  FROM cells GROUP BY 1, 2
+)
+SELECT coverage, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(gx * 31 + gy) AS BIGINT) AS checksum
+FROM cov GROUP BY 1
+"""
+
+QUERIES["raster_line"] = q_raster_line
+
+
+# --- topographic position index (r07 wave J): Weiss's landform
+# classifier over the closed-form DEM — TPI = centre − mean(8
+# neighbors), kept integer as tpi8 = 8·v − Σ neighbors (no division
+# ever happens); interior cells classify ridge (tpi8 > 800), valley
+# (< −800), flat otherwise, aggregated per 25×25 block with the
+# exact tpi8 sum. Engine = the flow_d8 scatter shape: every cell
+# scatters its value to its 8 neighbors (row-local explode), ONE
+# groupBy sums them, ONE equi join brings the centre back — two
+# shuffles on the same (cx, cy) key, pure JVM. The oracle gathers
+# instead: all 8 neighbor values re-derived from the closed form.
+def q_tpi_class(spark, sf_dir, thresh: int = 800):
+    r = raster_df(spark)
+    offs = ",".join(f"struct({dx} as dx, {dy} as dy)"
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0))
+    scat = (r.select("cx", "cy", "v",
+                     F.explode(F.expr(f"array({offs})")).alias("o"))
+            .select((F.col("cx") + F.col("o.dx")).alias("tx"),
+                    (F.col("cy") + F.col("o.dy")).alias("ty"), "v"))
+    nb = (scat.filter(f"tx BETWEEN 1 AND {_RN - 2} "
+                      f"AND ty BETWEEN 1 AND {_RN - 2}")
+          .groupBy("tx", "ty").agg(F.sum("v").alias("s8")))
+    tpi = (r.filter(f"cx BETWEEN 1 AND {_RN - 2} "
+                    f"AND cy BETWEEN 1 AND {_RN - 2}")
+           .join(nb, (F.col("cx") == F.col("tx"))
+                 & (F.col("cy") == F.col("ty")))
+           .select("cx", "cy", (8 * F.col("v") - F.col("s8"))
+                   .alias("tpi8")))
+    return (tpi.groupBy(F.expr("cx div 25").alias("bx"),
+                        F.expr("cy div 25").alias("by"))
+            .agg(F.count(F.lit(1)).alias("n_interior"),
+                 F.sum("tpi8").alias("sum_tpi8"),
+                 F.sum(F.when(F.col("tpi8") > thresh, 1).otherwise(0))
+                 .cast("long").alias("n_ridge"),
+                 F.sum(F.when(F.col("tpi8") < -thresh, 1).otherwise(0))
+                 .cast("long").alias("n_valley")))
+
+
+ORACLE["tpi_class"] = f"""
+WITH t AS (
+  SELECT cx, cy,
+         8 * ({_rval('cx', 'cy')})
+         - ({_rval('(cx-1)', '(cy-1)')}) - ({_rval('cx', '(cy-1)')})
+         - ({_rval('(cx+1)', '(cy-1)')}) - ({_rval('(cx-1)', 'cy')})
+         - ({_rval('(cx+1)', 'cy')}) - ({_rval('(cx-1)', '(cy+1)')})
+         - ({_rval('cx', '(cy+1)')}) - ({_rval('(cx+1)', '(cy+1)')})
+           AS tpi8
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+  WHERE cx BETWEEN 1 AND {_RN - 2} AND cy BETWEEN 1 AND {_RN - 2}
+)
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(tpi8) AS BIGINT) AS sum_tpi8,
+       CAST(SUM(CASE WHEN tpi8 > 800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ridge,
+       CAST(SUM(CASE WHEN tpi8 < -800 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valley
+FROM t GROUP BY 1, 2
+"""
+
+QUERIES["tpi_class"] = q_tpi_class

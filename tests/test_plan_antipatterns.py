@@ -70,6 +70,8 @@ LAZY = [
     "basket_pairs", "mad_outliers",
     # r07 wave I
     "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
+    # r07 wave J
+    "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
