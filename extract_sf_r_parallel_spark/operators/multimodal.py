@@ -41,7 +41,8 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "median_stats", "orient_hist", "glcm_stats", "motion_stats",
            "band_class", "otsu_stats", "harris_stats", "ycbcr_stats",
            "waveform_stats", "audio_pitch", "run_length_stats",
-           "image_moments", "hough_lines", "audio_fingerprint"]
+           "image_moments", "hough_lines", "audio_fingerprint",
+           "lbp_stats", "ordered_dither"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -1173,3 +1174,55 @@ def lbp_stats(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _LBP_SCHEMA.fields])
     return images.mapInPandas(gen, _LBP_SCHEMA)
+
+
+_DITHER_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_on", T.LongType()),
+    T.StructField("q00", T.LongType()),
+    T.StructField("q01", T.LongType()),
+    T.StructField("q10", T.LongType()),
+    T.StructField("q11", T.LongType()),
+])
+
+# the standard 4×4 Bayer index matrix (recursive interleave order)
+BAYER4 = np.array([[0, 8, 2, 10],
+                   [12, 4, 14, 6],
+                   [3, 11, 1, 9],
+                   [15, 7, 13, 5]], dtype=np.int64)
+
+
+def ordered_dither(images: DataFrame) -> DataFrame:
+    """Ordered (Bayer 4×4) dithering — the halftoning step of 1-bit
+    image export, chosen over Floyd–Steinberg because it is
+    POSITION-LOCAL (error diffusion is a serial scan; the threshold
+    matrix is embarrassingly parallel, the right choice at 100 TB).
+    Channel-0 pixel turns ON ⟺ px ≥ 16·B4[r%4][c%4] + 9 (the exact
+    integer form of px/255 > (B+0.5)/16 on the 0..255 scale). Per
+    image: total ON count and the ON count per 2×2 quadrant (the
+    dithered density map a thumbnail service checks).
+
+    Scale: mapInPandas, zero shuffle; NumPy tiling, no per-pixel
+    Python."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                h, w = v.shape
+                thr = 16 * BAYER4[np.arange(h)[:, None] % 4,
+                                  np.arange(w)[None, :] % 4] + 9
+                on = v >= thr
+                qr = (np.arange(h)[:, None] * 2) // h
+                qc = (np.arange(w)[None, :] * 2) // w
+                q = np.zeros((2, 2), dtype=np.int64)
+                for a in (0, 1):
+                    for b in (0, 1):
+                        q[a, b] = int(on[(qr == a) & (qc == b)].sum())
+                rows.append((r.image_id, int(on.sum()),
+                             int(q[0, 0]), int(q[0, 1]),
+                             int(q[1, 0]), int(q[1, 1])))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DITHER_SCHEMA.fields])
+    return images.mapInPandas(gen, _DITHER_SCHEMA)

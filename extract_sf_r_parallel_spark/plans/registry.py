@@ -2472,6 +2472,7 @@ _GATE_FIRST = [
     "basket_pairs", "mad_outliers",
     "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
     "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
+    "theil_sen", "getis_hotspot", "burst_detect", "bayer_dither",
 ]
 
 
@@ -3651,6 +3652,59 @@ FROM uni GROUP BY 1
 """
 
 QUERIES["lbp_hist"] = q_lbp_hist
+
+
+# --- Bayer ordered dithering (r07 wave K): halftoning chosen over
+# Floyd–Steinberg because the threshold matrix is position-local
+# (error diffusion is a serial scan — wrong shape at 100 TB). ON ⟺
+# px ≥ 16·B4[r%4][c%4] + 9; per image the total ON count and the
+# 2×2 quadrant densities. Engine = mapInPandas NumPy tiling
+# (operators/multimodal.py::ordered_dither); the oracle re-derives
+# every pixel from the Lehmer closed form and indexes the same
+# matrix with one 16-way CASE.
+_B4 = (0, 8, 2, 10, 12, 4, 14, 6, 3, 11, 1, 9, 15, 7, 13, 5)
+
+
+def q_bayer_dither(spark, sf_dir):
+    from ..operators.multimodal import ordered_dither
+    return ordered_dither(spark.createDataFrame(synth.images_pdf(180)))
+
+
+_B4_CASE = ("CASE (r % 4) * 4 + (c % 4) "
+            + " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(_B4))
+            + " END")
+
+ORACLE["bayer_dither"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(180) t(i)
+), px AS (
+  SELECT image_id, w, h, p // w AS r, p % w AS c,
+         {_px_chan(0)} AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), bit AS (
+  SELECT image_id,
+         (r * 2) // h AS qr, (c * 2) // w AS qc,
+         CASE WHEN v >= 16 * ({_B4_CASE}) + 9 THEN 1 ELSE 0 END AS onb
+  FROM px
+)
+SELECT image_id,
+       CAST(SUM(onb) AS BIGINT) AS n_on,
+       CAST(SUM(CASE WHEN qr = 0 AND qc = 0 THEN onb ELSE 0 END)
+            AS BIGINT) AS q00,
+       CAST(SUM(CASE WHEN qr = 0 AND qc = 1 THEN onb ELSE 0 END)
+            AS BIGINT) AS q01,
+       CAST(SUM(CASE WHEN qr = 1 AND qc = 0 THEN onb ELSE 0 END)
+            AS BIGINT) AS q10,
+       CAST(SUM(CASE WHEN qr = 1 AND qc = 1 THEN onb ELSE 0 END)
+            AS BIGINT) AS q11
+FROM bit GROUP BY 1
+"""
+
+QUERIES["bayer_dither"] = q_bayer_dither
 
 
 # ---------------------------------------------------------------------------

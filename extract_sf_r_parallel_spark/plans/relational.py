@@ -2253,3 +2253,61 @@ JOIN deg db ON db.node = c.b
 """
 
 QUERIES["jaccard_nodes"] = q_jaccard_nodes
+
+
+# --- Theil–Sen robust trend (r07 wave K): the median-of-pairwise-
+# slopes estimator over per-nation yearly revenue — outlier-proof
+# where OLS (group_ols) is not. Revenue is exact cents; each year
+# pair's slope is ONE correctly-rounded IEEE division of identical
+# integers (engine-parity per this module's determinism rules), and
+# the median slope is picked as the lower-median PAIR under the
+# total (slope, dy, dx) order, reported as its exact (dy, dx)
+# fraction — no float ever leaves the query. Shape: one agg to
+# (nation, year) — tiny — then an O(years²) self-join per nation
+# (years ≤ 7 ⇒ ≤ 21 pairs), one window. The aggregation shuffle
+# dominates at 100 TB; the pair stage is constant-size.
+def q_theil_sen(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").alias("o")
+    c = _t(spark, sf_dir, "customer").alias("c")
+    yr = (o.join(c, F.col("o.o_custkey") == F.col("c.c_custkey"))
+          .groupBy(F.col("c.c_nationkey").alias("nk"),
+                   F.year("o.o_orderdate").alias("y"))
+          .agg(F.sum(F.round(F.col("o.o_totalprice") * 100)
+                     .cast("long")).alias("v")))
+    a = yr.select("nk", F.col("y").alias("y1"), F.col("v").alias("v1"))
+    b = yr.select("nk", F.col("y").alias("y2"), F.col("v").alias("v2"))
+    pairs = (a.join(b, "nk").filter("y1 < y2")
+             .select("nk", (F.col("v2") - F.col("v1")).alias("dy"),
+                     (F.col("y2") - F.col("y1")).alias("dx"))
+             .withColumn("slope", F.col("dy") / F.col("dx")))
+    w = W.partitionBy("nk").orderBy("slope", "dy", "dx")
+    r = (pairs.withColumn("rn", F.row_number().over(w))
+         .withColumn("np", F.count(F.lit(1)).over(W.partitionBy("nk"))))
+    return (r.filter(F.col("rn") == F.expr("(np + 1) div 2"))
+            .select("nk", F.col("np").cast("long").alias("n_pairs"),
+                    F.col("dy").alias("med_dy"),
+                    F.col("dx").alias("med_dx")))
+
+
+ORACLE["theil_sen"] = """
+WITH yr AS (
+  SELECT c.c_nationkey AS nk, year(o.o_orderdate) AS y,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT a.nk, b.v - a.v AS dy, b.y - a.y AS dx,
+         CAST(b.v - a.v AS DOUBLE) / (b.y - a.y) AS slope
+  FROM yr a JOIN yr b ON a.nk = b.nk AND a.y < b.y
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY nk ORDER BY slope, dy, dx) AS rn,
+    COUNT(*) OVER (PARTITION BY nk) AS np
+  FROM pairs
+)
+SELECT nk, CAST(np AS BIGINT) AS n_pairs, dy AS med_dy, dx AS med_dx
+FROM r WHERE rn = (np + 1) // 2
+"""
+
+QUERIES["theil_sen"] = q_theil_sen

@@ -3730,3 +3730,145 @@ FROM t GROUP BY 1, 2
 """
 
 QUERIES["tpi_class"] = q_tpi_class
+
+
+# --- Getis–Ord Gi* hotspot screen (r07 wave K): local spatial
+# autocorrelation over the 500 m event-count grid, COMPLETE spine
+# (zero-count cells are real observations — Gi* is biased without
+# them). Per cell: its 3×3 neighborhood event sum (edge-clipped, so
+# n_nb ∈ {4, 6, 9}), and the hot/cold verdict kept integer by
+# cross-multiplication — N·local_sum vs n_nb·total (⟺ local mean vs
+# global mean, no division). The z-score's √ never enters; ranking
+# by hot_num is monotone in it for fixed n_nb. Engine: counts →
+# LEFT join onto the distributed spine (spark.range, never
+# collected) → 9-offset scatter → groupBy; the oracle gathers via a
+# LATERAL offset join. Scale: the spine is N cells, the scatter 9N
+# rows — both linear, shuffles on the same (gx, gy) key.
+_GI_CELL = 500
+_GI_N = G.WINDOW // _GI_CELL      # 40 cells per axis
+
+
+def q_getis_hotspot(spark, sf_dir):
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.expr(f"({_ODX}) div {_GI_CELL}").alias("gx"),
+                  F.expr(f"({_ODY}) div {_GI_CELL}").alias("gy")))
+    counts = ev.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("x"))
+    spine = (spark.range(_GI_N * _GI_N)
+             .select((F.col("id") % _GI_N).alias("gx"),
+                     (F.col("id") / _GI_N).cast("long").alias("gy")))
+    grid = (spine.join(counts, ["gx", "gy"], "left")
+            .select("gx", "gy", F.coalesce("x", F.lit(0)).alias("x")))
+    offs = ",".join(f"struct({dx} as dx, {dy} as dy)"
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    scat = (grid.select("x", F.explode(F.expr(f"array({offs})")).alias("o"),
+                        (F.col("gx") + F.col("o.dx")).alias("tx"),
+                        (F.col("gy") + F.col("o.dy")).alias("ty"))
+            .filter(f"tx BETWEEN 0 AND {_GI_N - 1} "
+                    f"AND ty BETWEEN 0 AND {_GI_N - 1}"))
+    local = (scat.groupBy("tx", "ty")
+             .agg(F.sum("x").alias("local_sum"),
+                  F.count(F.lit(1)).alias("n_nb")))
+    tot = grid.agg(F.sum("x").alias("total"),
+                   F.count(F.lit(1)).alias("n_cells"))
+    return (local.crossJoin(F.broadcast(tot))
+            .select(F.col("tx").alias("gx"), F.col("ty").alias("gy"),
+                    "local_sum", "n_nb",
+                    (F.col("n_cells") * F.col("local_sum")
+                     - F.col("n_nb") * F.col("total")).alias("hot_num"))
+            .withColumn("is_hot", F.col("hot_num") > 0))
+
+
+ORACLE["getis_hotspot"] = f"""
+WITH ev AS (
+  SELECT ({_ODX}) // {_GI_CELL} AS gx, ({_ODY}) // {_GI_CELL} AS gy
+  FROM events
+), counts AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1, 2
+), spine AS (
+  SELECT i % {_GI_N} AS gx, i // {_GI_N} AS gy
+  FROM range({_GI_N * _GI_N}) t(i)
+), grid AS (
+  SELECT s.gx, s.gy, COALESCE(c.x, 0) AS x
+  FROM spine s LEFT JOIN counts c USING (gx, gy)
+), local AS (
+  SELECT g.gx + o.dx AS gx, g.gy + o.dy AS gy,
+         CAST(SUM(g.x) AS BIGINT) AS local_sum,
+         CAST(COUNT(*) AS BIGINT) AS n_nb
+  FROM grid g, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                       (1,-1),(1,0),(1,1)) o(dx, dy)
+  WHERE g.gx + o.dx BETWEEN 0 AND {_GI_N - 1}
+    AND g.gy + o.dy BETWEEN 0 AND {_GI_N - 1}
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM grid
+)
+SELECT l.gx, l.gy, l.local_sum, l.n_nb,
+       t.n_cells * l.local_sum - l.n_nb * t.total AS hot_num,
+       t.n_cells * l.local_sum - l.n_nb * t.total > 0 AS is_hot
+FROM local l CROSS JOIN tot t
+"""
+
+QUERIES["getis_hotspot"] = q_getis_hotspot
+
+
+# --- burst detection (r07 wave K): Kleinberg-lite activity bursts —
+# per event, how many events the SAME user fired in the forward
+# window [t, t + 1 h]; per user, the peak burst and WHERE it peaked
+# (smallest event_id on ties — a deterministic argmax). The 1-D
+# blocked self-join pattern again (τ-sized buckets, forward cover =
+# home + next bucket), keyed by (user, bucket) so a user's stream
+# never leaves its partition chain; exact under tie timestamps where
+# a RANGE frame would double-count. At 100 TB skewed users fall out
+# as skewed (user, bucket) keys — AQE skew-split handles them, and τ
+# bounds the per-bucket fan-out.
+_BURST_US = 3_600_000_000
+
+
+def q_burst_detect(spark, sf_dir):
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("event_id").alias("id"), "user_id",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("us")))
+    probe = ev.select(
+        "id", "user_id", "us",
+        F.explode(F.expr(f"sequence(us div {_BURST_US}, "
+                         f"us div {_BURST_US} + 1)")).alias("tb"))
+    build = ev.select(F.col("user_id").alias("bu"),
+                      F.col("us").alias("bus"),
+                      F.expr(f"us div {_BURST_US}").alias("tb"))
+    per_event = (probe.join(build, (F.col("user_id") == F.col("bu"))
+                            & (probe.tb == build.tb))
+                 .filter(f"bus >= us AND bus <= us + {_BURST_US}")
+                 .groupBy("id", "user_id")
+                 .agg(F.count(F.lit(1)).alias("burst")))
+    return (per_event.groupBy("user_id")
+            .agg(F.max(F.struct(F.col("burst"),
+                                (-F.col("id")).alias("nid"))).alias("m"))
+            .select("user_id", F.col("m.burst").alias("max_burst"),
+                    (-F.col("m.nid")).alias("at_event")))
+
+
+ORACLE["burst_detect"] = f"""
+WITH ev AS (
+  SELECT event_id AS id, user_id, epoch_us(ts) AS us FROM events
+), probe AS (
+  SELECT id, user_id, us, us // {_BURST_US} + d.d AS tb
+  FROM ev, (VALUES (0), (1)) d(d)
+), build AS (
+  SELECT user_id AS bu, us AS bus, us // {_BURST_US} AS tb FROM ev
+), per_event AS (
+  SELECT id, user_id, CAST(COUNT(*) AS BIGINT) AS burst
+  FROM probe JOIN build ON user_id = bu AND probe.tb = build.tb
+  WHERE bus >= us AND bus <= us + {_BURST_US}
+  GROUP BY 1, 2
+), r AS (
+  SELECT user_id, burst, id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY burst DESC, id) AS rn
+  FROM per_event
+)
+SELECT user_id, burst AS max_burst, id AS at_event FROM r WHERE rn = 1
+"""
+
+QUERIES["burst_detect"] = q_burst_detect

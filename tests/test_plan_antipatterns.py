@@ -72,6 +72,8 @@ LAZY = [
     "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
     # r07 wave J
     "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
+    # r07 wave K
+    "theil_sen", "getis_hotspot", "burst_detect", "bayer_dither",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
