@@ -1226,3 +1226,47 @@ def ordered_dither(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _DITHER_SCHEMA.fields])
     return images.mapInPandas(gen, _DITHER_SCHEMA)
+
+
+_TMPL_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("best_r", T.LongType()),
+    T.StructField("best_c", T.LongType()),
+    T.StructField("best_score", T.LongType()),
+])
+
+# deterministic 5×5 integer template, values in −2..2
+TMPL5 = ((np.arange(5)[:, None] * 7 + np.arange(5)[None, :] * 3 + 1)
+         % 5 - 2).astype(np.int64)
+
+
+def template_match(images: DataFrame) -> DataFrame:
+    """Template matching — the integer cross-correlation core of
+    patch localization (OpenCV matchTemplate / CCORR): slide the
+    fixed 5×5 signed template over channel 0, score(r, c) =
+    Σ T[i,j]·v[r+i, c+j], report the argmax with ties broken to the
+    smallest (r, c) — fully deterministic, exact int64. The
+    normalized variants divide by patch norms (float); the raw-CCORR
+    form is chosen so the SQL oracle can replay all 25 terms
+    verbatim.
+
+    Scale: mapInPandas, zero shuffle; the convolution is 25 NumPy
+    shifted adds per image — no FFT needed at kernel size 5."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                H, Wd = v.shape
+                score = np.zeros((H - 4, Wd - 4), dtype=np.int64)
+                for i in range(5):
+                    for j in range(5):
+                        score += TMPL5[i, j] * v[i:H - 4 + i, j:Wd - 4 + j]
+                best = int(score.max())
+                pos = np.argwhere(score == best)
+                br, bc = pos[np.lexsort((pos[:, 1], pos[:, 0]))][0]
+                rows.append((r.image_id, int(br), int(bc), best))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _TMPL_SCHEMA.fields])
+    return images.mapInPandas(gen, _TMPL_SCHEMA)

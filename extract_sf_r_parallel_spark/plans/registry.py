@@ -2473,6 +2473,7 @@ _GATE_FIRST = [
     "unpivot_melt", "gini_lorenz", "ripley_k", "knox_test",
     "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
     "theil_sen", "getis_hotspot", "burst_detect", "bayer_dither",
+    "lm_novelty", "str_pack", "map_algebra", "template_match",
 ]
 
 
@@ -3705,6 +3706,53 @@ FROM bit GROUP BY 1
 """
 
 QUERIES["bayer_dither"] = q_bayer_dither
+
+
+# --- template matching (r07 wave L): raw integer cross-correlation
+# of the fixed 5×5 signed template (operators/multimodal.py::TMPL5)
+# over channel 0 — argmax position with ties → smallest (r, c). The
+# oracle re-derives all 25 window terms from the Lehmer pixel closed
+# form at every offset and replays the deterministic argmax as a
+# ROW_NUMBER window.
+def _tm_px(r: str, c: str) -> str:
+    j = f"(3*(({r})*w + ({c})))"
+    lehmer = f"(((base + {j} * 2654435761) % 4294967291) * 279470273) " \
+             f"% 4294967291"
+    return f"(xor({lehmer}, ({lehmer}) >> 16) % 256)"
+
+
+def q_template_match(spark, sf_dir):
+    from ..operators.multimodal import template_match
+    return template_match(spark.createDataFrame(synth.images_pdf(120)))
+
+
+_TM_SCORE = " + ".join(
+    f"({(i*7 + j*3 + 1) % 5 - 2})*({_tm_px(f'(r + {i})', f'(c + {j})')})"
+    for i in range(5) for j in range(5))
+
+ORACLE["template_match"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), sc AS (
+  SELECT image_id, p // (w - 4) AS r, p % (w - 4) AS c,
+         ({_TM_SCORE}) AS score
+  FROM imgs, LATERAL (SELECT UNNEST(range((h-4)*(w-4))) AS p) u
+), best AS (
+  SELECT image_id, r, c, score,
+         ROW_NUMBER() OVER (PARTITION BY image_id
+                            ORDER BY score DESC, r, c) AS rn
+  FROM sc
+)
+SELECT image_id, CAST(r AS BIGINT) AS best_r, CAST(c AS BIGINT) AS best_c,
+       CAST(score AS BIGINT) AS best_score
+FROM best WHERE rn = 1
+"""
+
+QUERIES["template_match"] = q_template_match
 
 
 # ---------------------------------------------------------------------------

@@ -3872,3 +3872,110 @@ SELECT user_id, burst AS max_burst, id AS at_event FROM r WHERE rn = 1
 """
 
 QUERIES["burst_detect"] = q_burst_detect
+
+
+# --- STR bulk-load packing (r07 wave L): Sort-Tile-Recursive — the
+# classic R-tree bulk-loading partitioner (Leutenegger et al.), HERE
+# as the balanced spatial-partition assignment this engine would use
+# to lay out a layer's features into equal-count leaves before a
+# co-located spatial join. Per event layer (event_type): rank by
+# (x, id), cut into 8 x-slabs of equal count (slab = (rx−1)·8 div
+# n), re-rank by (y, id) within each slab, cut into 8 leaves —
+# 64 leaves per layer with |count difference| ≤ 1 guaranteed. Emits
+# each leaf's count and exact bbox (the R-tree node MBRs). Windows
+# are PARTITIONED (by layer, then by layer+slab) — no global sort;
+# at 100 TB the same two-pass shape runs on repartitionByRange's
+# sampled cuts instead of exact ranks (documented divergence: exact
+# ranks here keep the oracle deterministic).
+def q_str_pack(spark, sf_dir, s: int = 8):
+    pts = (spark.read.parquet(f"{sf_dir}/events.parquet")
+           .select(F.col("event_type").alias("layer"),
+                   F.col("event_id").alias("id"),
+                   F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y")))
+    wl = W.partitionBy("layer")
+    r1 = (pts.withColumn("rx", F.row_number().over(
+              wl.orderBy("x", "id")))
+          .withColumn("n", F.count(F.lit(1)).over(wl))
+          .withColumn("slab", F.expr(f"(rx - 1) * {s} div n")))
+    ws = W.partitionBy("layer", "slab")
+    r2 = (r1.withColumn("ry", F.row_number().over(
+              ws.orderBy("y", "id")))
+          .withColumn("ns", F.count(F.lit(1)).over(ws))
+          .withColumn("leaf", F.expr(f"(ry - 1) * {s} div ns")))
+    return (r2.groupBy("layer", "slab", "leaf")
+            .agg(F.count(F.lit(1)).alias("n_pts"),
+                 F.min("x").alias("x_lo"), F.max("x").alias("x_hi"),
+                 F.min("y").alias("y_lo"), F.max("y").alias("y_hi")))
+
+
+ORACLE["str_pack"] = f"""
+WITH p AS (
+  SELECT event_type AS layer, event_id AS id,
+         {_ODX} AS x, {_ODY} AS y
+  FROM events
+), r1 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY layer ORDER BY x, id) AS rx,
+    COUNT(*) OVER (PARTITION BY layer) AS n
+  FROM p
+), s1 AS (
+  SELECT *, (rx - 1) * 8 // n AS slab FROM r1
+), r2 AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY layer, slab ORDER BY y, id) AS ry,
+    COUNT(*) OVER (PARTITION BY layer, slab) AS ns
+  FROM s1
+)
+SELECT layer, slab, (ry - 1) * 8 // ns AS leaf,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       MIN(x) AS x_lo, MAX(x) AS x_hi, MIN(y) AS y_lo, MAX(y) AS y_hi
+FROM r2 GROUP BY 1, 2, 3
+"""
+
+QUERIES["str_pack"] = q_str_pack
+
+
+# --- raster map algebra (r07 wave L): the two-band raster calculator
+# (NDVI's normalized difference, gdal_calc shape) over band A (the
+# standard closed-form DEM value) and band B (an independent Lehmer
+# plane) — SAME scan, both bands are per-cell expressions, so the
+# whole calculator is embarrassingly parallel with zero joins; the
+# only shuffle is the 25×25 block rollup. The ratio test (a−b)/(a+b)
+# > 1/5 is kept integer by cross-multiplication (5(a−b) > a+b; the
+# s = 0 cell degenerates to 'mid' in both engines), per block the
+# class histogram and the exact Σ(a−b).
+_RVAL_B = "((cx * 40503 + cy * 2654435761 + 11) % 4294967291) % 1000"
+
+
+def q_map_algebra(spark, sf_dir):
+    r = raster_df(spark).withColumn("b", F.expr(_RVAL_B))
+    cls = r.select(
+        F.expr("cx div 25").alias("bx"), F.expr("cy div 25").alias("by"),
+        (F.col("v") - F.col("b")).alias("d"),
+        (F.col("v") + F.col("b")).alias("sm"))
+    return (cls.groupBy("bx", "by")
+            .agg(F.count(F.lit(1)).alias("n_cells"),
+                 F.sum("d").alias("sum_d"),
+                 F.sum(F.when(5 * F.col("d") > F.col("sm"), 1)
+                       .otherwise(0)).cast("long").alias("n_high"),
+                 F.sum(F.when(5 * F.col("d") < -F.col("sm"), 1)
+                       .otherwise(0)).cast("long").alias("n_low")))
+
+
+ORACLE["map_algebra"] = f"""
+WITH r AS (
+  SELECT cx // 25 AS bx, cy // 25 AS by,
+         ({_rval('cx', 'cy')}) - ({_RVAL_B}) AS d,
+         ({_rval('cx', 'cy')}) + ({_RVAL_B}) AS sm
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+)
+SELECT bx, by, CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(d) AS BIGINT) AS sum_d,
+       CAST(SUM(CASE WHEN 5 * d > sm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high,
+       CAST(SUM(CASE WHEN 5 * d < -sm THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low
+FROM r GROUP BY 1, 2
+"""
+
+QUERIES["map_algebra"] = q_map_algebra

@@ -1127,3 +1127,53 @@ FROM documents LEFT JOIN per USING (doc_id)
 """
 
 QUERIES["substring_dups"] = q_substring_dups
+
+
+# --- bigram novelty / hapax screen (r07 wave L): the corpus-internal
+# novelty signal LLM curation uses next to contamination checks —
+# per document, how many of its bigram POSITIONS carry a bigram that
+# is globally unique (corpus count 1 ⇒ it lives only here) or rare
+# (count ≤ 3). High-unique docs are novel or noisy; zero-unique docs
+# are boilerplate. Shape: one bigram-count groupBy + ONE equi join
+# of occurrences against counts + one doc groupBy — all map-side
+# combinable; the count table is the corpus vocabulary (bounded,
+# Zipf), and skewed head bigrams broadcast fine under AQE.
+def q_lm_novelty(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id",
+                                    F.split("text", " ").alias("t"))
+    bi = d.select("doc_id", F.explode(F.when(
+        F.size("t") >= 2,
+        F.expr("transform(sequence(0, size(t)-2), "
+               "i -> struct(t[i] AS w1, t[i+1] AS w2))")
+    ).otherwise(F.expr("array()"))).alias("b")).select(
+        "doc_id", "b.w1", "b.w2")
+    tot = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_tot"))
+    return (bi.join(tot, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(F.when(F.col("c_tot") == 1, 1).otherwise(0))
+                 .cast("long").alias("n_unique"),
+                 F.sum(F.when(F.col("c_tot") <= 3, 1).otherwise(0))
+                 .cast("long").alias("n_rare")))
+
+
+ORACLE["lm_novelty"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), b AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM t, LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
+), c AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_tot FROM b GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c_tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unique,
+       CAST(SUM(CASE WHEN c_tot <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare
+FROM b JOIN c USING (w1, w2)
+GROUP BY 1
+"""
+
+QUERIES["lm_novelty"] = q_lm_novelty

@@ -74,6 +74,8 @@ LAZY = [
     "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
     # r07 wave K
     "theil_sen", "getis_hotspot", "burst_detect", "bayer_dither",
+    # r07 wave L
+    "lm_novelty", "str_pack", "map_algebra", "template_match",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
