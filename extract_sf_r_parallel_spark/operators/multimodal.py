@@ -1270,3 +1270,82 @@ def template_match(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _TMPL_SCHEMA.fields])
     return images.mapInPandas(gen, _TMPL_SCHEMA)
+
+
+_RESAMPLE_SCHEMA = T.StructType([
+    T.StructField("clip_id", T.StringType()),
+    T.StructField("n_out", T.LongType()),
+    T.StructField("sum_abs2", T.LongType()),
+    T.StructField("energy4", T.LongType()),
+    T.StructField("max_abs2", T.LongType()),
+])
+
+
+def audio_resample(clips: DataFrame) -> DataFrame:
+    """Rational 2/3 audio resampling (the 48 kHz → 32 kHz shape) with
+    linear interpolation, kept EXACT by emitting 2×-scaled samples:
+    output position k sits at input position 3k/2, so even k reads
+    one sample (out2 = 2·s[3k/2]) and odd k the midpoint (out2 =
+    s[(3k−1)/2] + s[(3k+1)/2]) — no division ever happens (a /2 on
+    signed sums would floor-vs-trunc diverge across engines).
+    Reports per clip the resampled length 2(n−1) div 3 + 1 and
+    scaled abs-sum / energy (4×) / peak stats.
+
+    Input pre-filtered to decodable fmt ('s16le'); scale:
+    shuffle-free mapInPandas, whole-array NumPy."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                s = codec.decode_audio(r.bytes, r.fmt, r.n_samples) \
+                    .astype(np.int64)
+                n_out = 2 * (len(s) - 1) // 3 + 1
+                k = np.arange(n_out)
+                even = k % 2 == 0
+                out2 = np.empty(n_out, dtype=np.int64)
+                out2[even] = 2 * s[3 * k[even] // 2]
+                a = (3 * k[~even] - 1) // 2
+                out2[~even] = s[a] + s[a + 1]
+                rows.append((r.clip_id, n_out, int(np.abs(out2).sum()),
+                             int((out2 * out2).sum()),
+                             int(np.abs(out2).max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _RESAMPLE_SCHEMA.fields])
+    return clips.mapInPandas(gen, _RESAMPLE_SCHEMA)
+
+
+_MEDIANCUT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("split_c", T.LongType()),
+    T.StructField("med_v", T.LongType()),
+    T.StructField("n_lo", T.LongType()),
+    T.StructField("n_hi", T.LongType()),
+])
+
+
+def mediancut_split(images: DataFrame) -> DataFrame:
+    """The first split of median-cut color quantization (Heckbert):
+    per image, find the channel with the widest value range (ties →
+    R before G before B), take that channel's LOWER median (rank
+    (n+1) div 2 in value order), and report how many pixels fall in
+    each half (≤ median vs >). The palette-construction primitive
+    behind GIF/PNG8 export; deterministic and exact-integer
+    throughout.
+
+    Scale: mapInPandas, zero shuffle; per-image np.sort."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                img = codec.decode_image(r.bytes, r.fmt, r.w, r.h) \
+                    .astype(np.int64)
+                rng = [int(img[..., c].max() - img[..., c].min())
+                       for c in range(3)]
+                split = int(np.argmax(rng))  # argmax ties → smallest c
+                v = np.sort(img[..., split].ravel())
+                med = int(v[(len(v) + 1) // 2 - 1])
+                rows.append((r.image_id, split, med,
+                             int((v <= med).sum()), int((v > med).sum())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _MEDIANCUT_SCHEMA.fields])
+    return images.mapInPandas(gen, _MEDIANCUT_SCHEMA)

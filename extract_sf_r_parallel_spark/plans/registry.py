@@ -2474,6 +2474,8 @@ _GATE_FIRST = [
     "lbp_hist", "raster_line", "tpi_class", "jaccard_nodes",
     "theil_sen", "getis_hotspot", "burst_detect", "bayer_dither",
     "lm_novelty", "str_pack", "map_algebra", "template_match",
+    "audio_resample", "color_mediancut", "simpson_diversity",
+    "benford_digits",
 ]
 
 
@@ -3753,6 +3755,99 @@ FROM best WHERE rn = 1
 """
 
 QUERIES["template_match"] = q_template_match
+
+
+# --- rational 2/3 audio resample (r07 wave M): linear-interp
+# downsampling kept exact by 2×-scaled output samples (even k reads
+# one sample, odd k the midpoint SUM — never a /2, whose
+# floor-vs-trunc would diverge on signed values across engines).
+# Oracle re-derives both source samples per output position from the
+# Lehmer closed form.
+def q_audio_resample(spark, sf_dir):
+    from ..operators.multimodal import audio_resample
+    clips = spark.createDataFrame(synth.audio_pdf(240)) \
+        .filter("fmt = 's16le'")
+    return audio_resample(clips)
+
+
+ORACLE["audio_resample"] = f"""
+WITH clips AS (
+  SELECT i, 'clip' || lpad(CAST(i AS VARCHAR), 8, '0') AS clip_id,
+         CASE i % 3 WHEN 0 THEN 2048 WHEN 1 THEN 4096 ELSE 8192 END AS ns,
+         42 * 1000003 + 900000 + i AS base
+  FROM range(240) t(i)
+  WHERE i % 17 <> 0
+), o AS (
+  SELECT clip_id, 2 * (ns - 1) // 3 + 1 AS n_out,
+         CASE WHEN k % 2 = 0 THEN 2 * ({_smp('3 * k // 2')})
+              ELSE ({_smp('(3 * k - 1) // 2')})
+                   + ({_smp('(3 * k + 1) // 2')}) END AS out2
+  FROM clips,
+       LATERAL (SELECT UNNEST(range(2 * (ns - 1) // 3 + 1)) AS k) u
+)
+SELECT clip_id, CAST(MAX(n_out) AS BIGINT) AS n_out,
+       CAST(SUM(ABS(out2)) AS BIGINT) AS sum_abs2,
+       CAST(SUM(out2 * out2) AS BIGINT) AS energy4,
+       CAST(MAX(ABS(out2)) AS BIGINT) AS max_abs2
+FROM o GROUP BY 1
+"""
+
+QUERIES["audio_resample"] = q_audio_resample
+
+
+# --- median-cut first split (r07 wave M): Heckbert's palette
+# construction — widest-range channel (ties → R, G, B), lower
+# median in value order, per-half pixel counts. The oracle computes
+# the three ranges per image, CASE-selects the split channel's
+# value, and replays the lower median as a ROW_NUMBER pick.
+def q_color_mediancut(spark, sf_dir):
+    from ..operators.multimodal import mediancut_split
+    return mediancut_split(spark.createDataFrame(synth.images_pdf(120)))
+
+
+ORACLE["color_mediancut"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(120) t(i)
+), px AS (
+  SELECT image_id, w, h,
+         {_px_chan(0)} AS r, {_px_chan(1)} AS g, {_px_chan(2)} AS b
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), rng AS (
+  SELECT image_id, MAX(r) - MIN(r) AS dr, MAX(g) - MIN(g) AS dg,
+         MAX(b) - MIN(b) AS db, COUNT(*) AS n
+  FROM px GROUP BY 1
+), sp AS (
+  SELECT image_id, n,
+         CASE WHEN dr >= dg AND dr >= db THEN 0
+              WHEN dg >= db THEN 1 ELSE 2 END AS split_c
+  FROM rng
+), sel AS (
+  SELECT p.image_id, s.split_c, s.n,
+         CASE s.split_c WHEN 0 THEN p.r WHEN 1 THEN p.g
+              ELSE p.b END AS v
+  FROM px p JOIN sp s USING (image_id)
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY v) AS rn
+  FROM sel
+), med AS (
+  SELECT image_id, MAX(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med_v
+  FROM rk GROUP BY 1
+)
+SELECT s.image_id, CAST(MAX(s.split_c) AS BIGINT) AS split_c,
+       CAST(MAX(m.med_v) AS BIGINT) AS med_v,
+       CAST(SUM(CASE WHEN s.v <= m.med_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lo,
+       CAST(SUM(CASE WHEN s.v > m.med_v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hi
+FROM sel s JOIN med m USING (image_id)
+GROUP BY 1
+"""
+
+QUERIES["color_mediancut"] = q_color_mediancut
 
 
 # ---------------------------------------------------------------------------

@@ -2311,3 +2311,91 @@ FROM r WHERE rn = (np + 1) // 2
 """
 
 QUERIES["theil_sen"] = q_theil_sen
+
+
+# --- Gini–Simpson diversity (r07 wave M): the entropy-free diversity
+# index (1 − Σp²) a profiler reports per key — chosen over Shannon
+# entropy precisely because its numerator n² − Σc² is EXACT integer
+# (log() engine parity is not provable; this is). Per user over
+# event types: n, Σc², the diversity numerator, and the dominant
+# type (deterministic argmax: max count, ties → smallest type
+# string). Two groupBys on nested keys — the second collapses the
+# tiny (user, type) table.
+def q_simpson_diversity(spark, sf_dir):
+    c = (_t(spark, sf_dir, "events")
+         .groupBy("user_id", "event_type")
+         .agg(F.count(F.lit(1)).alias("c")))
+    w = W.partitionBy("user_id").orderBy(F.col("c").desc(), "event_type")
+    r = c.withColumn("rn", F.row_number().over(w))
+    return (r.groupBy("user_id")
+            .agg(F.sum("c").alias("n"),
+                 F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+                 F.max(F.when(F.col("rn") == 1, F.col("event_type")))
+                 .alias("top_type"))
+            .select("user_id", "n", "sum_c2",
+                    (F.col("n") * F.col("n") - F.col("sum_c2"))
+                    .alias("div_num"), "top_type"))
+
+
+ORACLE["simpson_diversity"] = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY c DESC, event_type) AS rn
+  FROM c
+)
+SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+       CAST(SUM(c * c) AS BIGINT) AS sum_c2,
+       CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS div_num,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS top_type
+FROM r GROUP BY 1
+"""
+
+QUERIES["simpson_diversity"] = q_simpson_diversity
+
+
+# --- Benford first-digit screen (r07 wave M): the fraud/data-quality
+# digit test over order totals — counts per leading digit of the
+# cents value (leading digit via the decimal string head: CAST to
+# VARCHAR is engine-parity for positive BIGINTs, no float log10
+# enters), each digit's share-vs-next verdict (Benford ⇒ counts
+# strictly decreasing in digit), and the exact χ²-style deviation
+# numerator against the uniform-1..9 null: 9·n_d − n (integer; the
+# true Benford expectation needs log10 — deliberately NOT computed,
+# the monotone verdict is the screen). One groupBy + one 9-row
+# window.
+def q_benford_digits(spark, sf_dir):
+    d = (_t(spark, sf_dir, "orders")
+         .select(F.substring(F.round(F.col("o_totalprice") * 100)
+                             .cast("long").cast("string"), 1, 1)
+                 .cast("long").alias("digit")))
+    cnt = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_d"))
+    tot = cnt.agg(F.sum("n_d").alias("n"))
+    w = W.orderBy("digit")
+    return (cnt.crossJoin(F.broadcast(tot))
+            .withColumn("ge_next",
+                        F.coalesce(F.col("n_d") >= F.lead("n_d").over(w),
+                                   F.lit(True)))
+            .select("digit", "n_d", "n",
+                    (9 * F.col("n_d") - F.col("n")).alias("dev9"),
+                    "ge_next"))
+
+
+ORACLE["benford_digits"] = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+  FROM orders
+), cnt AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM d GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_d) AS BIGINT) AS n FROM cnt
+)
+SELECT digit, n_d, t.n, 9 * n_d - t.n AS dev9,
+       COALESCE(n_d >= LEAD(n_d) OVER (ORDER BY digit), TRUE) AS ge_next
+FROM cnt CROSS JOIN tot t
+"""
+
+QUERIES["benford_digits"] = q_benford_digits

@@ -76,6 +76,9 @@ LAZY = [
     "theil_sen", "getis_hotspot", "burst_detect", "bayer_dither",
     # r07 wave L
     "lm_novelty", "str_pack", "map_algebra", "template_match",
+    # r07 wave M
+    "audio_resample", "color_mediancut", "simpson_diversity",
+    "benford_digits",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
