@@ -2476,6 +2476,7 @@ _GATE_FIRST = [
     "lm_novelty", "str_pack", "map_algebra", "template_match",
     "audio_resample", "color_mediancut", "simpson_diversity",
     "benford_digits",
+    "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
 ]
 
 
@@ -3848,6 +3849,71 @@ GROUP BY 1
 """
 
 QUERIES["color_mediancut"] = q_color_mediancut
+
+
+# --- scene-cut detection (r07 wave N): the shot-boundary screen a
+# video curation pipeline runs on motion_stats' per-pair output —
+# a pair (j−1, j) is a CUT when its L1 frame difference exceeds the
+# 85·n_px threshold (85 ≈ the mean |Δ| of independent uniform
+# bytes, so the verdict stays integer: motion_l1 > 85·w·h). Per
+# video: pair count, cut count, FIRST cut frame (−1 when none —
+# LEFT-join default), and the peak L1. Engine = motion_stats (zero
+# shuffle) + one metadata join + one groupBy; oracle extends the
+# motion_energy closed-form replay with the same threshold.
+def q_scene_cuts(spark, sf_dir):
+    from ..operators.multimodal import motion_stats
+    videos = spark.createDataFrame(synth.videos_pdf(24))
+    m = motion_stats(videos).join(
+        videos.select("image_id", "w", "h"), "image_id")
+    return (m.groupBy("image_id")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum(F.when(F.col("motion_l1")
+                              > 85 * F.col("w") * F.col("h"), 1)
+                       .otherwise(0)).cast("long").alias("n_cuts"),
+                 F.min(F.when(F.col("motion_l1")
+                              > 85 * F.col("w") * F.col("h"),
+                              F.col("frame_idx"))).alias("fc"),
+                 F.max("motion_l1").alias("max_l1"))
+            .select("image_id", "n_pairs", "n_cuts",
+                    F.coalesce(F.col("fc").cast("long"), F.lit(-1))
+                    .alias("first_cut"), "max_l1"))
+
+
+ORACLE["scene_cuts"] = """
+WITH vids AS (
+  SELECT i, printf('vid%08d', i) AS image_id, 32 AS w,
+         CASE i % 2 WHEN 0 THEN 32 ELSE 48 END AS h,
+         3 + i % 5 AS nf
+  FROM range(24) t(i)
+), fr AS (
+  SELECT image_id, w, h, j,
+         42 * 1000003 + 500000 + i * 64 + j AS base
+  FROM vids, LATERAL (SELECT UNNEST(range(nf)) AS j)
+), px AS (
+  SELECT image_id, w, h, j, k,
+    xor((((base + k * 2654435761) % 4294967291) * 279470273) % 4294967291,
+        ((((base + k * 2654435761) % 4294967291) * 279470273) % 4294967291)
+        >> 16) % 256 AS v
+  FROM fr, LATERAL (SELECT UNNEST(range(w*h*3)) AS k)
+  WHERE k % 3 = 0
+), pairs AS (
+  SELECT a.image_id, a.w, a.h, a.j,
+         CAST(SUM(ABS(a.v - b.v)) AS BIGINT) AS motion_l1
+  FROM px a JOIN px b
+    ON b.image_id = a.image_id AND b.j = a.j - 1 AND b.k = a.k
+  GROUP BY 1, 2, 3, 4
+)
+SELECT image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN motion_l1 > 85 * w * h THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_cuts,
+       CAST(COALESCE(MIN(CASE WHEN motion_l1 > 85 * w * h THEN j END),
+                     -1) AS BIGINT) AS first_cut,
+       CAST(MAX(motion_l1) AS BIGINT) AS max_l1
+FROM pairs GROUP BY 1
+"""
+
+QUERIES["scene_cuts"] = q_scene_cuts
 
 
 # ---------------------------------------------------------------------------

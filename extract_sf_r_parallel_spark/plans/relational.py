@@ -2399,3 +2399,168 @@ FROM cnt CROSS JOIN tot t
 """
 
 QUERIES["benford_digits"] = q_benford_digits
+
+
+# --- floored running balance (r07 wave N): the inventory/queueing
+# walk b_t = max(b_{t−1} + d_t, 0), solved in CLOSED FORM via the
+# Lindley reflection identity b_t = p_t − min(0, min_{s≤t} p_s)
+# (p = naive prefix sum) — which turns a seemingly serial recursion
+# into two RANGE-free windows over one partition key, fully
+# parallel per supplier. Deltas: +qty on returned lineitems, −qty
+# otherwise, ordered by the total (shipdate, orderkey, linenumber)
+# key. Emits per supplier the event count, naive final, minimum
+# prefix, and the floored final balance — all exact integers.
+def q_stock_floor(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        F.when(F.col("l_returnflag") == "R",
+               F.col("l_quantity").cast("long"))
+        .otherwise(-F.col("l_quantity").cast("long")).alias("d"))
+    w = (W.partitionBy("l_suppkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+    r = (li.withColumn("p", F.sum("d").over(w))
+         .withColumn("mp", F.min("p").over(w)))
+    return (r.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max_by("p", F.struct("l_shipdate", "l_orderkey",
+                                        "l_linenumber")).alias("final_naive"),
+                 F.min("mp").alias("min_prefix"))
+            .select("l_suppkey", "n_events", "final_naive", "min_prefix",
+                    (F.col("final_naive")
+                     - F.least(F.lit(0), F.col("min_prefix")))
+                    .alias("final_floor")))
+
+
+ORACLE["stock_floor"] = """
+WITH li AS (
+  SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS BIGINT)
+              ELSE -CAST(l_quantity AS BIGINT) END AS d
+  FROM lineitem
+), r AS (
+  SELECT *,
+    SUM(d) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS p
+  FROM li
+), f AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                l_linenumber DESC) AS rn_last
+  FROM r
+)
+SELECT l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN p END) AS BIGINT)
+         AS final_naive,
+       CAST(MIN(p) AS BIGINT) AS min_prefix,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN p END)
+            - LEAST(0, MIN(p)) AS BIGINT) AS final_floor
+FROM f GROUP BY 1
+"""
+
+QUERIES["stock_floor"] = q_stock_floor
+
+
+# --- maximum drawdown (r07 wave N): the risk metric over each
+# part's shipment-ordered price path — running peak via a cumulative
+# max window, drawdown = peak − price, all exact cents; per part the
+# max drawdown, the peak, and the final price (the three numbers a
+# monitoring dashboard plots). Same single-partition-key window
+# shape as stock_floor — embarrassingly parallel across parts.
+def q_max_drawdown(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cents"))
+    w = (W.partitionBy("l_partkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+    r = li.withColumn("peak", F.max("cents").over(w))
+    return (r.groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).alias("n_ticks"),
+                 F.max("peak").alias("max_cents"),
+                 F.max(F.col("peak") - F.col("cents")).alias("max_dd"),
+                 F.max_by("cents",
+                          F.struct("l_shipdate", "l_orderkey",
+                                   "l_linenumber")).alias("last_cents")))
+
+
+ORACLE["max_drawdown"] = """
+WITH li AS (
+  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), r AS (
+  SELECT *,
+    MAX(cents) OVER (PARTITION BY l_partkey
+                     ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      AS peak,
+    ROW_NUMBER() OVER (PARTITION BY l_partkey
+                       ORDER BY l_shipdate DESC, l_orderkey DESC,
+                                l_linenumber DESC) AS rn_last
+  FROM li
+)
+SELECT l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       CAST(MAX(peak) AS BIGINT) AS max_cents,
+       CAST(MAX(peak - cents) AS BIGINT) AS max_dd,
+       CAST(MAX(CASE WHEN rn_last = 1 THEN cents END) AS BIGINT)
+         AS last_cents
+FROM r GROUP BY 1
+"""
+
+QUERIES["max_drawdown"] = q_max_drawdown
+
+
+# --- RFM quintile scoring (r07 wave N): the classic customer
+# segmentation — recency (latest order date), frequency (order
+# count), monetary (lifetime cents), each cut into NTILE(5) scores
+# under a TOTAL deterministic order (metric desc, custkey) so tie
+# handling is engine-identical; rfm = 100r + 10f + m. Three windows
+# over the same one-row-per-customer aggregate — the agg shuffle
+# dominates; the ntile windows run on the tiny rollup.
+def q_rfm_scores(spark, sf_dir):
+    o = (_t(spark, sf_dir, "orders")
+         .groupBy("o_custkey")
+         .agg(F.max("o_orderdate").alias("last_dt"),
+              F.count(F.lit(1)).alias("freq"),
+              F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+              .alias("cents")))
+    r = (o.withColumn("r_score", F.ntile(5).over(
+             W.orderBy(F.col("last_dt").desc(), "o_custkey")))
+         .withColumn("f_score", F.ntile(5).over(
+             W.orderBy(F.col("freq").desc(), "o_custkey")))
+         .withColumn("m_score", F.ntile(5).over(
+             W.orderBy(F.col("cents").desc(), "o_custkey"))))
+    return r.select(
+        "o_custkey", "freq", "cents",
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        (100 * F.col("r_score") + 10 * F.col("f_score")
+         + F.col("m_score")).cast("long").alias("rfm"))
+
+
+ORACLE["rfm_scores"] = """
+WITH o AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_dt,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT *,
+    NTILE(5) OVER (ORDER BY last_dt DESC, o_custkey) AS r_score,
+    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+    NTILE(5) OVER (ORDER BY cents DESC, o_custkey) AS m_score
+  FROM o
+)
+SELECT o_custkey, freq, cents,
+       CAST(r_score AS BIGINT) AS r_score,
+       CAST(f_score AS BIGINT) AS f_score,
+       CAST(m_score AS BIGINT) AS m_score,
+       CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS rfm
+FROM r
+"""
+
+QUERIES["rfm_scores"] = q_rfm_scores

@@ -79,6 +79,8 @@ LAZY = [
     # r07 wave M
     "audio_resample", "color_mediancut", "simpson_diversity",
     "benford_digits",
+    # r07 wave N
+    "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
