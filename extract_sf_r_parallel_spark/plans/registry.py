@@ -2477,6 +2477,7 @@ _GATE_FIRST = [
     "audio_resample", "color_mediancut", "simpson_diversity",
     "benford_digits",
     "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
+    "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
 ]
 
 
@@ -3914,6 +3915,84 @@ FROM pairs GROUP BY 1
 """
 
 QUERIES["scene_cuts"] = q_scene_cuts
+
+
+# --- cross-modal correlation (r07 wave O): the image↔caption JOINT
+# statistic a multimodal curation pipeline monitors — Pearson
+# correlation between caption length and image brightness (channel-0
+# pixel sum), with ALL three moment numerators exact integer
+# (n·Σxy − ΣxΣy and both variance numerators; the r value itself
+# needs a √ and is deliberately left to the caller). Engine decodes
+# via mapInPandas (one pass, zero shuffle, 1-row agg); the oracle
+# re-derives the pixel sums from the Lehmer closed form AND the
+# caption length from the same printf construction synth uses.
+def q_crossmodal_corr(spark, sf_dir):
+    from ..operators.multimodal import decode_stats  # noqa: F401
+    imgs = spark.createDataFrame(synth.images_pdf(240))
+    import pandas as _pd
+
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType([
+        _T.StructField("x", _T.LongType()),
+        _T.StructField("y", _T.LongType()),
+    ])
+
+    def gen(batches):
+        from ..data import codec as _codec
+        import numpy as _np
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = _codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0]
+                rows.append((len(r.caption),
+                             int(v.astype(_np.int64).sum())))
+            yield _pd.DataFrame(rows, columns=["x", "y"])
+    xy = imgs.mapInPandas(gen, schema)
+    return (xy.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("x").alias("sum_x"), F.sum("y").alias("sum_y"),
+                   F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+                   F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+                   F.sum(F.col("y") * F.col("y")).alias("sum_y2"))
+            .select("n", "sum_x", "sum_y",
+                    (F.col("n") * F.col("sum_xy")
+                     - F.col("sum_x") * F.col("sum_y")).alias("cov_num"),
+                    (F.col("n") * F.col("sum_x2")
+                     - F.col("sum_x") * F.col("sum_x")).alias("var_x_num"),
+                    (F.col("n") * F.col("sum_y2")
+                     - F.col("sum_y") * F.col("sum_y")).alias("var_y_num"))
+            .withColumn("positive", F.col("cov_num") > 0))
+
+
+ORACLE["crossmodal_corr"] = f"""
+WITH imgs AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base,
+    length('A caption for image ' || lpad(CAST(i AS VARCHAR), 8, '0')
+           || ' in tone ' || CAST(i % 7 AS VARCHAR)
+           || ' about subject ' || CAST(i % 13 AS VARCHAR) || '.') AS x
+  FROM range(240) t(i)
+), ysum AS (
+  SELECT i, x, CAST(SUM({_px_chan(0)}) AS BIGINT) AS y
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+  GROUP BY 1, 2
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT)
+         AS cov_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT)
+         AS var_x_num,
+       CAST(COUNT(*) * SUM(y * y) - SUM(y) * SUM(y) AS BIGINT)
+         AS var_y_num,
+       COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) > 0 AS positive
+FROM ysum
+"""
+
+QUERIES["crossmodal_corr"] = q_crossmodal_corr
 
 
 # ---------------------------------------------------------------------------

@@ -2564,3 +2564,139 @@ FROM r
 """
 
 QUERIES["rfm_scores"] = q_rfm_scores
+
+
+# --- paired YoY t-test (r07 wave O): for customers active in BOTH
+# 1997 and 1998, the paired differences d_c = rev98 − rev97 (exact
+# cents) per nation, with the |t| > 2 significance verdict kept
+# entirely integer by cross-multiplication: t² = (Σd)²(n−1) /
+# (nΣd² − (Σd)²), so |t| > 2 ⟺ (Σd)²·(n−1) > 4·(n·Σd² − (Σd)²)
+# (the denominator is ≥ 0 by Cauchy–Schwarz, so the inequality
+# direction is safe; n ≤ 1 or zero variance ⇒ verdict false both
+# sides). Shape: one year-filtered agg, one self-join on customer
+# (both sides pre-aggregated ⇒ equi join), one nation groupBy.
+def q_yoy_ttest(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+
+    # whole-dollar deltas (cents div 100 on POSITIVE yearly sums, so
+    # trunc ≡ floor across engines) keep Σd² inside int64 at any SF;
+    # the verdict comparison is then done in DOUBLE with a fixed
+    # operation order — each product is one correctly-rounded IEEE op
+    # on identical integers, so both engines compare identical values
+    def rev(y):
+        return (o.filter(F.year("o_orderdate") == y)
+                .groupBy("o_custkey")
+                .agg(F.expr("sum(cast(round(o_totalprice * 100) as"
+                            f" long)) div 100").alias(f"v{y}")))
+    d = (rev(1997).join(rev(1998), "o_custkey")
+         .join(c, F.col("o_custkey") == F.col("c_custkey"))
+         .select("c_nationkey",
+                 (F.col("v1998") - F.col("v1997")).alias("d")))
+    return (d.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("d").alias("sum_d"),
+                 F.sum(F.col("d") * F.col("d")).alias("sum_d2"))
+            .select("c_nationkey", "n", "sum_d", "sum_d2",
+                    F.expr(
+                        "cast(sum_d as double) * cast(sum_d as double)"
+                        " * cast(n - 1 as double)"
+                        " > 4.0D * (cast(n as double)"
+                        " * cast(sum_d2 as double)"
+                        " - cast(sum_d as double)"
+                        " * cast(sum_d as double))").alias("significant")))
+
+
+ORACLE["yoy_ttest"] = """
+WITH r97 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS v97
+  FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+), r98 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS v98
+  FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1
+), d AS (
+  SELECT c.c_nationkey, r98.v98 - r97.v97 AS d
+  FROM r97 JOIN r98 USING (o_custkey)
+  JOIN customer c ON c.c_custkey = r97.o_custkey
+), m AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sum_d,
+         CAST(SUM(d * d) AS BIGINT) AS sum_d2
+  FROM d GROUP BY 1
+)
+SELECT c_nationkey, n, sum_d, sum_d2,
+       CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE)
+         * CAST(n - 1 AS DOUBLE)
+         > 4.0 * (CAST(n AS DOUBLE) * CAST(sum_d2 AS DOUBLE)
+                  - CAST(sum_d AS DOUBLE) * CAST(sum_d AS DOUBLE))
+         AS significant
+FROM m
+"""
+
+QUERIES["yoy_ttest"] = q_yoy_ttest
+
+
+# --- graph clustering coefficient (r07 wave O): per node of the
+# part co-purchase graph (the jaccard_nodes edge set — sparse by the
+# support ≥ 2 screen), the closed-wedge count T_v (triangles through
+# v) via ONE wedge-closing join of the adjacency against the edge
+# set, and the cc ≥ 1/3 verdict kept integer by cross-multiplying
+# 2T_v / (deg·(deg−1)) — no ratio materializes. The hub-degree cap
+# note from jaccard_nodes applies identically.
+def q_clustering_coef(spark, sf_dir):
+    d = (_t(spark, sf_dir, "lineitem")
+         .select("l_orderkey", "l_partkey").distinct())
+    a = d.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (a.join(b, "l_orderkey").filter("pa < pb")
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("sup"))
+             .filter("sup >= 2").select("pa", "pb"))
+    adj = (edges.select(F.col("pa").alias("v"), F.col("pb").alias("u"))
+           .union(edges.select(F.col("pb").alias("v"),
+                               F.col("pa").alias("u"))))
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+    # wedges centered at v: neighbors (u1 < u2); closed if (u1, u2)
+    # is an edge — join the wedge pair table against the edge set
+    l = adj.select("v", F.col("u").alias("u1"))
+    r = adj.select("v", F.col("u").alias("u2"))
+    closed = (l.join(r, "v").filter("u1 < u2")
+              .join(edges, (F.col("u1") == F.col("pa"))
+                    & (F.col("u2") == F.col("pb")))
+              .groupBy("v").agg(F.count(F.lit(1)).alias("t_v")))
+    return (deg.join(closed, "v", "left")
+            .select("v", "deg",
+                    F.coalesce("t_v", F.lit(0)).alias("t_v"))
+            .withColumn("dense",
+                        6 * F.col("t_v")
+                        >= F.col("deg") * (F.col("deg") - 1)))
+
+
+ORACLE["clustering_coef"] = """
+WITH d AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+), adj AS (
+  SELECT pa AS v, pb AS u FROM edges
+  UNION ALL SELECT pb, pa FROM edges
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+), closed AS (
+  SELECT l.v, CAST(COUNT(*) AS BIGINT) AS t_v
+  FROM adj l JOIN adj r ON l.v = r.v AND l.u < r.u
+  JOIN edges e ON e.pa = l.u AND e.pb = r.u
+  GROUP BY 1
+)
+SELECT deg.v, deg.deg, COALESCE(c.t_v, 0) AS t_v,
+       6 * COALESCE(c.t_v, 0) >= deg.deg * (deg.deg - 1) AS dense
+FROM deg LEFT JOIN closed c USING (v)
+"""
+
+QUERIES["clustering_coef"] = q_clustering_coef

@@ -3979,3 +3979,86 @@ FROM r GROUP BY 1, 2
 """
 
 QUERIES["map_algebra"] = q_map_algebra
+
+
+# --- local Moran's I (r07 wave O): Anselin's LISA — the
+# deviation-product cousin of the Getis screen: over the same
+# complete 500 m grid, dev_i = n·x_i − S (the n-scaled deviation, so
+# no mean ever divides), nb_sum_i = Σ_{j∈3×3\\i} dev_j, the local
+# numerator I_num = dev_i·nb_sum_i, and the Moran quadrant
+# (HH/LL/HL/LH by the sign pair — the cluster/outlier taxonomy).
+# Same scatter shape as Getis; the only extra is that the scattered
+# value is the scaled deviation, which needs the 1-row total first
+# (broadcast), keeping everything one scan + one scatter groupBy.
+def q_local_moran(spark, sf_dir):
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.expr(f"({_ODX}) div {_GI_CELL}").alias("gx"),
+                  F.expr(f"({_ODY}) div {_GI_CELL}").alias("gy")))
+    counts = ev.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("x"))
+    spine = (spark.range(_GI_N * _GI_N)
+             .select((F.col("id") % _GI_N).alias("gx"),
+                     (F.col("id") / _GI_N).cast("long").alias("gy")))
+    grid = (spine.join(counts, ["gx", "gy"], "left")
+            .select("gx", "gy", F.coalesce("x", F.lit(0)).alias("x")))
+    tot = grid.agg(F.sum("x").alias("s"),
+                   F.count(F.lit(1)).alias("n"))
+    dev = (grid.crossJoin(F.broadcast(tot))
+           .select("gx", "gy",
+                   (F.col("n") * F.col("x") - F.col("s")).alias("dev")))
+    offs = ",".join(f"struct({dx} as dx, {dy} as dy)"
+                    for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                    if (dx, dy) != (0, 0))
+    scat = (dev.select("dev",
+                       F.explode(F.expr(f"array({offs})")).alias("o"),
+                       (F.col("gx") + F.col("o.dx")).alias("tx"),
+                       (F.col("gy") + F.col("o.dy")).alias("ty"))
+            .filter(f"tx BETWEEN 0 AND {_GI_N - 1} "
+                    f"AND ty BETWEEN 0 AND {_GI_N - 1}"))
+    nb = (scat.groupBy("tx", "ty")
+          .agg(F.sum("dev").alias("nb_sum")))
+    return (dev.join(nb, (F.col("gx") == F.col("tx"))
+                     & (F.col("gy") == F.col("ty")))
+            .select("gx", "gy", "dev", "nb_sum",
+                    (F.col("dev") * F.col("nb_sum")).alias("i_num"),
+                    F.when((F.col("dev") >= 0) & (F.col("nb_sum") >= 0),
+                           F.lit("HH"))
+                    .when((F.col("dev") < 0) & (F.col("nb_sum") < 0),
+                          F.lit("LL"))
+                    .when(F.col("dev") >= 0, F.lit("HL"))
+                    .otherwise(F.lit("LH")).alias("quad")))
+
+
+ORACLE["local_moran"] = f"""
+WITH ev AS (
+  SELECT ({_ODX}) // {_GI_CELL} AS gx, ({_ODY}) // {_GI_CELL} AS gy
+  FROM events
+), counts AS (
+  SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS x FROM ev GROUP BY 1, 2
+), spine AS (
+  SELECT i % {_GI_N} AS gx, i // {_GI_N} AS gy
+  FROM range({_GI_N * _GI_N}) t(i)
+), grid AS (
+  SELECT s.gx, s.gy, COALESCE(c.x, 0) AS x
+  FROM spine s LEFT JOIN counts c USING (gx, gy)
+), tot AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM grid
+), dev AS (
+  SELECT gx, gy, t.n * x - t.s AS dev FROM grid CROSS JOIN tot t
+), nb AS (
+  SELECT d.gx + o.dx AS gx, d.gy + o.dy AS gy,
+         CAST(SUM(d.dev) AS BIGINT) AS nb_sum
+  FROM dev d, (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),
+                      (1,-1),(1,0),(1,1)) o(dx, dy)
+  WHERE d.gx + o.dx BETWEEN 0 AND {_GI_N - 1}
+    AND d.gy + o.dy BETWEEN 0 AND {_GI_N - 1}
+  GROUP BY 1, 2
+)
+SELECT d.gx, d.gy, d.dev, n.nb_sum, d.dev * n.nb_sum AS i_num,
+       CASE WHEN d.dev >= 0 AND n.nb_sum >= 0 THEN 'HH'
+            WHEN d.dev < 0 AND n.nb_sum < 0 THEN 'LL'
+            WHEN d.dev >= 0 THEN 'HL' ELSE 'LH' END AS quad
+FROM dev d JOIN nb n USING (gx, gy)
+"""
+
+QUERIES["local_moran"] = q_local_moran

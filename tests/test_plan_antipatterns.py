@@ -81,6 +81,8 @@ LAZY = [
     "benford_digits",
     # r07 wave N
     "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
+    # r07 wave O
+    "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
