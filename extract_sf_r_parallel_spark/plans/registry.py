@@ -2478,6 +2478,7 @@ _GATE_FIRST = [
     "benford_digits",
     "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
     "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
+    "hotspot_stream", "terrain_profile", "rake_scores",
 ]
 
 
@@ -3993,6 +3994,42 @@ FROM ysum
 """
 
 QUERIES["crossmodal_corr"] = q_crossmodal_corr
+
+
+# --- LIVE streaming spatial hotspot grid (r07 wave P): tumbling
+# 1-hour per-2km-tile counts under a watermark
+# (streaming/events.py::windowed_tile_counts) — the streaming twin
+# of the batch tile rollups; the oracle is the batch GROUP BY
+# date_trunc/tile query (UTC session). The far-future flush
+# sentinel closes every real window; its own row is excluded by the
+# hour filter like windowed_stream.
+def q_hotspot_stream(spark, sf_dir):
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    out = SE.windowed_tile_counts(stream, cell=2000, window="1 hour",
+                                  watermark="1 hour")
+    ck = scratch_dir("hotspot_stream_ck_")
+    SE.run_available_now(out, "hotspot_stream_sink", ck,
+                         shuffle_partitions=4)
+    return (spark.table("hotspot_stream_sink")
+            .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
+            .select("hour", "gx", "gy", "n", "sum_value"))
+
+
+ORACLE["hotspot_stream"] = """
+SELECT date_trunc('hour', ts) AS hour,
+       (((event_id * 48271 + 13) % 999983) % 20000) // 2000 AS gx,
+       (((event_id * 69621 + 7) % 999979) % 20000) // 2000 AS gy,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["hotspot_stream"] = q_hotspot_stream
 
 
 # ---------------------------------------------------------------------------

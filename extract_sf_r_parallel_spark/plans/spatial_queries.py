@@ -4062,3 +4062,76 @@ FROM dev d JOIN nb n USING (gx, gy)
 """
 
 QUERIES["local_moran"] = q_local_moran
+
+
+# --- terrain elevation profile (r07 wave P): the "profile graph"
+# tool of every GIS — sample the closed-form DEM along each of 200
+# LCG transects using the SAME closed-form integer DDA as
+# raster_line (round-half-up midpoint, floor-vs-trunc neutralized by
+# the positive shift), one sample per DDA step at the 25 m raster
+# pitch, and per transect report the sample count, elevation sum /
+# peak, and WHERE the peak first occurs (deterministic argmax:
+# smallest step t on ties, via a (v, −t) struct max). Row-local
+# explode + one groupBy — the raster itself is never materialized,
+# in either engine.
+_PROF_N = 200
+
+
+def q_terrain_profile(spark, sf_dir):
+    seg = spark.range(_PROF_N).select(
+        F.col("id").alias("s"),
+        F.expr(_seg_end("id", 48271, 13, 999983)).alias("x0"),
+        F.expr(_seg_end("id", 69621, 7, 999979)).alias("y0"),
+        F.expr(_seg_end("id", 16807, 3, 999983)).alias("x1"),
+        F.expr(_seg_end("id", 65539, 11, 999979)).alias("y1"))
+    seg = seg.withColumn(
+        "n", F.expr("greatest(abs(x1 - x0), abs(y1 - y0), 1)"))
+    samp = (seg
+            .select("s", "x0", "y0", "x1", "y1", "n",
+                    F.explode(F.expr("sequence(0, n)")).alias("t"))
+            .select("s", "t", F.expr(
+                "(x0 + (2*t*(x1 - x0) + n + 40000*n) div (2*n) - 20000)"
+                " div 25").alias("cx"),
+                F.expr(
+                "(y0 + (2*t*(y1 - y0) + n + 40000*n) div (2*n) - 20000)"
+                " div 25").alias("cy"))
+            .withColumn("v", F.expr(_RVAL)))
+    return (samp.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n_samples"),
+                 F.sum("v").alias("sum_v"),
+                 F.max(F.struct(F.col("v"), (-F.col("t")).alias("nt")))
+                 .alias("m"))
+            .select("s", "n_samples", "sum_v",
+                    F.col("m.v").alias("peak_v"),
+                    (-F.col("m.nt")).alias("peak_t")))
+
+
+ORACLE["terrain_profile"] = f"""
+WITH seg AS (
+  SELECT s, {_seg_end('s', 48271, 13, 999983)} AS x0,
+         {_seg_end('s', 69621, 7, 999979)} AS y0,
+         {_seg_end('s', 16807, 3, 999983)} AS x1,
+         {_seg_end('s', 65539, 11, 999979)} AS y1
+  FROM range({_PROF_N}) t(s)
+), sn AS (
+  SELECT *, GREATEST(ABS(x1 - x0), ABS(y1 - y0), 1) AS n FROM seg
+), samp AS (
+  SELECT s, t,
+    (x0 + (2*t*(x1 - x0) + n + 40000*n) // (2*n) - 20000) // 25 AS cx,
+    (y0 + (2*t*(y1 - y0) + n + 40000*n) // (2*n) - 20000) // 25 AS cy
+  FROM sn, LATERAL (SELECT UNNEST(range(n + 1)) AS t) u
+), v AS (
+  SELECT s, t, {_rval('cx', 'cy')} AS v FROM samp
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY s
+                               ORDER BY v DESC, t) AS rn
+  FROM v
+)
+SELECT s, CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MAX(CASE WHEN rn = 1 THEN v END) AS BIGINT) AS peak_v,
+       CAST(MAX(CASE WHEN rn = 1 THEN t END) AS BIGINT) AS peak_t
+FROM rk GROUP BY 1
+"""
+
+QUERIES["terrain_profile"] = q_terrain_profile

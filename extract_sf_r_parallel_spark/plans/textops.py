@@ -1177,3 +1177,58 @@ GROUP BY 1
 """
 
 QUERIES["lm_novelty"] = q_lm_novelty
+
+
+# --- RAKE keyword scores (r07 wave P): Rapid Automatic Keyword
+# Extraction's word-level statistics — phrases are maximal stopword-
+# free token runs ({'a','the'} are the corpus stopwords), a word's
+# degree is the summed length of every phrase it appears in, and the
+# RAKE score deg/freq is emitted as the truncated integer
+# score_milli = 1000·deg div freq (positive operands ⇒ trunc ≡
+# floor across engines). Shape: positions via posexplode, the
+# phrase id is a running stopword count (doc-partitioned window),
+# one phrase-length groupBy, one word groupBy.
+def q_rake_scores(spark, sf_dir):
+    from pyspark.sql import Window as W
+    d = _docs(spark, sf_dir).select("doc_id",
+                                    F.split("text", " ").alias("t"))
+    tok = d.select("doc_id", F.posexplode("t").alias("pos", "w")) \
+        .withColumn("is_stop", F.col("w").isin("a", "the"))
+    seg = tok.withColumn(
+        "seg", F.sum(F.when(F.col("is_stop"), 1).otherwise(0)).over(
+            W.partitionBy("doc_id").orderBy("pos")))
+    words = seg.filter(~F.col("is_stop"))
+    plen = (words.groupBy("doc_id", "seg")
+            .agg(F.count(F.lit(1)).alias("plen")))
+    return (words.join(plen, ["doc_id", "seg"])
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"),
+                 F.sum("plen").alias("deg"))
+            .select("w", "freq", "deg",
+                    F.expr("1000 * deg div freq").alias("score_milli")))
+
+
+ORACLE["rake_scores"] = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, t[i] AS w, t[i] IN ('a', 'the') AS is_stop
+  FROM t, LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) u
+), seg AS (
+  SELECT *, SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+  FROM tok
+), words AS (
+  SELECT doc_id, seg, w FROM seg WHERE NOT is_stop
+), plen AS (
+  SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM words GROUP BY 1, 2
+)
+SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(plen) AS BIGINT) AS deg,
+       1000 * CAST(SUM(plen) AS BIGINT) // COUNT(*) AS score_milli
+FROM words JOIN plen USING (doc_id, seg)
+GROUP BY 1
+"""
+
+QUERIES["rake_scores"] = q_rake_scores

@@ -238,3 +238,29 @@ def run_available_now(df: DataFrame, sink_table: str, checkpoint: str,
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return q
+
+
+def windowed_tile_counts(stream: DataFrame, cell: int = 2000,
+                         window: str = "1 hour",
+                         watermark: str = "1 hour") -> DataFrame:
+    """LIVE spatial hotspot grid — tumbling-window event counts per
+    `cell`-metre tile of the LCG geotag (the streaming twin of the
+    batch tile rollups: same integer tile arithmetic, so the batch
+    GROUP BY date_trunc/tile query is the oracle). The watermark
+    bounds state to open windows × occupied tiles; the shuffle key is
+    (window, tile), so a hot tile is one skewed reducer — at
+    production scale pre-aggregate per input partition (the map-side
+    combine Spark already applies to streaming aggs) carries it."""
+    pts = stream.select(
+        "ts",
+        F.expr(f"(((event_id * 48271 + 13) % 999983) % 20000)"
+               f" div {cell}").alias("gx"),
+        F.expr(f"(((event_id * 69621 + 7) % 999979) % 20000)"
+               f" div {cell}").alias("gy"),
+        "value")
+    return (pts.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("win.start").alias("hour"), "gx", "gy",
+                    "n", "sum_value"))

@@ -83,6 +83,9 @@ LAZY = [
     "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
     # r07 wave O
     "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
+    # r07 wave P (hotspot_stream runs a live drain at build — excluded
+    # like the other *_stream queries)
+    "terrain_profile", "rake_scores",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
