@@ -1349,3 +1349,35 @@ def mediancut_split(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _MEDIANCUT_SCHEMA.fields])
     return images.mapInPandas(gen, _MEDIANCUT_SCHEMA)
+
+
+_NOISE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_interior", T.LongType()),
+    T.StructField("lap_sum", T.LongType()),
+    T.StructField("lap_max", T.LongType()),
+])
+
+
+def noise_estimate(images: DataFrame) -> DataFrame:
+    """Immerkær-style noise estimation, integer core: the 4-connected
+    Laplacian |4·v − N − S − E − W| over channel-0 interior pixels —
+    flat noisy images score high per pixel, clean gradients score
+    low; the σ estimate is lap_sum·√(π/2)/(6·n) driver-side (the √
+    deliberately never enters the engine). The blur/noise quality
+    gate for vision curation, next to sobel_stats' busy-ness score.
+
+    Scale: mapInPandas shifted adds, zero shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                lap = np.abs(4 * v[1:-1, 1:-1] - v[:-2, 1:-1]
+                             - v[2:, 1:-1] - v[1:-1, :-2] - v[1:-1, 2:])
+                rows.append((r.image_id, int(lap.size), int(lap.sum()),
+                             int(lap.max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _NOISE_SCHEMA.fields])
+    return images.mapInPandas(gen, _NOISE_SCHEMA)

@@ -2479,6 +2479,7 @@ _GATE_FIRST = [
     "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
     "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
     "hotspot_stream", "terrain_profile", "rake_scores",
+    "weighted_sample", "noise_estimate", "snapshot_diff",
 ]
 
 
@@ -4030,6 +4031,95 @@ GROUP BY 1, 2, 3
 """
 
 QUERIES["hotspot_stream"] = q_hotspot_stream
+
+
+# --- Laplacian noise estimate (r07 wave Q): Immerkær's estimator,
+# integer core |4v − N − S − E − W| per interior pixel
+# (operators/multimodal.py::noise_estimate); the oracle re-derives
+# all 5 bytes from the Lehmer closed form.
+def q_noise_estimate(spark, sf_dir):
+    from ..operators.multimodal import noise_estimate
+    return noise_estimate(spark.createDataFrame(synth.images_pdf(150)))
+
+
+ORACLE["noise_estimate"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(150) t(i)
+), lap AS (
+  SELECT image_id,
+         ABS(4 * ({_lbp_nb(0, 0)}) - ({_lbp_nb(-1, 0)})
+             - ({_lbp_nb(1, 0)}) - ({_lbp_nb(0, -1)})
+             - ({_lbp_nb(0, 1)})) AS l
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+  WHERE p // w BETWEEN 1 AND h - 2 AND p % w BETWEEN 1 AND w - 2
+)
+SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(l) AS BIGINT) AS lap_sum,
+       CAST(MAX(l) AS BIGINT) AS lap_max
+FROM lap GROUP BY 1
+"""
+
+QUERIES["noise_estimate"] = q_noise_estimate
+
+
+# --- IceLite snapshot diff (r07 wave Q): the "what changed between
+# snapshots" audit query every lakehouse exposes — the orders table
+# is committed in 4 bucket appends (snapshots 0-3), a COW
+# delete_where removes a key-sliced set (snapshot 4), and the diff
+# reads BOTH snapshots via time travel and anti-joins them per
+# status: rows only-in-before = deleted, only-in-after = added
+# (zero here — the predicate only removes). Counts + the carried/
+# rewritten file split prove file-scoped COW (untouched dirs carry
+# by reference).
+def q_snapshot_diff(spark, sf_dir):
+    from ..sources.tables import IceLiteTable
+
+    t = IceLiteTable(scratch_dir("icelite_snapdiff_"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_orderstatus", "o_totalprice")
+              .coalesce(1).cache())
+    for k in range(4):
+        t.append(orders.filter(F.expr(f"o_orderkey % 4 = {k}")))
+    orders.unpersist()
+    t.delete_where(spark, "o_orderstatus = 'F' AND o_orderkey % 10 < 3")
+    before = t.read(spark, snapshot_id=3)
+    after = t.read(spark)
+    deleted = before.join(after.select("o_orderkey"), "o_orderkey",
+                          "left_anti")
+    added = after.join(before.select("o_orderkey"), "o_orderkey",
+                       "left_anti")
+    b = before.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_before"))
+    a = after.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_after"))
+    d = deleted.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_deleted"))
+    n_add = added.count()   # proves the delete added nothing
+    return (b.join(a, "o_orderstatus", "left")
+            .join(d, "o_orderstatus", "left")
+            .select("o_orderstatus", "n_before",
+                    F.coalesce("n_after", F.lit(0)).alias("n_after"),
+                    F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"))
+            .withColumn("n_added", F.lit(n_add).cast("long")))
+
+
+ORACLE["snapshot_diff"] = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_before,
+       CAST(SUM(CASE WHEN NOT (o_orderstatus = 'F'
+                               AND o_orderkey % 10 < 3)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' AND o_orderkey % 10 < 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(0 AS BIGINT) AS n_added
+FROM orders GROUP BY 1
+"""
+
+QUERIES["snapshot_diff"] = q_snapshot_diff
 
 
 # ---------------------------------------------------------------------------

@@ -2700,3 +2700,50 @@ FROM deg LEFT JOIN closed c USING (v)
 """
 
 QUERIES["clustering_coef"] = q_clustering_coef
+
+
+# --- deterministic weighted sampling (r07 wave Q): the importance-
+# sampling screen a curation pipeline applies ("keep expensive
+# orders with probability ∝ value") made REPRODUCIBLE — the accept
+# test hashes the key (md5 → 60-bit int, the same probed
+# engine-parity construction as the HLL/Bloom sketches) instead of
+# drawing randomness, so reruns and both engines select the
+# IDENTICAL row set: accept ⟺ h % 1000000 < min(999999, cents div
+# 100). Emits per priority the population, the sample, and the
+# sampled value mass. One scan + one groupBy; no state, no RNG.
+def q_weighted_sample(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("cast(conv(substring(md5(concat(cast(o_orderkey as string)"
+               ", ':ws')), 1, 15), 16, 10) as bigint)").alias("h"))
+    s = o.withColumn(
+        "keep", F.expr("h % 1000000 < least(999999L, cents div 100)"))
+    return (s.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_sampled"),
+                 F.sum(F.when(F.col("keep"), F.col("cents"))
+                       .otherwise(0)).alias("sampled_cents")))
+
+
+ORACLE["weighted_sample"] = """
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':ws'),
+                              1, 15)) AS BIGINT) AS h
+  FROM orders
+), s AS (
+  SELECT *, h % 1000000 < LEAST(999999, cents // 100) AS keep FROM o
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sampled,
+       CAST(SUM(CASE WHEN keep THEN cents ELSE 0 END) AS BIGINT)
+         AS sampled_cents
+FROM s GROUP BY 1
+"""
+
+QUERIES["weighted_sample"] = q_weighted_sample

@@ -86,6 +86,9 @@ LAZY = [
     # r07 wave P (hotspot_stream runs a live drain at build — excluded
     # like the other *_stream queries)
     "terrain_profile", "rake_scores",
+    # r07 wave Q (snapshot_diff commits IceLite snapshots at build —
+    # excluded like compact_files)
+    "weighted_sample", "noise_estimate",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
