@@ -2480,6 +2480,7 @@ _GATE_FIRST = [
     "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
     "hotspot_stream", "terrain_profile", "rake_scores",
     "weighted_sample", "noise_estimate", "snapshot_diff",
+    "ring_profile", "st_cube", "interval_union",
 ]
 
 

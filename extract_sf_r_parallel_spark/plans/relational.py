@@ -2747,3 +2747,61 @@ FROM s GROUP BY 1
 """
 
 QUERIES["weighted_sample"] = q_weighted_sample
+
+
+# --- interval-union coverage (r07 wave R): total covered time per
+# user when every event opens a 10-minute presence interval —
+# overlapping intervals must merge BEFORE summing (the classic
+# "union of intervals" that naive Σ durations double-counts). The
+# gaps-and-islands solution: order by start, an island begins where
+# start > the running max end over STRICTLY PRECEDING rows, island
+# id = running sum of begin-flags, covered = Σ per-island
+# (max end − min start). All exact microseconds; two windows + two
+# groupBys on the user key.
+def q_interval_union(spark, sf_dir):
+    iv = (_t(spark, sf_dir, "events")
+          .select("user_id",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("s"))
+          .withColumn("e", F.col("s") + 600_000_000))
+    w = W.partitionBy("user_id").orderBy("s", "e")
+    prev = (iv.withColumn(
+        "pmax", F.max("e").over(w.rowsBetween(W.unboundedPreceding, -1))))
+    isl = (prev.withColumn(
+        "begin", F.when(F.col("pmax").isNull()
+                        | (F.col("s") > F.col("pmax")), 1).otherwise(0))
+        .withColumn("island", F.sum("begin").over(w)))
+    per_island = (isl.groupBy("user_id", "island")
+                  .agg(F.min("s").alias("lo"), F.max("e").alias("hi")))
+    return (per_island.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_islands"),
+                 F.sum(F.col("hi") - F.col("lo")).alias("covered_us"))
+            .withColumn("covered_sec",
+                        F.expr("covered_us div 1000000")))
+
+
+ORACLE["interval_union"] = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+  FROM events
+), prev AS (
+  SELECT *,
+    MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS pmax
+  FROM iv
+), isl AS (
+  SELECT *,
+    SUM(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY s, e) AS island
+  FROM prev
+), per_island AS (
+  SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(hi - lo) AS BIGINT) AS covered_us,
+       CAST(SUM(hi - lo) // 1000000 AS BIGINT) AS covered_sec
+FROM per_island GROUP BY 1
+"""
+
+QUERIES["interval_union"] = q_interval_union

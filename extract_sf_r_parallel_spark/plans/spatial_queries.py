@@ -4135,3 +4135,81 @@ FROM rk GROUP BY 1
 """
 
 QUERIES["terrain_profile"] = q_terrain_profile
+
+
+# --- distance-band ring profile (r07 wave R): the "what surrounds
+# this POI" site report — events banded into 500 m Chebyshev rings
+# around the window centre (ring = max(|Δx|, |Δy|) div 500 — the
+# square-grid analogue of H3's k-rings, chosen because the band
+# assignment is pure integer arithmetic in BOTH engines), capped at
+# ring 20 for the tail. Per ring: event count, EXACT distinct
+# users, and the value mass. One scan, one groupBy — the profile a
+# geomarketing query runs per candidate site; at 100 TB the POI set
+# broadcasts and this becomes one more grouping key.
+def q_ring_profile(spark, sf_dir):
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", "value",
+                  F.expr(f"least(greatest(abs(({_ODX}) - 10000), "
+                         f"abs(({_ODY}) - 10000)) div 500, 20)")
+                  .alias("ring")))
+    return (ev.groupBy("ring")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("sum_value")))
+
+
+ORACLE["ring_profile"] = f"""
+SELECT LEAST(GREATEST(ABS(({_ODX}) - 10000),
+                      ABS(({_ODY}) - 10000)) // 500, 20) AS ring,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+QUERIES["ring_profile"] = q_ring_profile
+
+
+# --- space-time cube (r07 wave R): the ESRI-style st-cube rollup —
+# 4 km tile × day counts, then per tile the active-day count, the
+# total, and the PEAK day (deterministic argmax: max count, ties →
+# earliest day). Day index is exact integer day arithmetic from the
+# 2024-01-01 epoch (UTC session; no engine week/tz conventions).
+# Two groupBys on nested keys + one struct argmax.
+def q_st_cube(spark, sf_dir):
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.expr(f"({_ODX}) div 4000").alias("gx"),
+                  F.expr(f"({_ODY}) div 4000").alias("gy"),
+                  F.expr("datediff(to_date(ts), date'2024-01-01')")
+                  .alias("day")))
+    cube = (ev.groupBy("gx", "gy", "day")
+            .agg(F.count(F.lit(1)).alias("n")))
+    return (cube.groupBy("gx", "gy")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("n").alias("n_total"),
+                 F.max(F.struct(F.col("n"), (-F.col("day")).alias("nd")))
+                 .alias("m"))
+            .select("gx", "gy", "n_days", "n_total",
+                    F.col("m.n").alias("peak_n"),
+                    (-F.col("m.nd")).alias("peak_day")))
+
+
+ORACLE["st_cube"] = f"""
+WITH cube AS (
+  SELECT ({_ODX}) // 4000 AS gx, ({_ODY}) // 4000 AS gy,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY gx, gy
+                               ORDER BY n DESC, day) AS rn
+  FROM cube
+)
+SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS n_total,
+       CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS peak_n,
+       CAST(MAX(CASE WHEN rn = 1 THEN day END) AS BIGINT) AS peak_day
+FROM rk GROUP BY 1, 2
+"""
+
+QUERIES["st_cube"] = q_st_cube

@@ -89,6 +89,8 @@ LAZY = [
     # r07 wave Q (snapshot_diff commits IceLite snapshots at build —
     # excluded like compact_files)
     "weighted_sample", "noise_estimate",
+    # r07 wave R
+    "ring_profile", "st_cube", "interval_union",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
