@@ -2481,6 +2481,7 @@ _GATE_FIRST = [
     "hotspot_stream", "terrain_profile", "rake_scores",
     "weighted_sample", "noise_estimate", "snapshot_diff",
     "ring_profile", "st_cube", "interval_union",
+    "aspect_class", "fk_orphans", "top3_concat",
 ]
 
 

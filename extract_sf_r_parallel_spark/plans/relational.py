@@ -2805,3 +2805,99 @@ FROM per_island GROUP BY 1
 """
 
 QUERIES["interval_union"] = q_interval_union
+
+
+# --- referential-integrity audit (r07 wave S): the FK orphan scan a
+# warehouse runs nightly — for each relationship, how many child
+# rows point at a missing parent (LEFT ANTI join), next to the
+# child population. The fixture is integrity-clean, so the planted
+# truth is zeros — the VALUE of the row is that both engines agree
+# on the full (count, orphan) table across four relationships; the
+# pytest pin corrupts a copy to prove the probe actually fires.
+# Anti joins broadcast the parent key set when small, or
+# shuffle-hash on the FK otherwise — either way one pass per edge.
+def q_fk_orphans(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    def edge(name, child, fk, parent, pk):
+        return (child.select(F.col(fk).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n_child"))
+                .crossJoin(F.broadcast(
+                    child.select(F.col(fk).alias("k"))
+                    .join(parent.select(F.col(pk).alias("k")), "k",
+                          "left_anti")
+                    .agg(F.count(F.lit(1)).alias("n_orphan"))))
+                .select(F.lit(name).alias("fk"), "n_child", "n_orphan"))
+    return (edge("lineitem.orderkey", li, "l_orderkey", o, "o_orderkey")
+            .union(edge("orders.custkey", o, "o_custkey", c, "c_custkey"))
+            .union(edge("lineitem.suppkey", li, "l_suppkey", s,
+                        "s_suppkey"))
+            .union(edge("customer.nationkey", c, "c_nationkey", n,
+                        "n_nationkey")))
+
+
+ORACLE["fk_orphans"] = """
+SELECT 'lineitem.orderkey' AS fk,
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_orphan
+UNION ALL
+SELECT 'orders.custkey',
+       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey
+             WHERE c.c_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'lineitem.suppkey',
+       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM lineitem l LEFT JOIN supplier s
+             ON l.l_suppkey = s.s_suppkey
+             WHERE s.s_suppkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'customer.nationkey',
+       CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM customer c LEFT JOIN nation n
+             ON c.c_nationkey = n.n_nationkey
+             WHERE n.n_nationkey IS NULL) AS BIGINT)
+"""
+
+QUERIES["fk_orphans"] = q_fk_orphans
+
+
+# --- ordered top-k concatenation (r07 wave S): the "show me the top
+# 3 per group as one cell" presentation rollup — per nation the
+# three richest customers as a "key:key:key" string, ordered by
+# (balance desc, custkey) so ties are deterministic. Spark builds it
+# as sort-array-of-structs → slice → transform → concat_ws (pure
+# codegen'd expressions over ONE groupBy — no window, no second
+# shuffle); DuckDB as an ORDER BY list_slice. collect_list is
+# per-group bounded here; at 100 TB cap the group first (window
+# rn ≤ k) before collecting.
+def q_top3_concat(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"))
+    return (c.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.expr(
+                     "concat_ws(':', transform(slice(array_sort("
+                     "collect_list(struct(-cents AS nc, c_custkey))"
+                     "), 1, 3), s -> cast(s.c_custkey as string)))")
+                 .alias("top3")))
+
+
+ORACLE["top3_concat"] = """
+SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+       array_to_string(
+         list_slice(list(CAST(c_custkey AS VARCHAR)
+                         ORDER BY CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                                  DESC, c_custkey), 1, 3), ':') AS top3
+FROM customer GROUP BY 1
+"""
+
+QUERIES["top3_concat"] = q_top3_concat

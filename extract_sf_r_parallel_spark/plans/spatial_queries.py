@@ -4213,3 +4213,66 @@ FROM rk GROUP BY 1, 2
 """
 
 QUERIES["st_cube"] = q_st_cube
+
+
+# --- slope aspect classification (r07 wave S): the compass-facing
+# raster every solar/viewshed study derives — central-difference
+# gradient (gx, gy) per interior DEM cell, aspect class from the
+# SIGN pair plus the dominant axis (8 classes: E/NE/N/NW/W/SW/S/SE
+# by (sign gx, sign gy, |gx| vs |gy|) — no atan2 ever runs), flat
+# where both gradients are zero; per 25×25 block the class
+# histogram as 9 count columns. Pure-JVM expressions over the
+# closed-form raster; one block groupBy.
+def q_aspect_class(spark, sf_dir):
+    r = raster_df(spark)
+    g = (r.filter(f"cx BETWEEN 1 AND {_RN - 2} "
+                  f"AND cy BETWEEN 1 AND {_RN - 2}")
+         .select("cx", "cy",
+                 F.expr(f"({_rval('(cx + 1)', 'cy')})"
+                        f" - ({_rval('(cx - 1)', 'cy')})").alias("gx"),
+                 F.expr(f"({_rval('cx', '(cy + 1)')})"
+                        f" - ({_rval('cx', '(cy - 1)')})").alias("gy")))
+    cls = g.withColumn("asp", F.expr(
+        "CASE WHEN gx = 0 AND gy = 0 THEN 'flat' "
+        "WHEN abs(gx) >= abs(gy) AND gx > 0 THEN 'E' "
+        "WHEN abs(gx) >= abs(gy) AND gx < 0 THEN 'W' "
+        "WHEN gy > 0 THEN 'N' ELSE 'S' END"))
+    return (cls.groupBy(F.expr("cx div 25").alias("bx"),
+                        F.expr("cy div 25").alias("by"))
+            .pivot("asp", ["E", "W", "N", "S", "flat"])
+            .count()
+            .select("bx", "by",
+                    F.coalesce("E", F.lit(0)).alias("n_e"),
+                    F.coalesce("W", F.lit(0)).alias("n_w"),
+                    F.coalesce("N", F.lit(0)).alias("n_n"),
+                    F.coalesce("S", F.lit(0)).alias("n_s"),
+                    F.coalesce("flat", F.lit(0)).alias("n_flat")))
+
+
+ORACLE["aspect_class"] = f"""
+WITH g AS (
+  SELECT cx, cy,
+         ({_rval('(cx + 1)', 'cy')}) - ({_rval('(cx - 1)', 'cy')}) AS gx,
+         ({_rval('cx', '(cy + 1)')}) - ({_rval('cx', '(cy - 1)')}) AS gy
+  FROM range({_RN}) t1(cx), range({_RN}) t2(cy)
+  WHERE cx BETWEEN 1 AND {_RN - 2} AND cy BETWEEN 1 AND {_RN - 2}
+)
+SELECT cx // 25 AS bx, cy // 25 AS by,
+       CAST(SUM(CASE WHEN NOT (gx = 0 AND gy = 0)
+                     AND ABS(gx) >= ABS(gy) AND gx > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_e,
+       CAST(SUM(CASE WHEN NOT (gx = 0 AND gy = 0)
+                     AND ABS(gx) >= ABS(gy) AND gx < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_w,
+       CAST(SUM(CASE WHEN NOT (gx = 0 AND gy = 0)
+                     AND ABS(gx) < ABS(gy) AND gy > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_n,
+       CAST(SUM(CASE WHEN NOT (gx = 0 AND gy = 0)
+                     AND ABS(gx) < ABS(gy) AND gy <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+       CAST(SUM(CASE WHEN gx = 0 AND gy = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flat
+FROM g GROUP BY 1, 2
+"""
+
+QUERIES["aspect_class"] = q_aspect_class

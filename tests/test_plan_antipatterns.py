@@ -91,6 +91,8 @@ LAZY = [
     "weighted_sample", "noise_estimate",
     # r07 wave R
     "ring_profile", "st_cube", "interval_union",
+    # r07 wave S
+    "aspect_class", "fk_orphans", "top3_concat",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
