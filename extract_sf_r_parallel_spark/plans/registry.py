@@ -2482,6 +2482,7 @@ _GATE_FIRST = [
     "weighted_sample", "noise_estimate", "snapshot_diff",
     "ring_profile", "st_cube", "interval_union",
     "aspect_class", "fk_orphans", "top3_concat",
+    "sliding_stream", "snaive_error", "value_histogram",
 ]
 
 
@@ -4122,6 +4123,43 @@ FROM orders GROUP BY 1
 """
 
 QUERIES["snapshot_diff"] = q_snapshot_diff
+
+
+# --- LIVE sliding-window stream (r07 wave T): 2-hour windows
+# sliding hourly (streaming/events.py::sliding_counts) — the overlap
+# semantics tumbling windows cannot express; every event lands in
+# exactly two windows, which the oracle replays by UNNESTing each
+# event into both window starts. Sentinel excluded by the win_start
+# filter.
+def q_sliding_stream(spark, sf_dir):
+    from ..streaming import events as SE
+
+    d = _stage_events(sf_dir)
+    stream = spark.readStream.schema(SE.EVENTS_SCHEMA) \
+        .option("maxFilesPerTrigger", 2).parquet(d)
+    out = SE.sliding_counts(stream)
+    ck = scratch_dir("sliding_stream_ck_")
+    SE.run_available_now(out, "sliding_stream_sink", ck,
+                         shuffle_partitions=4)
+    return (spark.table("sliding_stream_sink")
+            .filter(F.col("win_start") < F.lit("2025-01-01")
+                    .cast("timestamp"))
+            .select("win_start", "event_type", "n", "sum_value"))
+
+
+ORACLE["sliding_stream"] = """
+WITH starts AS (
+  SELECT event_type, value,
+         date_trunc('hour', ts) - d.h * INTERVAL 1 HOUR AS win_start
+  FROM events, (VALUES (0), (1)) d(h)
+)
+SELECT win_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM starts GROUP BY 1, 2
+"""
+
+QUERIES["sliding_stream"] = q_sliding_stream
 
 
 # ---------------------------------------------------------------------------

@@ -2901,3 +2901,97 @@ FROM customer GROUP BY 1
 """
 
 QUERIES["top3_concat"] = q_top3_concat
+
+
+# --- seasonal-naive forecast error (r07 wave T): the baseline every
+# forecast must beat — predict today's count with the count 7 days
+# ago, score |actual − lag7| per event type over the COMPLETE day
+# spine (missing days are real zero observations, built by a
+# sequence explode — no join against an external calendar), exact
+# integers. One count agg + one spine LEFT join + one lag window
+# per type.
+def q_snaive_error(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("datediff(to_date(ts), date'2024-01-01')")
+                  .alias("day")))
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"))
+    span = daily.agg(F.max("day").alias("max_day"))
+    types = daily.select("event_type").distinct()
+    spine = (types.crossJoin(F.broadcast(span))
+             .select("event_type",
+                     F.explode(F.expr("sequence(0, max_day)"))
+                     .alias("day")))
+    full = (spine.join(daily, ["event_type", "day"], "left")
+            .select("event_type", "day",
+                    F.coalesce("n", F.lit(0)).alias("n")))
+    w = W.partitionBy("event_type").orderBy("day")
+    err = (full.withColumn("lag7", F.lag("n", 7).over(w))
+           .filter(F.col("lag7").isNotNull())
+           .withColumn("abs_err", F.abs(F.col("n") - F.col("lag7"))))
+    return (err.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_days"),
+                 F.sum("abs_err").alias("sum_abs_err"),
+                 F.max("abs_err").alias("max_abs_err")))
+
+
+ORACLE["snaive_error"] = """
+WITH ev AS (
+  SELECT event_type,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), daily AS (
+  SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY 1, 2
+), span AS (
+  SELECT MAX(day) AS max_day FROM daily
+), spine AS (
+  SELECT t.event_type, u.day
+  FROM (SELECT DISTINCT event_type FROM daily) t,
+       span, LATERAL (SELECT UNNEST(range(max_day + 1)) AS day) u
+), filled AS (
+  SELECT s.event_type, s.day, COALESCE(d.n, 0) AS n
+  FROM spine s LEFT JOIN daily d USING (event_type, day)
+), err AS (
+  SELECT event_type, ABS(n - LAG(n, 7) OVER
+           (PARTITION BY event_type ORDER BY day)) AS abs_err
+  FROM filled
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(abs_err) AS BIGINT) AS sum_abs_err,
+       CAST(MAX(abs_err) AS BIGINT) AS max_abs_err
+FROM err WHERE abs_err IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["snaive_error"] = q_snaive_error
+
+
+# --- fixed-width value histogram (r07 wave T): the profiler's
+# distribution sketch — events.value binned into 25-unit buckets
+# with a clamped overflow bucket (bin = least(floor(value / 25),
+# 19); floor of a positive double then clamp — both engines identical
+# IEEE), per bin the count and the EXACT value mass in cents (scaled
+# before summing so the aggregate is integer). One scan, one 20-group
+# agg — map-side combinable to nothing.
+def q_value_histogram(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select(F.expr("least(cast(floor(value / 25) as bigint), 19L)")
+                  .alias("bin"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    return (ev.groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+ORACLE["value_histogram"] = """
+SELECT LEAST(CAST(FLOOR(value / 25) AS BIGINT), 19) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events GROUP BY 1
+"""
+
+QUERIES["value_histogram"] = q_value_histogram

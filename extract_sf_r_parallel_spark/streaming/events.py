@@ -264,3 +264,21 @@ def windowed_tile_counts(stream: DataFrame, cell: int = 2000,
                  F.round(F.sum("value"), 4).alias("sum_value"))
             .select(F.col("win.start").alias("hour"), "gx", "gy",
                     "n", "sum_value"))
+
+
+def sliding_counts(stream: DataFrame, length: str = "2 hours",
+                   slide: str = "1 hour",
+                   watermark: str = "1 hour") -> DataFrame:
+    """SLIDING-window counts per event_type — each event lands in
+    length/slide overlapping windows (2 here), the semantics tumbling
+    windows cannot express (a rolling 2-hour health metric refreshed
+    hourly). State is bounded by open windows × types; the oracle
+    replays the overlap by unnesting each event into its two window
+    starts (floor_hour(ts) and floor_hour(ts) − 1h)."""
+    return (stream.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", length, slide).alias("win"),
+                     F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 4).alias("sum_value"))
+            .select(F.col("win.start").alias("win_start"),
+                    "event_type", "n", "sum_value"))

@@ -93,6 +93,8 @@ LAZY = [
     "ring_profile", "st_cube", "interval_union",
     # r07 wave S
     "aspect_class", "fk_orphans", "top3_concat",
+    # r07 wave T (sliding_stream runs a live drain at build — excluded)
+    "snaive_error", "value_histogram",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
