@@ -2483,6 +2483,7 @@ _GATE_FIRST = [
     "ring_profile", "st_cube", "interval_union",
     "aspect_class", "fk_orphans", "top3_concat",
     "sliding_stream", "snaive_error", "value_histogram",
+    "order_gaps", "ahash_balance", "caption_subjects",
 ]
 
 
@@ -4160,6 +4161,97 @@ FROM starts GROUP BY 1, 2
 """
 
 QUERIES["sliding_stream"] = q_sliding_stream
+
+
+# --- aHash bit-balance audit (r07 wave U): hash-quality check over
+# the corpus perceptual AVERAGE hashes (operators/multimodal.py::
+# ahash_bits — integer-exact, unlike the float-DCT phash64) — per
+# bit position the set-count and the balance deviation
+# |2·n_set − n|: a biased bit breaks LSH banding recall. The engine
+# unpacks the 64-char bit string row-locally; the oracle re-derives
+# every image's 8×8 block sums from the Lehmer closed form and
+# replays bit = bsum·64 > total bit-for-bit.
+def q_ahash_balance(spark, sf_dir):
+    from ..operators.multimodal import ahash_bits
+    ah = ahash_bits(spark.createDataFrame(synth.images_pdf(240)))
+    bits = ah.select(F.explode(F.expr(
+        "transform(sequence(0, 63), "
+        "b -> struct(b, CASE WHEN substring(ahash, b + 1, 1) = '1' "
+        "THEN 1 ELSE 0 END AS v))")).alias("s")) \
+        .select("s.b", "s.v")
+    n = ah.agg(F.count(F.lit(1)).alias("n_images"))
+    return (bits.groupBy("b")
+            .agg(F.sum("v").cast("long").alias("n_set"))
+            .crossJoin(F.broadcast(n))
+            .select("b", "n_set", "n_images",
+                    F.abs(2 * F.col("n_set") - F.col("n_images"))
+                    .alias("imbalance")))
+
+
+ORACLE["ahash_balance"] = f"""
+WITH imgs AS (
+  SELECT i,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(240) t(i)
+), px AS (
+  SELECT i, w, h, p // w AS r, p % w AS c, {_px_chan(0)} AS v
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), blocks AS (
+  SELECT i, (r * 8) // h AS br, (c * 8) // w AS bc,
+         CAST(SUM(v) AS BIGINT) AS bsum
+  FROM px GROUP BY 1, 2, 3
+), tot AS (
+  SELECT i, CAST(SUM(bsum) AS BIGINT) AS tsum FROM blocks GROUP BY 1
+), bits AS (
+  SELECT b.i, b.br * 8 + b.bc AS bit,
+         CASE WHEN b.bsum * 64 > t.tsum THEN 1 ELSE 0 END AS v
+  FROM blocks b JOIN tot t USING (i)
+), agg AS (
+  SELECT bit AS b, CAST(SUM(v) AS BIGINT) AS n_set FROM bits GROUP BY 1
+)
+SELECT b, n_set, CAST(240 AS BIGINT) AS n_images,
+       ABS(2 * n_set - 240) AS imbalance
+FROM agg
+"""
+
+QUERIES["ahash_balance"] = q_ahash_balance
+
+
+# --- caption subject extraction (r07 wave U): the regex field-
+# extraction every caption/metadata pipeline runs — parse
+# "about subject N" out of the caption STRING with regexp_extract
+# (probed engine-parity) and roll up the per-subject image count and
+# pixel budget. The oracle never sees the string: it re-derives the
+# subject as i % 13 from the synth construction — agreement proves
+# the regex path end-to-end against ground truth.
+def q_caption_subjects(spark, sf_dir):
+    imgs = spark.createDataFrame(synth.images_pdf(240))
+    return (imgs.select(
+        F.regexp_extract("caption", r"about subject (\d+)", 1)
+        .cast("long").alias("subject"),
+        (F.col("w").cast("long") * F.col("h")).alias("px"))
+        .groupBy("subject")
+        .agg(F.count(F.lit(1)).alias("n_images"),
+             F.sum("px").alias("sum_px")))
+
+
+ORACLE["caption_subjects"] = """
+WITH imgs AS (
+  SELECT i % 13 AS subject,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END
+      * (CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END)
+      AS px
+  FROM range(240) t(i)
+)
+SELECT CAST(subject AS BIGINT) AS subject,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(px) AS BIGINT) AS sum_px
+FROM imgs GROUP BY 1
+"""
+
+QUERIES["caption_subjects"] = q_caption_subjects
 
 
 # ---------------------------------------------------------------------------

@@ -2995,3 +2995,46 @@ FROM events GROUP BY 1
 """
 
 QUERIES["value_histogram"] = q_value_histogram
+
+
+# --- inter-order gap analysis (r07 wave U): per-customer purchase
+# cadence — gaps in days between consecutive orders under the total
+# (date, orderkey) order, rolled up per nation: how many gaps, their
+# exact day mass, and the longest dry spell. The churn-model feature
+# extractor; one lag window on the customer key + one nation
+# groupBy, all integers.
+def q_order_gaps(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = (o.withColumn("prev", F.lag("o_orderdate").over(w))
+         .filter(F.col("prev").isNotNull())
+         .select("o_custkey",
+                 F.expr("datediff(to_date(o_orderdate), to_date(prev))")
+                 .alias("gap")))
+    return (g.join(c, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.sum("gap").alias("sum_gap_days"),
+                 F.max("gap").alias("max_gap_days")))
+
+
+ORACLE["order_gaps"] = """
+WITH g AS (
+  SELECT o_custkey,
+         datediff('day',
+                  CAST(LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+)
+SELECT c.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap) AS BIGINT) AS sum_gap_days,
+       CAST(MAX(gap) AS BIGINT) AS max_gap_days
+FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+WHERE gap IS NOT NULL
+GROUP BY 1
+"""
+
+QUERIES["order_gaps"] = q_order_gaps

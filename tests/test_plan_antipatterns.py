@@ -95,6 +95,8 @@ LAZY = [
     "aspect_class", "fk_orphans", "top3_concat",
     # r07 wave T (sliding_stream runs a live drain at build — excluded)
     "snaive_error", "value_histogram",
+    # r07 wave U
+    "order_gaps", "ahash_balance", "caption_subjects",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
