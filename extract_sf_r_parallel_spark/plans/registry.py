@@ -2484,6 +2484,7 @@ _GATE_FIRST = [
     "aspect_class", "fk_orphans", "top3_concat",
     "sliding_stream", "snaive_error", "value_histogram",
     "order_gaps", "ahash_balance", "caption_subjects",
+    "fence_visits", "hod_profile", "cume_users",
 ]
 
 

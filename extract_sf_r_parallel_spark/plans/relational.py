@@ -3038,3 +3038,84 @@ GROUP BY 1
 """
 
 QUERIES["order_gaps"] = q_order_gaps
+
+
+# --- hour-of-day profile (r07 wave V): the diurnal activity
+# fingerprint per event type — 24-bin UTC hour histogram with
+# counts and exact value mass in cents, plus each type's
+# deterministic peak hour broadcast onto its rows (max count, ties
+# → earliest hour). One scan, one (type, hour) groupBy, one tiny
+# window.
+def q_hod_profile(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.hour(F.expr("cast(ts as timestamp)")).alias("hod"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    g = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), "hod")
+    peak = (g.withColumn("rn", F.row_number().over(w))
+            .withColumn("peak_hod", F.max(F.when(F.col("rn") == 1,
+                                                 F.col("hod")))
+                        .over(W.partitionBy("event_type"))))
+    return peak.select("event_type", "hod", "n", "sum_cents", "peak_hod")
+
+
+ORACLE["hod_profile"] = """
+WITH g AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, hod) AS rn
+  FROM g
+)
+SELECT event_type, CAST(hod AS BIGINT) AS hod, n, sum_cents,
+       CAST(MAX(CASE WHEN rn = 1 THEN hod END)
+            OVER (PARTITION BY event_type) AS BIGINT) AS peak_hod
+FROM r
+"""
+
+QUERIES["hod_profile"] = q_hod_profile
+
+
+# --- cumulative user growth (r07 wave V): the growth-accounting
+# curve — each user's FIRST active day (min over the event stream),
+# new-user counts per day, and the running total of ever-seen users
+# by day. The cumulative window runs over the tiny per-day rollup
+# (≤ #days rows), not the event stream; exact integer days from the
+# 2024-01-01 epoch.
+def q_cume_users(spark, sf_dir):
+    first = (_t(spark, sf_dir, "events")
+             .select("user_id",
+                     F.expr("datediff(to_date(ts), date'2024-01-01')")
+                     .alias("day"))
+             .groupBy("user_id").agg(F.min("day").alias("first_day")))
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new"))
+    w = W.orderBy("first_day")
+    return (daily.withColumn("cum_users", F.sum("n_new").over(w))
+            .select(F.col("first_day").alias("day"), "n_new",
+                    "cum_users"))
+
+
+ORACLE["cume_users"] = """
+WITH first AS (
+  SELECT user_id,
+         MIN(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)))
+           AS first_day
+  FROM events GROUP BY 1
+), daily AS (
+  SELECT first_day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first GROUP BY 1
+)
+SELECT first_day AS day, n_new,
+       CAST(SUM(n_new) OVER (ORDER BY first_day) AS BIGINT) AS cum_users
+FROM daily
+"""
+
+QUERIES["cume_users"] = q_cume_users

@@ -4276,3 +4276,59 @@ FROM g GROUP BY 1, 2
 """
 
 QUERIES["aspect_class"] = q_aspect_class
+
+
+# --- geofence visit summary (r07 wave V): the BATCH rollup next to
+# the streaming transition alerts — pings inside each (buffered)
+# fence rectangle, summarized per fence: ping count, EXACT distinct
+# visitors, and the visit span in seconds (max − min event time).
+# Engine: the fence subset broadcasts (it is 1/97 of the rect
+# layer), ONE range-predicate join — at 100 TB this is the
+# broadcast leg of the same cell-join family as range_near, with
+# the cell index taking over when the fence set outgrows an
+# executor (documented on streaming/geofence.py).
+def q_fence_visits(spark, sf_dir, buffer: int = 500):
+    fences = (rects_df(spark, sf_dir).drop("geom")
+              .filter(F.col("fid") % 97 == 0)
+              .select("fid",
+                      (F.col("rxmin") - buffer).alias("x0"),
+                      (F.col("rxmax") + buffer).alias("x1"),
+                      (F.col("rymin") - buffer).alias("y0"),
+                      (F.col("rymax") + buffer).alias("y1")))
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id",
+                  F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+                  F.expr(_ODX).alias("x"), F.expr(_ODY).alias("y")))
+    hits = ev.join(F.broadcast(fences),
+                   (F.col("x") >= F.col("x0")) & (F.col("x") <= F.col("x1"))
+                   & (F.col("y") >= F.col("y0"))
+                   & (F.col("y") <= F.col("y1")))
+    return (hits.groupBy("fid")
+            .agg(F.count(F.lit(1)).alias("n_pings"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.expr("(max(us) - min(us)) div 1000000")
+                 .alias("span_sec")))
+
+
+def _fence_visits_oracle() -> str:
+    rects = _RECTS_SQL
+    return f"""
+WITH f AS (
+  SELECT fid, rxmin - 500 AS x0, rxmax + 500 AS x1,
+         rymin - 500 AS y0, rymax + 500 AS y1
+  FROM ({rects}) WHERE fid % 97 = 0
+), p AS (
+  SELECT user_id, epoch_us(ts) AS us, {_ODX} AS x, {_ODY} AS y
+  FROM events
+)
+SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_pings,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       (MAX(us) - MIN(us)) // 1000000 AS span_sec
+FROM p JOIN f ON x >= x0 AND x <= x1 AND y >= y0 AND y <= y1
+GROUP BY 1
+"""
+
+
+ORACLE["fence_visits"] = _fence_visits_oracle()
+
+QUERIES["fence_visits"] = q_fence_visits

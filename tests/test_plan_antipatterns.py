@@ -97,6 +97,8 @@ LAZY = [
     "snaive_error", "value_histogram",
     # r07 wave U
     "order_gaps", "ahash_balance", "caption_subjects",
+    # r07 wave V
+    "fence_visits", "hod_profile", "cume_users",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
