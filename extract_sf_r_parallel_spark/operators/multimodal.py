@@ -1381,3 +1381,37 @@ def noise_estimate(images: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _NOISE_SCHEMA.fields])
     return images.mapInPandas(gen, _NOISE_SCHEMA)
+
+
+_LETTERBOX_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("border_n", T.LongType()),
+    T.StructField("border_sum", T.LongType()),
+    T.StructField("interior_n", T.LongType()),
+    T.StructField("interior_sum", T.LongType()),
+    T.StructField("letterboxed", T.BooleanType()),
+])
+
+
+def letterbox_detect(images: DataFrame, margin: int = 2) -> DataFrame:
+    """Letterbox / framing detector — the curation screen that flags
+    images whose `margin`-pixel border is much darker than the
+    content (black bars from aspect-ratio padding): channel-0 sums
+    over border vs interior, verdict border_mean < interior_mean/2
+    kept integer by cross-multiplication (2·border_sum·interior_n <
+    interior_sum·border_n). Exact int64; mapInPandas, zero shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                inner = v[margin:-margin, margin:-margin]
+                tot, n = int(v.sum()), v.size
+                isum, inum = int(inner.sum()), inner.size
+                bsum, bn = tot - isum, n - inum
+                rows.append((r.image_id, bn, bsum, inum, isum,
+                             2 * bsum * inum < isum * bn))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _LETTERBOX_SCHEMA.fields])
+    return images.mapInPandas(gen, _LETTERBOX_SCHEMA)

@@ -2485,6 +2485,7 @@ _GATE_FIRST = [
     "sliding_stream", "snaive_error", "value_histogram",
     "order_gaps", "ahash_balance", "caption_subjects",
     "fence_visits", "hod_profile", "cume_users",
+    "hhi_brand", "price_runs", "letterbox",
 ]
 
 
@@ -4253,6 +4254,51 @@ FROM imgs GROUP BY 1
 """
 
 QUERIES["caption_subjects"] = q_caption_subjects
+
+
+# --- letterbox detection (r07 wave W): dark-border screen
+# (operators/multimodal.py::letterbox_detect) — border-vs-interior
+# channel-0 sums with the verdict 2·border_sum·interior_n <
+# interior_sum·border_n (⟺ border mean < half interior mean). The
+# oracle partitions every pixel into border/interior by its (r, c)
+# and replays the cross-multiplied verdict.
+def q_letterbox(spark, sf_dir):
+    from ..operators.multimodal import letterbox_detect
+    return letterbox_detect(spark.createDataFrame(synth.images_pdf(150)))
+
+
+ORACLE["letterbox"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM range(150) t(i)
+), px AS (
+  SELECT image_id, p // w AS r, p % w AS c, {_px_chan(0)} AS v, w, h
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+), split AS (
+  SELECT image_id,
+         CASE WHEN r >= 2 AND r <= h - 3 AND c >= 2 AND c <= w - 3
+              THEN 0 ELSE 1 END AS is_border, v
+  FROM px
+), agg AS (
+  SELECT image_id,
+         CAST(SUM(is_border) AS BIGINT) AS border_n,
+         CAST(SUM(CASE WHEN is_border = 1 THEN v ELSE 0 END) AS BIGINT)
+           AS border_sum,
+         CAST(SUM(1 - is_border) AS BIGINT) AS interior_n,
+         CAST(SUM(CASE WHEN is_border = 0 THEN v ELSE 0 END) AS BIGINT)
+           AS interior_sum
+  FROM split GROUP BY 1
+)
+SELECT image_id, border_n, border_sum, interior_n, interior_sum,
+       2 * border_sum * interior_n < interior_sum * border_n
+         AS letterboxed
+FROM agg
+"""
+
+QUERIES["letterbox"] = q_letterbox
 
 
 # ---------------------------------------------------------------------------

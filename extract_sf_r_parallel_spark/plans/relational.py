@@ -3119,3 +3119,122 @@ FROM daily
 """
 
 QUERIES["cume_users"] = q_cume_users
+
+
+# --- Herfindahl concentration (r07 wave W): the antitrust /
+# supply-risk index per part brand — supplier shares of shipped
+# quantity, with the HHI kept exact as the numerator pair
+# (Σq_i², (Σq)²) and the dominance verdict 4·q_max² > (Σq)²
+# (⟺ top share > 1/2) by cross-multiplication. Two nested groupBys
+# (part-brand×supplier, then brand) — both map-side combinable.
+def q_hhi_brand(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("long")
+        .alias("q"))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    bysup = (li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+             .groupBy("p_brand", "l_suppkey")
+             .agg(F.sum("q").alias("qs")))
+    return (bysup.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.sum("qs").alias("total_q"),
+                 F.sum(F.col("qs") * F.col("qs")).alias("hhi_num"),
+                 F.max("qs").alias("max_q"))
+            .withColumn("dominated",
+                        4 * F.col("max_q") * F.col("max_q")
+                        > F.col("total_q") * F.col("total_q")))
+
+
+ORACLE["hhi_brand"] = """
+WITH bysup AS (
+  SELECT p.p_brand, l.l_suppkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qs
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+)
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(qs) AS BIGINT) AS total_q,
+       CAST(SUM(qs * qs) AS BIGINT) AS hhi_num,
+       CAST(MAX(qs) AS BIGINT) AS max_q,
+       4 * MAX(qs) * MAX(qs) > SUM(qs) * SUM(qs) AS dominated
+FROM bysup GROUP BY 1
+"""
+
+QUERIES["hhi_brand"] = q_hhi_brand
+
+
+# --- price run analysis (r07 wave W): tick-direction statistics over
+# each part's shipment-ordered price path — up/down/flat move counts
+# and the LONGEST consecutive up-run (gaps-and-islands over the
+# direction flag: an island starts where the direction changes; run
+# length = island size). Two windows on the part key + two groupBys.
+def q_price_runs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("cents"))
+    w = (W.partitionBy("l_partkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+    d = (li.withColumn("prev", F.lag("cents").over(w))
+         .filter(F.col("prev").isNotNull())
+         .withColumn("dir", F.signum(F.col("cents") - F.col("prev"))
+                     .cast("long")))
+    isl = d.withColumn(
+        "flip", F.when(F.lag("dir").over(w).isNull()
+                       | (F.lag("dir").over(w) != F.col("dir")), 1)
+        .otherwise(0)).withColumn("island", F.sum("flip").over(w))
+    runs = (isl.groupBy("l_partkey", "island", "dir")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("l_partkey")
+            .agg(F.sum(F.when(F.col("dir") == 1, F.col("run_len"))
+                       .otherwise(0)).cast("long").alias("n_up"),
+                 F.sum(F.when(F.col("dir") == -1, F.col("run_len"))
+                       .otherwise(0)).cast("long").alias("n_down"),
+                 F.sum(F.when(F.col("dir") == 0, F.col("run_len"))
+                       .otherwise(0)).cast("long").alias("n_flat"),
+                 F.max(F.when(F.col("dir") == 1, F.col("run_len")))
+                 .alias("mu"))
+            .select("l_partkey", "n_up", "n_down", "n_flat",
+                    F.coalesce("mu", F.lit(0)).alias("max_up_run")))
+
+
+ORACLE["price_runs"] = """
+WITH li AS (
+  SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), d AS (
+  SELECT *,
+    SIGN(cents - LAG(cents) OVER
+      (PARTITION BY l_partkey
+       ORDER BY l_shipdate, l_orderkey, l_linenumber)) AS dir
+  FROM li
+), flagged AS (
+  SELECT *,
+    CASE WHEN LAG(dir) OVER (PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) IS NULL
+         OR LAG(dir) OVER (PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber) <> dir
+         THEN 1 ELSE 0 END AS flip
+  FROM d WHERE dir IS NOT NULL
+), isl AS (
+  SELECT *, SUM(flip) OVER (PARTITION BY l_partkey
+             ORDER BY l_shipdate, l_orderkey, l_linenumber) AS island
+  FROM flagged
+), runs AS (
+  SELECT l_partkey, island, dir, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT l_partkey,
+       CAST(SUM(CASE WHEN dir = 1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_up,
+       CAST(SUM(CASE WHEN dir = -1 THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_down,
+       CAST(SUM(CASE WHEN dir = 0 THEN run_len ELSE 0 END) AS BIGINT)
+         AS n_flat,
+       CAST(COALESCE(MAX(CASE WHEN dir = 1 THEN run_len END), 0)
+            AS BIGINT) AS max_up_run
+FROM runs GROUP BY 1
+"""
+
+QUERIES["price_runs"] = q_price_runs

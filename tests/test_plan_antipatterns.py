@@ -99,6 +99,8 @@ LAZY = [
     "order_gaps", "ahash_balance", "caption_subjects",
     # r07 wave V
     "fence_visits", "hod_profile", "cume_users",
+    # r07 wave W
+    "hhi_brand", "price_runs", "letterbox",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
