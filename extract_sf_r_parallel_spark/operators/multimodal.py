@@ -1415,3 +1415,33 @@ def letterbox_detect(images: DataFrame, margin: int = 2) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _LETTERBOX_SCHEMA.fields])
     return images.mapInPandas(gen, _LETTERBOX_SCHEMA)
+
+
+_SYMMETRY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("n_pairs", T.LongType()),
+    T.StructField("asym_sum", T.LongType()),
+    T.StructField("asym_max", T.LongType()),
+])
+
+
+def symmetry_score(images: DataFrame) -> DataFrame:
+    """Horizontal-mirror asymmetry — the composition screen that
+    separates symmetric subjects (faces, logos, architecture) from
+    natural scenes: Σ|v[r, c] − v[r, w−1−c]| over the left half of
+    channel 0 (each mirror pair counted once; the odd middle column
+    is its own mirror and contributes zero, so it is skipped).
+    Exact int64; mapInPandas, zero shuffle."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                v = codec.decode_image(r.bytes, r.fmt, r.w, r.h)[..., 0] \
+                    .astype(np.int64)
+                half = v.shape[1] // 2
+                d = np.abs(v[:, :half] - v[:, ::-1][:, :half])
+                rows.append((r.image_id, int(d.size), int(d.sum()),
+                             int(d.max())))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _SYMMETRY_SCHEMA.fields])
+    return images.mapInPandas(gen, _SYMMETRY_SCHEMA)

@@ -2486,6 +2486,7 @@ _GATE_FIRST = [
     "order_gaps", "ahash_balance", "caption_subjects",
     "fence_visits", "hod_profile", "cume_users",
     "hhi_brand", "price_runs", "letterbox",
+    "abc_class", "user_paths", "symmetry_score",
 ]
 
 
@@ -4299,6 +4300,45 @@ FROM agg
 """
 
 QUERIES["letterbox"] = q_letterbox
+
+
+# --- mirror symmetry score (r07 wave X): horizontal-mirror
+# asymmetry Σ|v[r,c] − v[r,w−1−c]| over the left half of channel 0
+# (operators/multimodal.py::symmetry_score); the oracle re-derives
+# BOTH bytes of every mirror pair from the Lehmer closed form
+# (pixel index p and its mirror r·w + (w−1−c)).
+def _sym_px(j: str) -> str:
+    lehmer = f"(((base + ({j}) * 2654435761) % 4294967291)" \
+             f" * 279470273) % 4294967291"
+    return f"(xor({lehmer}, ({lehmer}) >> 16) % 256)"
+
+
+def q_symmetry_score(spark, sf_dir):
+    from ..operators.multimodal import symmetry_score
+    return symmetry_score(spark.createDataFrame(synth.images_pdf(150)))
+
+
+ORACLE["symmetry_score"] = f"""
+WITH imgs AS (
+  SELECT i, 'img' || lpad(CAST(i AS VARCHAR), 8, '0') AS image_id,
+    CASE i % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS w,
+    CASE (i // 3) % 3 WHEN 0 THEN 32 WHEN 1 THEN 64 ELSE 96 END AS h,
+    42 * 1000003 + i AS base
+  FROM imgs_range
+), d AS (
+  SELECT image_id,
+         ABS(({_sym_px('3 * p')})
+             - ({_sym_px('3 * ((p // w) * w + (w - 1 - p % w))')})) AS ad
+  FROM imgs, LATERAL (SELECT UNNEST(range(w*h)) AS p) u
+  WHERE p % w < w // 2
+)
+SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(ad) AS BIGINT) AS asym_sum,
+       CAST(MAX(ad) AS BIGINT) AS asym_max
+FROM d GROUP BY 1
+""".replace("FROM imgs_range", "FROM range(150) t(i)")
+
+QUERIES["symmetry_score"] = q_symmetry_score
 
 
 # ---------------------------------------------------------------------------

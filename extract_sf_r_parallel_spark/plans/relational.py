@@ -3238,3 +3238,92 @@ FROM runs GROUP BY 1
 """
 
 QUERIES["price_runs"] = q_price_runs
+
+
+# --- ABC / Pareto classification (r07 wave X): the inventory
+# analysis staple — parts ranked by revenue, classified A while the
+# running share is within 80% of total, B within 95%, else C, with
+# every share test cross-multiplied (5·cum ≤ 4·tot; 20·cum ≤
+# 19·tot) so no ratio ever materializes. The cumulative window runs
+# under the total (revenue desc, partkey) order; the class rollup
+# reports each band's size and exact revenue mass.
+def q_abc_class(spark, sf_dir):
+    rev = (_t(spark, sf_dir, "lineitem")
+           .groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
+                      .cast("long")).alias("cents")))
+    w = W.orderBy(F.col("cents").desc(), "l_partkey")
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    r = (rev.withColumn("cum", F.sum("cents").over(w))
+         .crossJoin(F.broadcast(tot))
+         .withColumn("cls", F.when(5 * F.col("cum") <= 4 * F.col("tot"),
+                                   "A")
+                     .when(20 * F.col("cum") <= 19 * F.col("tot"), "B")
+                     .otherwise("C")))
+    return (r.groupBy("cls")
+            .agg(F.count(F.lit(1)).alias("n_parts"),
+                 F.sum("cents").alias("revenue_cents")))
+
+
+ORACLE["abc_class"] = """
+WITH rev AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM lineitem GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev
+), r AS (
+  SELECT cents,
+    SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS cum,
+    t.tot
+  FROM rev CROSS JOIN tot t
+), cls AS (
+  SELECT cents,
+    CASE WHEN 5 * cum <= 4 * tot THEN 'A'
+         WHEN 20 * cum <= 19 * tot THEN 'B' ELSE 'C' END AS cls
+  FROM r
+)
+SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM cls GROUP BY 1
+"""
+
+QUERIES["abc_class"] = q_abc_class
+
+
+# --- user path analysis (r07 wave X): the Sankey-diagram feed —
+# each user's FIRST THREE event types in (ts, event_id) order
+# joined into a "a>b>c" path string (shorter if the user has fewer
+# events), counted across users. The same sort-slice-concat shape
+# as top3_concat, keyed per user then rolled up — two shuffles.
+def q_user_paths(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id")
+    path = (ev.groupBy("user_id")
+            .agg(F.expr(
+                "concat_ws('>', transform(slice(array_sort("
+                "collect_list(struct(us, event_id, event_type))"
+                "), 1, 3), s -> s.event_type))").alias("path")))
+    return (path.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+ORACLE["user_paths"] = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts), event_id) AS rn
+  FROM events
+), path AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ordered WHERE rn <= 3 GROUP BY 1
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM path GROUP BY 1
+"""
+
+QUERIES["user_paths"] = q_user_paths

@@ -101,6 +101,8 @@ LAZY = [
     "fence_visits", "hod_profile", "cume_users",
     # r07 wave W
     "hhi_brand", "price_runs", "letterbox",
+    # r07 wave X
+    "abc_class", "user_paths", "symmetry_score",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
