@@ -2487,6 +2487,7 @@ _GATE_FIRST = [
     "fence_visits", "hod_profile", "cume_users",
     "hhi_brand", "price_runs", "letterbox",
     "abc_class", "user_paths", "symmetry_score",
+    "json_props", "tile_change",
 ]
 
 

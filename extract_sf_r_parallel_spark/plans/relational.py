@@ -3327,3 +3327,45 @@ FROM path GROUP BY 1
 """
 
 QUERIES["user_paths"] = q_user_paths
+
+
+# --- semi-structured JSON extraction (r07 wave Y): the props column
+# is a JSON document — parse `$.k` with the engines' REAL JSON path
+# functions (Spark get_json_object ↔ DuckDB json_extract_string,
+# both returning the scalar as text → exact BIGINT cast) and roll
+# up per event type: count, k mass, extrema, the k > 50 band, and
+# the malformed/missing-key count (NULL extraction — 0 here, the
+# audit column that catches schema drift in production). JSON
+# parsing is row-local; the only shuffle is the 5-group agg.
+def q_json_props(spark, sf_dir):
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.get_json_object("props", "$.k").cast("long")
+                  .alias("k")))
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_missing"),
+                 F.sum("k").alias("sum_k"),
+                 F.min("k").alias("min_k"), F.max("k").alias("max_k"),
+                 F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+                 .cast("long").alias("n_high")))
+
+
+ORACLE["json_props"] = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k, MAX(k) AS max_k,
+       CAST(SUM(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high
+FROM ev GROUP BY 1
+"""
+
+QUERIES["json_props"] = q_json_props

@@ -4332,3 +4332,53 @@ GROUP BY 1
 ORACLE["fence_visits"] = _fence_visits_oracle()
 
 QUERIES["fence_visits"] = q_fence_visits
+
+
+# --- tile change detection (r07 wave Y): period-over-period
+# activity shift per 2 km tile — event counts in the first vs
+# second half of the observation month (day < 15 vs ≥ 15), with the
+# growth verdict kept integer by cross-multiplying against the
+# global half totals (n2·T1 > n1·T2 ⟺ the tile's share grew).
+# The monitoring query behind "which regions lit up this period";
+# one scan, one tile groupBy, one broadcast of the 1-row totals.
+def q_tile_change(spark, sf_dir):
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.expr(f"({_ODX}) div 2000").alias("gx"),
+                  F.expr(f"({_ODY}) div 2000").alias("gy"),
+                  F.expr("datediff(to_date(ts), date'2024-01-01') >= 15")
+                  .alias("h2")))
+    per_tile = (ev.groupBy("gx", "gy")
+                .agg(F.sum(F.when(F.col("h2"), 0).otherwise(1))
+                     .cast("long").alias("n1"),
+                     F.sum(F.when(F.col("h2"), 1).otherwise(0))
+                     .cast("long").alias("n2")))
+    tot = per_tile.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    return (per_tile.crossJoin(F.broadcast(tot))
+            .select("gx", "gy", "n1", "n2",
+                    (F.col("n2") * F.col("t1")
+                     - F.col("n1") * F.col("t2")).alias("shift_num"))
+            .withColumn("grew", F.col("shift_num") > 0))
+
+
+ORACLE["tile_change"] = f"""
+WITH ev AS (
+  SELECT ({_ODX}) // 2000 AS gx, ({_ODY}) // 2000 AS gy,
+         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) >= 15
+           AS h2
+  FROM events
+), per_tile AS (
+  SELECT gx, gy,
+         CAST(SUM(CASE WHEN h2 THEN 0 ELSE 1 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN h2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM ev GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n1) AS BIGINT) AS t1, CAST(SUM(n2) AS BIGINT) AS t2
+  FROM per_tile
+)
+SELECT gx, gy, n1, n2,
+       n2 * t.t1 - n1 * t.t2 AS shift_num,
+       n2 * t.t1 - n1 * t.t2 > 0 AS grew
+FROM per_tile CROSS JOIN tot t
+"""
+
+QUERIES["tile_change"] = q_tile_change

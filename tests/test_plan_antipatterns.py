@@ -103,6 +103,8 @@ LAZY = [
     "hhi_brand", "price_runs", "letterbox",
     # r07 wave X
     "abc_class", "user_paths", "symmetry_score",
+    # r07 wave Y
+    "json_props", "tile_change",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
