@@ -2488,6 +2488,7 @@ _GATE_FIRST = [
     "hhi_brand", "price_runs", "letterbox",
     "abc_class", "user_paths", "symmetry_score",
     "json_props", "tile_change",
+    "dedup_latest", "share_of_total",
 ]
 
 

@@ -3369,3 +3369,86 @@ FROM ev GROUP BY 1
 """
 
 QUERIES["json_props"] = q_json_props
+
+
+# --- CDC keep-latest compaction (r07 wave Z): the change-stream →
+# current-state primitive (Kafka log compaction / Debezium "last
+# one wins"): per (user, event_type) key keep exactly the LATEST
+# event under the total (timestamp, event_id) order — a struct max,
+# no window, ONE shuffle — then summarize per type: key count, the
+# kept-ids checksum, and the kept-value mass. Deterministic under
+# tie timestamps because event_id completes the order.
+def q_dedup_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    latest = (ev.groupBy("user_id", "event_type")
+              .agg(F.max(F.struct("us", "event_id", "cents"))
+                   .alias("m")))
+    return (latest.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.sum("m.event_id").alias("id_checksum"),
+                 F.sum("m.cents").alias("kept_cents")))
+
+
+ORACLE["dedup_latest"] = """
+WITH r AS (
+  SELECT user_id, event_type, event_id,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) DESC,
+                                     event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+       CAST(SUM(cents) AS BIGINT) AS kept_cents
+FROM r WHERE rn = 1 GROUP BY 1
+"""
+
+QUERIES["dedup_latest"] = q_dedup_latest
+
+
+# --- share-of-total report (r07 wave Z): the BI percent-of-total
+# column — per-nation revenue with its exact parts-per-million
+# share (1000000·rev div total: positive operands ⇒ trunc ≡ floor
+# across engines; no float ratio) and the running cumulative share
+# under the deterministic (revenue desc, nation) order. One agg +
+# one broadcast total + one tiny window.
+def q_share_of_total(spark, sf_dir):
+    rev = (_t(spark, sf_dir, "orders").alias("o")
+           .join(_t(spark, sf_dir, "customer").alias("c"),
+                 F.col("o.o_custkey") == F.col("c.c_custkey"))
+           .groupBy(F.col("c.c_nationkey").alias("nk"))
+           .agg(F.sum(F.round(F.col("o.o_totalprice") * 100)
+                      .cast("long")).alias("cents")))
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    w = W.orderBy(F.col("cents").desc(), "nk")
+    return (rev.crossJoin(F.broadcast(tot))
+            .withColumn("share_ppm",
+                        F.expr("1000000 * cents div tot"))
+            .withColumn("cum_cents", F.sum("cents").over(w))
+            .withColumn("cum_ppm",
+                        F.expr("1000000 * cum_cents div tot"))
+            .select("nk", "cents", "share_ppm", "cum_ppm"))
+
+
+ORACLE["share_of_total"] = """
+WITH rev AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev
+)
+SELECT nk, cents,
+       1000000 * cents // t.tot AS share_ppm,
+       1000000 * (SUM(cents) OVER (ORDER BY cents DESC, nk)) // t.tot
+         AS cum_ppm
+FROM rev CROSS JOIN tot t
+"""
+
+QUERIES["share_of_total"] = q_share_of_total

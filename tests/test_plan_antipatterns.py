@@ -105,6 +105,8 @@ LAZY = [
     "abc_class", "user_paths", "symmetry_score",
     # r07 wave Y
     "json_props", "tile_change",
+    # r07 wave Z
+    "dedup_latest", "share_of_total",
     # incremental_read commits IceLite snapshots at build — excluded
     # like compact_files / stats_prune / delete_rows
     # stats_prune / delete_rows commit IceLite snapshots at build —
