@@ -3446,8 +3446,8 @@ WITH rev AS (
 )
 SELECT nk, cents,
        1000000 * cents // t.tot AS share_ppm,
-       1000000 * (SUM(cents) OVER (ORDER BY cents DESC, nk)) // t.tot
-         AS cum_ppm
+       CAST(1000000 * (SUM(cents) OVER (ORDER BY cents DESC, nk))
+            // t.tot AS BIGINT) AS cum_ppm
 FROM rev CROSS JOIN tot t
 """
 
