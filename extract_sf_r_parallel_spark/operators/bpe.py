@@ -8,12 +8,12 @@ algorithm behind GPT/Llama tokenizers), distributed:
   pairs exploded from the split representation, weighted by word
   count) plus a driver-side argmax of the tiny pair table — the
   iterative-algorithm pattern shared with Lloyd IVF and Weiszfeld;
-- the merge rewrite is a pure-Column double `replace` over the
-  space-padded representation. Literal left-to-right non-overlapping
-  replace has IDENTICAL semantics in the JVM and DuckDB (probed), and
-  the second pass folds the odd members of "ababab" runs, which makes
-  the rewrite equal to greedy left-to-right BPE merging — and, more
-  importantly for the driver gate, deterministic and engine-portable.
+- the merge rewrite is a pure-Column aggregate() fold over the token
+  array — TRUE left-to-right greedy merging (canonical BPE), which a
+  literal string replace cannot reproduce on same-symbol runs (the
+  match consumes the shared delimiter). The DuckDB oracle replays the
+  same left-greedy semantics positionally (pair-match flags + run
+  parity), so the two engines stay value-identical.
 
 Ties in the best-pair choice break lexicographically on the pair
 string — same rule on both engines.
@@ -68,8 +68,23 @@ def learn_bpe(words: DataFrame, iters: int = 3, word: str = "word",
                 "corpora (escape handling not implemented)")
         merged = pair.replace(" ", "")
         merges.append((pair, merged, total))
-        rewrite = (f"replace(replace(repr, ' {pair} ', ' {merged} '), "
-                   f"' {pair} ', ' {merged} ')")
+        p1, p2 = pair.split(" ", 1)
+        # TRUE left-to-right greedy merge as an aggregate() fold over
+        # the token array: merge the current token into the
+        # accumulator's tail iff (tail, current) == (p1, p2). The
+        # merged symbol p1||p2 can never equal p1 (p2 is non-empty),
+        # so a just-merged tail never re-merges — exactly canonical
+        # BPE. (A literal string replace is NOT equivalent: matching
+        # " d d " consumes the shared delimiter, so a run "d d d d"
+        # folds to [dd, d, dd] instead of the canonical [dd, dd, d] —
+        # caught by the hypothesis property test on same-symbol runs.)
+        rewrite = (
+            "concat(' ', concat_ws(' ', aggregate(split(trim(repr), ' '), "
+            "cast(array() as array<string>), "
+            f"(acc, x) -> IF(size(acc) > 0 "
+            f"AND element_at(acc, -1) = '{p1}' AND x = '{p2}', "
+            f"concat(slice(acc, 1, size(acc) - 1), array('{merged}')), "
+            "concat(acc, array(x))))), ' ')")
         reprs = reprs.withColumn("repr", F.expr(rewrite))
     return merges, reprs
 

@@ -741,19 +741,52 @@ WITH w AS (
   FROM w
 )"""]
     for k in range(1, iters + 1):
+        # the r{{k}} rewrite replays TRUE left-greedy merging
+        # positionally: pair-match flags, run parity (within a maximal
+        # run of consecutive matches only every even offset merges —
+        # same-symbol runs), consumed-successor suppression.
         parts.append(f""", p{k} AS (
   SELECT t[i] || ' ' || t[i+1] AS p, SUM(cnt) AS total
   FROM (SELECT cnt, string_split(trim(repr), ' ') AS t FROM r{k-1}) s,
        LATERAL (SELECT UNNEST(range(1, len(t))) AS i) u
   GROUP BY 1
 ), b{k} AS (
-  SELECT p, replace(p, ' ', '') AS m
+  SELECT p, replace(p, ' ', '') AS m,
+         string_split(p, ' ')[1] AS p1, string_split(p, ' ')[2] AS p2
   FROM p{k} ORDER BY total DESC, p LIMIT 1
+), tk{k} AS (
+  SELECT word, cnt, i, t[i] AS tok, len(t) AS n
+  FROM (SELECT word, cnt, string_split(trim(repr), ' ') AS t
+        FROM r{k-1}) s,
+       LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) u
+), mt{k} AS (
+  SELECT word, cnt, i, tok,
+         CASE WHEN i < n AND tok = b{k}.p1
+                   AND LEAD(tok) OVER (PARTITION BY word ORDER BY i)
+                       = b{k}.p2
+              THEN 1 ELSE 0 END AS mtch,
+         b{k}.m AS m
+  FROM tk{k}, b{k}
+), rp{k} AS (
+  SELECT *,
+    i - COALESCE(MAX(CASE WHEN mtch = 0 THEN i END)
+          OVER (PARTITION BY word ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        0) - 1 AS run_pos
+  FROM mt{k}
+), mg{k} AS (
+  SELECT *, CASE WHEN mtch = 1 AND run_pos % 2 = 0 THEN 1 ELSE 0 END
+            AS mrg,
+         COALESCE(LAG(CASE WHEN mtch = 1 AND run_pos % 2 = 0
+                           THEN 1 ELSE 0 END)
+           OVER (PARTITION BY word ORDER BY i), 0) AS consumed
+  FROM rp{k}
 ), r{k} AS (
   SELECT word, cnt,
-         replace(replace(repr, ' ' || b{k}.p || ' ', ' ' || b{k}.m || ' '),
-                 ' ' || b{k}.p || ' ', ' ' || b{k}.m || ' ') AS repr
-  FROM r{k-1}, b{k}
+         ' ' || string_agg(CASE WHEN mrg = 1 THEN m ELSE tok END,
+                           ' ' ORDER BY i) || ' ' AS repr
+  FROM mg{k} WHERE consumed = 0
+  GROUP BY word, cnt
 )""")
     parts.append(f"""
 SELECT tok AS token, CAST(SUM(cnt) AS BIGINT) AS freq
