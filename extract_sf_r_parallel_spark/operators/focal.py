@@ -189,12 +189,13 @@ def flow_dirs(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
     Plan: one literal 9-offset explode re-keys every cell onto the
     targets it neighbours PLUS itself (the dir-0 self-emission
     carries the centre height, so no self-join and no big sort ever
-    happens), then ONE groupBy collects the bounded 8-element
-    contribution list and resolves the argmax with a higher-order
-    `aggregate` — per-cell state is ≤ 9 rows regardless of raster
-    size, and the only shuffle is the scatter's. Only targets
-    receiving all 9 contributions emit (interior cells; the sparse
-    edge never produces a half-windowed direction)."""
+    happens), then ONE groupBy resolves the argmax with four
+    primitive aggregates (count, centre height, per-distance-class
+    packed (nv, dir) minima) — per-cell partial state is 4 longs
+    regardless of raster size, map-side combinable, and the only
+    shuffle is the scatter's. Only targets receiving all 9
+    contributions emit (interior cells; the sparse edge never
+    produces a half-windowed direction)."""
     offs = F.array(*([
         F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"),
                  F.lit(0).alias("k"), F.lit(0).alias("dir"))] + [
@@ -208,33 +209,45 @@ def flow_dirs(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",
                 (F.col(y) - F.col("_o.dy")).alias(y),
                 F.col("_o.k").alias("_k"), F.col("_o.dir").alias("_dir"),
                 F.col(value).alias("_nv")))
+    # r08 (guide §2.3 "aggregate before you shuffle"): the argmax is
+    # resolved with FOUR primitive aggregates instead of a
+    # collect_list + higher-order fold — the partial state per target
+    # cell is then 4 longs rather than the full 9-row contribution
+    # list, so map-side combine actually shrinks the shuffle and the
+    # aggregation stays in fast HashAggregate (the struct-list version
+    # ran in ObjectHashAggregate with list-valued partial states).
+    # Per distance class k ∈ {1, 2}, argmax by (slope desc, dir asc)
+    # ≡ argmin by (nv asc, dir asc) because slope = (vc − nv)/√k is
+    # strictly decreasing in nv with vc and k fixed; (nv, dir) packs
+    # losslessly into one long as (nv << 4) | dir (dir ∈ 1..8 occupies
+    # the low nibble; arithmetic shift keeps the order for negative
+    # heights, |value| < 2^59 — far beyond any DEM). The cross-class
+    # winner then compares the two decoded slopes exactly as the fold
+    # did: identical doubles, identical ties (smaller dir).
+    packed = F.shiftleft(F.col("_nv").cast("long"), 4) + F.col("_dir")
     per_cell = (
         scattered.groupBy(x, y)
         .agg(F.count(F.lit(1)).alias("_n"),
              F.max(F.when(F.col("_dir") == 0, F.col("_nv"))).alias("_vc"),
-             F.collect_list(  # null for dir 0 → excluded; ≤ 8 elements
-                 F.when(F.col("_dir") != 0,
-                        F.struct(F.col("_k").alias("k"),
-                                 F.col("_dir").alias("dir"),
-                                 F.col("_nv").alias("nv")))).alias("_c"))
+             F.min(F.when(F.col("_k") == 1, packed)).alias("_p1"),
+             F.min(F.when(F.col("_k") == 2, packed)).alias("_p2"))
         .filter(F.col("_n") == 9))
-
-    def _merge(acc, e):
-        s = ((F.col("_vc") - e["nv"]).cast("double")
-             / F.sqrt(e["k"].cast("double")))
-        better = (s > acc["s"]) | ((s == acc["s"]) & (-e["dir"] > acc["nd"]))
-        return F.when(better, F.struct(s.alias("s"),
-                                       (-e["dir"]).alias("nd"))) \
-                .otherwise(acc)
-
-    best = F.aggregate(
-        "_c",
-        F.struct(F.lit(float("-inf")).alias("s"),
-                 F.lit(-9).cast("int").alias("nd")),
-        _merge)
+    nv1 = F.shiftright(F.col("_p1"), 4)
+    nv2 = F.shiftright(F.col("_p2"), 4)
+    d1 = F.col("_p1").bitwiseAND(F.lit(15))
+    d2 = F.col("_p2").bitwiseAND(F.lit(15))
+    # slope doubles exactly as the fold computed them: k=1 divides by
+    # sqrt(1.0) = 1.0 (exact identity), k=2 by sqrt(2.0) — one
+    # correctly-rounded IEEE op each, so cross-engine parity holds
+    s1 = (F.col("_vc") - nv1).cast("double") / F.sqrt(F.lit(1.0))
+    s2 = (F.col("_vc") - nv2).cast("double") / F.sqrt(F.lit(2.0))
+    use2 = (s2 > s1) | ((s2 == s1) & (d2 < d1))
+    best_s = F.when(use2, s2).otherwise(s1)
+    best_d = F.when(use2, d2).otherwise(d1)
     return per_cell.select(
         x, y,
-        F.when(best["s"] > 0, -best["nd"]).otherwise(F.lit(0)).alias("dir"))
+        F.when(best_s > 0, best_d.cast("int")).otherwise(F.lit(0))
+        .alias("dir"))
 
 
 def flow_d8(cells: DataFrame, x: str = "cell_x", y: str = "cell_y",

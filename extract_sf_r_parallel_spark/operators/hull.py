@@ -31,12 +31,48 @@ from pyspark.sql import functions as F
 __all__ = ["hull_vertices_np", "convex_hull_stats", "hull_points"]
 
 
+def _akl_toussaint_keep(pts: np.ndarray) -> np.ndarray:
+    """Akl–Toussaint prefilter (r08, guide §1.2 "per-task work"):
+    boolean mask of points that MIGHT be hull vertices. The 8
+    directional extremes (E, NE, N, …) are hull points; listed in
+    support-angle order they form a convex polygon contained in the
+    hull, so anything strictly inside it is strictly inside the hull
+    and can be dropped before the O(n) Python chain loop. The
+    strict-inside test runs in float64 with a conservative error
+    margin (points within `margin` of an edge are KEPT), so a discard
+    is always sound; the exact chain then sees ~hull-sized survivors
+    instead of the full cloud."""
+    xs = pts[:, 0].astype(np.float64)
+    ys = pts[:, 1].astype(np.float64)
+    ring: list[tuple[float, float]] = []
+    for dx, dy in ((1, 0), (1, 1), (0, 1), (-1, 1),
+                   (-1, 0), (-1, -1), (0, -1), (1, -1)):
+        i = int(np.argmax(dx * xs + dy * ys))
+        p = (xs[i], ys[i])
+        if not ring or p != ring[-1]:
+            ring.append(p)
+    if ring[0] != ring[-1]:
+        ring.append(ring[0])
+    if len(ring) < 4:  # all extremes coincide — nothing to prune
+        return np.ones(len(pts), dtype=bool)
+    r = max(np.abs(xs).max(), np.abs(ys).max(),
+            max(abs(c) for p in ring for c in p), 1.0)
+    margin = 256.0 * r * r * 2.0 ** -52  # ≥ float64 cross-product error
+    inside = np.ones(len(pts), dtype=bool)
+    for (ax, ay), (bx, by) in zip(ring[:-1], ring[1:]):
+        cr = (bx - ax) * (ys - ay) - (by - ay) * (xs - ax)
+        inside &= cr > margin
+    return ~inside
+
+
 def hull_vertices_np(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     """Indices of the strictly convex hull vertices, counter-clockwise
     starting from the lexicographic minimum. Exact int64 arithmetic
     when inputs are integer-valued."""
     pts = np.stack([np.asarray(x, dtype=np.int64),
                     np.asarray(y, dtype=np.int64)], axis=1)
+    if len(pts) > 32:
+        pts = pts[_akl_toussaint_keep(pts)]
     pts = np.unique(pts, axis=0)  # sorts lexicographically (x, then y)
     n = len(pts)
     if n <= 2:

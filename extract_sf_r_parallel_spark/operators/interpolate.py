@@ -25,33 +25,13 @@ aggregation so the groupBy input is the true neighbor set.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..geo import index as I
-from .range_join import with_cell
+from .range_join import explode_bbox_cells, with_cell
 
 __all__ = ["idw_interpolate"]
-
-
-def _disk_cover_udf(radius: float, code: int):
-    """(x, y) → cells within `radius` of the point (bbox-dilated
-    superset cover, same geometry as poly_cover_udf on a degenerate
-    bbox — shared with the spatial join so probes and features agree
-    on the grid)."""
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _cover(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy(np.float64)
-        ys = y.to_numpy(np.float64)
-        cells, counts = I.cover_bbox_many(
-            xs - radius, ys - radius, xs + radius, ys + radius, code)
-        bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
-        return pd.Series([cells[bounds[i]:bounds[i + 1]].tolist()
-                          for i in range(len(xs))])
-    return _cover
 
 
 def idw_interpolate(probes: DataFrame, obs: DataFrame, radius: float,
@@ -65,9 +45,11 @@ def idw_interpolate(probes: DataFrame, obs: DataFrame, radius: float,
     p = probes.select(
         F.col(probe_id),
         F.col(x).alias("_px"), F.col(y).alias("_py"))
-    p = p.withColumn(
-        "cell", F.explode(_disk_cover_udf(radius, code)(
-            F.col("_px"), F.col("_py"))))
+    # r08: the disk cover is the bbox cover of the degenerate bbox
+    # [x, x]×[y, y] dilated by `radius` — pure JVM (guide §4.1), same
+    # cells as the old pandas _disk_cover_udf bit-for-bit
+    p = explode_bbox_cells(p, radius, code, xmin="_px", ymin="_py",
+                           xmax="_px", ymax="_py")
     o = with_cell(obs, code, x=x, y=y)
     pairs = o.join(p, "cell")
     # explicit dx*dx (not pow(x, 2) — Math.pow is allowed 1 ulp error,

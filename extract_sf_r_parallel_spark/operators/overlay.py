@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..geo import index as I
-from .range_join import cell_udf, explode_poly_cells
+from .range_join import cell_col, explode_bbox_cells
 
 __all__ = ["rect_overlay_pairs"]
 
@@ -58,8 +58,14 @@ def rect_overlay_pairs(a: DataFrame, b: DataFrame,
     for c in shared:
         a = a.withColumnRenamed(c, f"{c}{sa}")
         b = b.withColumnRenamed(c, f"{c}{sb}")
-    ea = explode_poly_cells(a, 0.0, code).drop("geom")
-    eb = explode_poly_cells(b, 0.0, code).drop("geom")
+    # r08: axis-aligned features — the cover explodes straight from the
+    # (suffixed) bbox columns in pure JVM; no ring parse, no pandas UDF
+    ea = explode_bbox_cells(a.drop("geom"), 0.0, code,
+                            xmin=f"rxmin{sa}", ymin=f"rymin{sa}",
+                            xmax=f"rxmax{sa}", ymax=f"rymax{sa}")
+    eb = explode_bbox_cells(b.drop("geom"), 0.0, code,
+                            xmin=f"rxmin{sb}", ymin=f"rymin{sb}",
+                            xmax=f"rxmax{sb}", ymax=f"rymax{sb}")
 
     ax0, ay0 = F.col(f"rxmin{sa}"), F.col(f"rymin{sa}")
     ax1, ay1 = F.col(f"rxmax{sa}"), F.col(f"rymax{sa}")
@@ -76,7 +82,7 @@ def rect_overlay_pairs(a: DataFrame, b: DataFrame,
     # only from that cell makes each pair unique without a distinct
     rx = F.greatest(ax0, bx0)
     ry = F.greatest(ay0, by0)
-    ref_cell = cell_udf(code)(rx, ry)
+    ref_cell = cell_col(rx, ry, code)
     iw = F.least(ax1, bx1) - rx
     ih = F.least(ay1, by1) - ry
     return (pairs.filter(overlap & (F.col("cell") == ref_cell))

@@ -42,9 +42,59 @@ from ..geo import kernels as K
 
 __all__ = [
     "cell_udf", "poly_cover_udf", "is_valid_udf", "pair_metrics_udf",
-    "broadcast_pair_metrics_udf", "with_cell", "explode_poly_cells",
-    "range_join_pairs", "salted",
+    "broadcast_pair_metrics_udf", "cell_col", "with_cell",
+    "explode_poly_cells", "explode_bbox_cells", "range_join_pairs",
+    "salted",
 ]
+
+# ---------------------------------------------------------------------------
+# Pure-JVM cell assignment + bbox cover (r08, guide §4.1: built-ins over
+# UDFs). These are bit-identical twins of geo.index.xy_to_cell /
+# cover_bbox_many: every float op is replicated in the same IEEE order,
+# and rounding uses the magic-number trick (x + 1.5·2^52) − 1.5·2^52,
+# which equals np.rint (round-half-to-even) for |x| < 2^51 — verified
+# exhaustively against np.rint in tests/test_cell_col.py. Removing the
+# ArrowEvalPython node from the candidate-join build keeps the whole
+# pair pipeline (cell assign → cover explode → equi join → bbox
+# refinement) inside one WholeStageCodegen span.
+# ---------------------------------------------------------------------------
+
+_RINT_MAGIC = 6755399441055744.0  # 1.5 · 2^52
+
+
+def _rint(c: Column) -> Column:
+    """Round half-to-even, branchless (|input| < 2^51)."""
+    return (c + F.lit(_RINT_MAGIC)) - F.lit(_RINT_MAGIC)
+
+
+def _axial_cols(x: Column, y: Column, e: float) -> tuple[Column, Column]:
+    """Fractional axial coords + cube rounding — the Column twin of
+    geo.index.xy_to_cell's interior (same op order, same rounding)."""
+    qf = (F.lit(I._SQRT3 / 3.0) * x - y / F.lit(3.0)) / F.lit(e)
+    rf = (F.lit(2.0 / 3.0) * y) / F.lit(e)
+    sf = -qf - rf
+    q, r, s = _rint(qf), _rint(rf), _rint(sf)
+    dq, dr, ds = F.abs(q - qf), F.abs(r - rf), F.abs(s - sf)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = (~fix_q) & (dr > ds)
+    qi = F.when(fix_q, -r - s).otherwise(q).cast("long")
+    ri = F.when(fix_r, -q - s).otherwise(r).cast("long")
+    return qi, ri
+
+
+def _pack_cell(code: int, qi: Column, ri: Column) -> Column:
+    """(code, q, r) → int64 cell id, identical to geo.index._pack."""
+    return (F.shiftleft(F.lit(int(code)).cast("long"), 58)
+            .bitwiseOR(F.shiftleft(qi + F.lit(int(I._BIAS)), 29))
+            .bitwiseOR(ri + F.lit(int(I._BIAS))))
+
+
+def cell_col(x: Column, y: Column, code: int) -> Column:
+    """(x, y) → int64 hex cell id at resolution `code`, pure JVM —
+    bit-identical to geo.index.xy_to_cell (see module comment)."""
+    e = float(I.edge_for_code(code))
+    qi, ri = _axial_cols(x, y, e)
+    return _pack_cell(code, qi, ri)
 
 
 def cell_udf(code: int):
@@ -186,7 +236,11 @@ def broadcast_pair_metrics_udf(spark, polys: DataFrame, radii: tuple[float, ...]
 
 def with_cell(df: DataFrame, code: int, x: str = "x", y: str = "y",
               out: str = "cell") -> DataFrame:
-    return df.withColumn(out, cell_udf(code)(F.col(x), F.col(y)))
+    # r08: JVM expression instead of the pandas UDF — same cell ids
+    # (cell_col is the bit-identical twin of xy_to_cell), but the
+    # assignment now fuses into the surrounding codegen stage instead
+    # of forcing an ArrowEvalPython exchange with the Python workers
+    return df.withColumn(out, cell_col(F.col(x), F.col(y), code))
 
 
 def explode_poly_cells(polys: DataFrame, radius: float, code: int,
@@ -197,6 +251,58 @@ def explode_poly_cells(polys: DataFrame, radius: float, code: int,
     df = df.withColumn(out, F.explode("cells")).drop("cells")
     if not keep_bbox:
         df = df.drop("bxmin", "bymin", "bxmax", "bymax")
+    return df
+
+
+def explode_bbox_cells(polys: DataFrame, radius: float, code: int,
+                       xmin: str = "rxmin", ymin: str = "rymin",
+                       xmax: str = "rxmax", ymax: str = "rymax",
+                       out: str = "cell",
+                       keep_bbox: bool = False) -> DataFrame:
+    """Pure-JVM twin of :func:`explode_poly_cells` for features whose
+    bbox is already in columns (axis-aligned rectangles: the bbox IS
+    the geometry, so no ring parse is needed). Emits the exact same
+    cell cover as geo.index.cover_bbox_many over the radius-dilated
+    bbox — corner axial rounding, ±1 grid padding, centre-proximity
+    prune — with every float op in the same IEEE order, so the cover
+    is bit-identical to the pandas-UDF path while staying inside
+    WholeStageCodegen (r08, guide §4.1)."""
+    e = float(I.edge_for_code(code))
+    x0 = F.col(xmin) - F.lit(float(radius))
+    x1 = F.col(xmax) + F.lit(float(radius))
+    y0 = F.col(ymin) - F.lit(float(radius))
+    y1 = F.col(ymax) + F.lit(float(radius))
+    qs, rs = zip(*[_axial_cols(cx, cy, e)
+                   for cx, cy in ((x0, y0), (x1, y0), (x0, y1), (x1, y1))])
+    # materialize the grid bounds as NAMED columns before the explodes:
+    # inlined into sequence() they would be re-evaluated per GENERATED
+    # row (the 4-corner cube-round tree × every grid cell — measured
+    # 1.8× slower on idw_interp), as a Project they run once per
+    # feature inside codegen and the Generates see plain attributes
+    df = polys.select(
+        "*",
+        (F.least(*qs) - 1).alias("_q0"), (F.greatest(*qs) + 1).alias("_q1"),
+        (F.least(*rs) - 1).alias("_r0"), (F.greatest(*rs) + 1).alias("_r1"))
+    df = df.withColumn("_q", F.explode(F.sequence(F.col("_q0"),
+                                                  F.col("_q1"))))
+    df = df.withColumn("_r", F.explode(F.sequence(F.col("_r0"),
+                                                  F.col("_r1"))))
+    qd, rd = F.col("_q").cast("double"), F.col("_r").cast("double")
+    cx = F.lit(e) * (F.lit(I._SQRT3) * qd + F.lit(I._SQRT3 / 2.0) * rd)
+    cy = F.lit(e) * (F.lit(1.5) * rd)
+    pad = F.lit(e)
+    df = df.filter(
+        (cx >= x0 - pad) & (cx <= x1 + pad)
+        & (cy >= y0 - pad) & (cy <= y1 + pad))
+    df = df.withColumn(out, _pack_cell(code, F.col("_q"), F.col("_r"))) \
+        .drop("_q", "_r", "_q0", "_q1", "_r0", "_r1")
+    if keep_bbox:
+        # same contract as explode_poly_cells(keep_bbox=True): the
+        # UNDILATED bbox rides along for the JVM prefilter
+        df = (df.withColumn("bxmin", F.col(xmin))
+              .withColumn("bymin", F.col(ymin))
+              .withColumn("bxmax", F.col(xmax))
+              .withColumn("bymax", F.col(ymax)))
     return df
 
 

@@ -1665,7 +1665,7 @@ def q_image_extract(spark, sf_dir):
     from ..data import codec
     from ..data import geotag as G
     from ..geo import index as I
-    from ..operators.range_join import explode_poly_cells, with_cell
+    from ..operators.range_join import explode_bbox_cells, with_cell
 
     n = 240
     imgs = spark.createDataFrame(synth.images_pdf(n))
@@ -1689,9 +1689,10 @@ def q_image_extract(spark, sf_dir):
              .withColumn("y", F.expr(G.sql_point_y("i")))
     code = I.code_for_radius(MAXDIST / 4.0)
     p = with_cell(pts, code)
-    rects = explode_poly_cells(
-        spatial_queries.rects_df(spark, sf_dir), MAXDIST, code)
-    pairs = p.join(F.broadcast(rects.drop("geom")), "cell")
+    rects = explode_bbox_cells(
+        spatial_queries.rects_df(spark, sf_dir).drop("geom"),
+        MAXDIST, code)
+    pairs = p.join(F.broadcast(rects), "cell")
     dx = F.greatest(F.col("rxmin") - F.col("x"),
                     F.col("x") - F.col("rxmax"), F.lit(0.0))
     dy = F.greatest(F.col("rymin") - F.col("y"),

@@ -2516,22 +2516,38 @@ QUERIES["max_drawdown"] = q_max_drawdown
 # segmentation — recency (latest order date), frequency (order
 # count), monetary (lifetime cents), each cut into NTILE(5) scores
 # under a TOTAL deterministic order (metric desc, custkey) so tie
-# handling is engine-identical; rfm = 100r + 10f + m. Three windows
-# over the same one-row-per-customer aggregate — the agg shuffle
-# dominates; the ntile windows run on the tiny rollup.
+# handling is engine-identical; rfm = 100r + 10f + m.
+# r08 (VERDICT r07 next-#3): the three ntile windows were
+# UNPARTITIONED — one sort task over the whole per-customer rollup,
+# which is 10⁸–10⁹ rows at 100×. Each score now computes a
+# distributed global rank (range partition + per-partition window +
+# broadcast prefix offsets, operators/global_order.py) and derives
+# the quintile with pure Column arithmetic (ntile_from_rank — the
+# exact NTILE bucket rule, pinned against F.ntile by
+# tests/test_global_order.py). No unpartitioned Window remains
+# (asserted by tests/test_plan_antipatterns.py).
 def q_rfm_scores(spark, sf_dir):
+    from ..operators.global_order import ntile_from_rank, with_global_rank
     o = (_t(spark, sf_dir, "orders")
          .groupBy("o_custkey")
          .agg(F.max("o_orderdate").alias("last_dt"),
               F.count(F.lit(1)).alias("freq"),
               F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
               .alias("cents")))
-    r = (o.withColumn("r_score", F.ntile(5).over(
-             W.orderBy(F.col("last_dt").desc(), "o_custkey")))
-         .withColumn("f_score", F.ntile(5).over(
-             W.orderBy(F.col("freq").desc(), "o_custkey")))
-         .withColumn("m_score", F.ntile(5).over(
-             W.orderBy(F.col("cents").desc(), "o_custkey"))))
+    orders = {
+        "r_score": [F.col("last_dt").desc(), F.col("o_custkey")],
+        "f_score": [F.col("freq").desc(), F.col("o_custkey")],
+        "m_score": [F.col("cents").desc(), F.col("o_custkey")],
+    }
+    r = o
+    for name, cols in orders.items():
+        ranked, n = with_global_rank(o, cols, out="_rk")
+        scored = ranked.select(
+            "o_custkey",
+            ntile_from_rank(F.col("_rk"), n, 5).alias(name))
+        # equi join back on the customer key — each side is already
+        # one row per customer, so this is a plain co-keyed join
+        r = r.join(scored, "o_custkey")
     return r.select(
         "o_custkey", "freq", "cents",
         F.col("r_score").cast("long").alias("r_score"),
@@ -3248,13 +3264,21 @@ QUERIES["price_runs"] = q_price_runs
 # under the total (revenue desc, partkey) order; the class rollup
 # reports each band's size and exact revenue mass.
 def q_abc_class(spark, sf_dir):
+    # r08 (VERDICT r07 next-#3): the global cumulative sum ran as ONE
+    # unpartitioned window task over the per-part rollup — fine at
+    # sf0.1, a straggler at 10⁸ parts. with_global_cumsum computes the
+    # identical exact-int64 running sum via range partitioning +
+    # per-partition windows + broadcast prefix offsets
+    # (operators/global_order.py); the band tests are unchanged.
+    from ..operators.global_order import with_global_cumsum
     rev = (_t(spark, sf_dir, "lineitem")
            .groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_extendedprice") * 100)
                       .cast("long")).alias("cents")))
-    w = W.orderBy(F.col("cents").desc(), "l_partkey")
     tot = rev.agg(F.sum("cents").alias("tot"))
-    r = (rev.withColumn("cum", F.sum("cents").over(w))
+    r = (with_global_cumsum(rev, [F.col("cents").desc(),
+                                  F.col("l_partkey")],
+                            "cents", out="cum")
          .crossJoin(F.broadcast(tot))
          .withColumn("cls", F.when(5 * F.col("cum") <= 4 * F.col("tot"),
                                    "A")

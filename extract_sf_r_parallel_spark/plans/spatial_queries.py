@@ -23,7 +23,7 @@ from pyspark.sql import types as T
 
 from ..data import geotag as G
 from ..geo import index as I
-from ..operators.range_join import explode_poly_cells, with_cell
+from ..operators.range_join import explode_bbox_cells, with_cell
 from ..scratch import scratch_dir
 
 ORACLE: dict[str, str] = {}
@@ -101,8 +101,13 @@ def rect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join rows (see range_join.range_join_pairs)
     code = I.code_for_radius(MAXDIST / 4.0)
     pts = with_cell(points_df(spark, sf_dir), code)
-    rects = explode_poly_cells(rects_df(spark, sf_dir), MAXDIST, code)
-    pairs = pts.join(F.broadcast(rects.drop("geom")), "cell")
+    # r08: rects are axis-aligned, so the cover explodes straight from
+    # the bbox columns in pure JVM (explode_bbox_cells) — no pandas
+    # cover UDF, no ring parse; the broadcast build side is one
+    # codegen'd scan+explode instead of an ArrowEvalPython stage
+    rects = explode_bbox_cells(rects_df(spark, sf_dir).drop("geom"),
+                               MAXDIST, code)
+    pairs = pts.join(F.broadcast(rects), "cell")
     dx = F.greatest(F.col("rxmin") - F.col("x"), F.col("x") - F.col("rxmax"), F.lit(0.0))
     dy = F.greatest(F.col("rymin") - F.col("y"), F.col("y") - F.col("rymax"), F.lit(0.0))
     return pairs.withColumn("dist", F.sqrt(dx * dx + dy * dy))

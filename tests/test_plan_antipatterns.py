@@ -79,8 +79,10 @@ LAZY = [
     # r07 wave M
     "audio_resample", "color_mediancut", "simpson_diversity",
     "benford_digits",
-    # r07 wave N
-    "stock_floor", "max_drawdown", "rfm_scores", "scene_cuts",
+    # r07 wave N (rfm_scores moved out in r08: its distributed-rank
+    # rewrite checkpoints + collects prefix offsets at build; its
+    # plan shape is pinned by tests/test_global_order.py)
+    "stock_floor", "max_drawdown", "scene_cuts",
     # r07 wave O
     "local_moran", "yoy_ttest", "clustering_coef", "crossmodal_corr",
     # r07 wave P (hotspot_stream runs a live drain at build — excluded
@@ -101,8 +103,9 @@ LAZY = [
     "fence_visits", "hod_profile", "cume_users",
     # r07 wave W
     "hhi_brand", "price_runs", "letterbox",
-    # r07 wave X
-    "abc_class", "user_paths", "symmetry_score",
+    # r07 wave X (abc_class moved out in r08: distributed-cumsum
+    # rewrite, see test_global_order.py)
+    "user_paths", "symmetry_score",
     # r07 wave Y
     "json_props", "tile_change",
     # r07 wave Z
