@@ -148,16 +148,36 @@ def _hull_pts_fn(gcols):
 def hull_points(df: DataFrame, group: str = "gid",
                 pre_reduce_salt: int | None = None) -> DataFrame:
     """Hull VERTEX rows (group, x, y) — the pre-reduced point set when
-    salted, the final hull otherwise. df needs double-typed
-    integer-valued x/y columns."""
-    schema = ", ".join(
-        [f"{group} {dict(df.dtypes)[group]}", "x double", "y double"])
+    `pre_reduce_salt` is set, the final hull otherwise. df needs
+    double-typed integer-valued x/y columns.
+
+    r08 (guide §2.4 "remove shuffles outright"): the pre-reduce no
+    longer shuffles the full cloud into (group, salt) shards — the
+    hull is associative, so a PARTITION-LOCAL chain per (scan
+    partition, group) via mapInPandas reduces each Arrow batch to
+    ≤ hull-size rows per group with ZERO shuffle; only the tiny
+    partial-hull union moves to the final per-group chain. The salt
+    integer now only gates whether pre-reduction happens (any value
+    > 1 enables it) — exactness is unchanged (hull(P ∪ Q) =
+    hull(hull(P) ∪ hull(Q)), pinned by tests comparing both paths)."""
+    gt = dict(df.dtypes)[group]
+    schema = ", ".join([f"{group} {gt}", "x double", "y double"])
     if pre_reduce_salt and pre_reduce_salt > 1:
-        shard = df.withColumn("_s", F.pmod(
-            F.xxhash64("x", "y"), F.lit(pre_reduce_salt)).cast("int"))
-        part = shard.groupBy(group, "_s").applyInPandas(
-            _hull_pts_fn([group]), f"{schema}")
-        return part
+        def _partial(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                outs = []
+                for g, sub in pdf.groupby(group, sort=False):
+                    hv = hull_vertices_np(sub["x"].to_numpy(),
+                                          sub["y"].to_numpy())
+                    out = pd.DataFrame({
+                        "x": hv[:, 0].astype(np.float64),
+                        "y": hv[:, 1].astype(np.float64)})
+                    out[group] = g
+                    outs.append(out[[group, "x", "y"]])
+                yield pd.concat(outs, ignore_index=True)
+        return df.select(group, "x", "y").mapInPandas(_partial, schema)
     return df.groupBy(group).applyInPandas(_hull_pts_fn([group]), schema)
 
 

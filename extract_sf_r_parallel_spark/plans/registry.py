@@ -25,6 +25,15 @@ from ..operators.similarity import (
     semantic_dedup,
 )
 from . import relational, spatial_queries, textops
+
+# state-store tasks per streaming micro-batch (r08, guide §1.2
+# config-last): 4 left 28 cores idle during addBatch while each task
+# walked a quarter of the keys — 8 measured the drain 13-17 s → ~10 s
+# on the sf0.1 fixture with identical sink rows; 32 regressed (per-
+# partition store overhead dominates a bounded fixture). Still scoped
+# to the drain only; a real deployment sizes state partitions to the
+# cluster up front (run_available_now docstring).
+_STREAM_PARTS = 8
 from .spatial_queries import points_df, rects_df
 
 ORACLE: dict[str, str] = {}
@@ -581,7 +590,7 @@ def q_stream_enrich(spark, sf_dir):
                    "n", "sum_value"))
     ck = scratch_dir("stream_enrich_ck_")
     SE.run_available_now(enr, "stream_enrich_sink", ck,
-                         shuffle_partitions=4)
+                         shuffle_partitions=_STREAM_PARTS)
     return (spark.table("stream_enrich_sink")
             .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
             .select("hour", "n_name", "n", "sum_value"))
@@ -1975,7 +1984,7 @@ def q_geofence_stream(spark, sf_dir):
     s = with_inside(stream.select(*cols), fences, buffer=500.0)
     out = geofence_stream(s, watermark="1 hour")
     ck = scratch_dir("geofence_ck_")
-    SE.run_available_now(out, "geofence_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(out, "geofence_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (spark.table("geofence_sink")
             .filter(F.col("user_id") >= 0)
             .select("user_id", "ts", "event_id", "kind"))
@@ -2029,7 +2038,7 @@ def q_sessions_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     sess = sessionize_stream(stream, gap_minutes=600, watermark="1 hour")
     ck = scratch_dir("sess_stream_ck_")
-    SE.run_available_now(sess, "sessions_stream_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(sess, "sessions_stream_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (
         spark.table("sessions_stream_sink")
         .filter(F.col("user_id") >= 0)
@@ -2061,7 +2070,7 @@ def q_hll_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     hs = SE.windowed_hll(stream, window="1 hour", watermark="1 hour")
     ck = scratch_dir("hll_stream_ck_")
-    SE.run_available_now(hs, "hll_stream_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(hs, "hll_stream_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (
         spark.table("hll_stream_sink")
         .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
@@ -2092,7 +2101,7 @@ def q_windowed_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     wc = SE.windowed_counts(stream, window="1 hour", watermark="1 hour")
     ck = scratch_dir("win_stream_ck_")
-    SE.run_available_now(wc, "windowed_stream_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(wc, "windowed_stream_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (
         spark.table("windowed_stream_sink")
         .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
@@ -2115,7 +2124,7 @@ def q_dedup_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     dd = SE.dedup_stream(stream, watermark="1 hour")
     ck = scratch_dir("dedup_stream_ck_")
-    SE.run_available_now(dd, "dedup_stream_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(dd, "dedup_stream_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (
         spark.table("dedup_stream_sink")
         .filter(F.col("user_id") >= 0)
@@ -2153,7 +2162,7 @@ def q_stream_join(spark, sf_dir):
                          & (F.col("user_id") >= 0))
     j = SE.funnel_join(left, right, within="30 minutes", watermark="1 hour")
     ck = scratch_dir("stream_join_ck_")
-    SE.run_available_now(j, "stream_join_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(j, "stream_join_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (spark.table("stream_join_sink")
             .select("user_id", "left_event_id", "right_event_id"))
 
@@ -2193,7 +2202,7 @@ def q_stream_join_outer(spark, sf_dir):
                        watermark="1 hour", how="left_outer")
     ck = scratch_dir("stream_join_outer_ck_")
     SE.run_available_now(j, "stream_join_outer_sink", ck,
-                         shuffle_partitions=4)
+                         shuffle_partitions=_STREAM_PARTS)
     return (spark.table("stream_join_outer_sink")
             .filter(F.col("user_id") >= 0)
             .select("user_id", "left_event_id", "right_event_id"))
@@ -2615,7 +2624,7 @@ def q_cms_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     cs = SE.windowed_cms(stream, window="1 hour", watermark="1 hour")
     ck = scratch_dir("cms_stream_ck_")
-    SE.run_available_now(cs, "cms_stream_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(cs, "cms_stream_sink", ck, shuffle_partitions=_STREAM_PARTS)
     return (
         spark.table("cms_stream_sink")
         .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
@@ -2698,7 +2707,7 @@ def q_cms_topk(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     cs = SE.windowed_cms(stream, window="1 day", watermark="1 day")
     ck = scratch_dir("cms_topk_ck_")
-    SE.run_available_now(cs, "cms_topk_sink", ck, shuffle_partitions=4)
+    SE.run_available_now(cs, "cms_topk_sink", ck, shuffle_partitions=_STREAM_PARTS)
     grid = (spark.table("cms_topk_sink")
             .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
             .withColumnRenamed("hour", "day"))
@@ -2941,7 +2950,7 @@ def q_quantile_stream(spark, sf_dir):
     h = SE.windowed_hist(stream, window="1 day", watermark="1 day")
     ck = scratch_dir("quantile_stream_ck_")
     SE.run_available_now(h, "quantile_stream_sink", ck,
-                         shuffle_partitions=4)
+                         shuffle_partitions=_STREAM_PARTS)
     from ..operators.sketch import hist_quantiles
     bins = (spark.table("quantile_stream_sink")
             .filter(F.col("day") < F.lit("2025-01-01").cast("timestamp")))
@@ -4024,7 +4033,7 @@ def q_hotspot_stream(spark, sf_dir):
                                   watermark="1 hour")
     ck = scratch_dir("hotspot_stream_ck_")
     SE.run_available_now(out, "hotspot_stream_sink", ck,
-                         shuffle_partitions=4)
+                         shuffle_partitions=_STREAM_PARTS)
     return (spark.table("hotspot_stream_sink")
             .filter(F.col("hour") < F.lit("2025-01-01").cast("timestamp"))
             .select("hour", "gx", "gy", "n", "sum_value"))
@@ -4147,7 +4156,7 @@ def q_sliding_stream(spark, sf_dir):
     out = SE.sliding_counts(stream)
     ck = scratch_dir("sliding_stream_ck_")
     SE.run_available_now(out, "sliding_stream_sink", ck,
-                         shuffle_partitions=4)
+                         shuffle_partitions=_STREAM_PARTS)
     return (spark.table("sliding_stream_sink")
             .filter(F.col("win_start") < F.lit("2025-01-01")
                     .cast("timestamp"))

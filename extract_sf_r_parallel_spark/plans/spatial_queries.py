@@ -65,9 +65,16 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # the testdata tables are single small parquet files → one input
     # split; a 100 TB scan has thousands. Spread the probe side across
-    # the cluster so downstream UDFs/joins parallelize (a real scan
-    # arrives pre-split and skips this)
-    o = o.repartition(spark.sparkContext.defaultParallelism * 2)
+    # the cluster so downstream joins/kernels parallelize (a real scan
+    # arrives pre-split and skips this).
+    # r08 (guide §2.4): HASH on the point key, not round-robin — the
+    # keyless form pays a sort-before-repartition AND its partitioning
+    # is useless downstream, while hashpartitioning(pid) is exactly
+    # what every per-pid groupBy / window / left-join wants, so
+    # Catalyst elides their exchanges (knn3's 25 M-row rank shuffle
+    # disappears outright: 4 → 3 exchanges, measured 3.5 → 1.9 s)
+    o = o.repartition(spark.sparkContext.defaultParallelism * 2,
+                      F.col("o_orderkey"))
     return o.select(
         F.col("o_orderkey").alias("pid"),
         F.expr(G.sql_point_x("o_orderkey")).alias("x"),
@@ -78,8 +85,11 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def rects_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    # single small file → 1 split; spread so the cover UDF parallelizes
-    p = p.repartition(spark.sparkContext.defaultParallelism)
+    # single small file → 1 split; spread so the cover explode
+    # parallelizes (r08: hash on the key — no round-robin sort, and
+    # the key partitioning is reusable downstream, guide §2.4)
+    p = p.repartition(spark.sparkContext.defaultParallelism,
+                      F.col("p_partkey"))
     sel = [F.col("p_partkey").alias("fid")]
     sel += [F.expr(v).alias(k) for k, v in _R.items()]
     df = p.select(*sel)
@@ -644,8 +654,10 @@ def _pair_rect_polys(spark, sf_dir, layer_col: str = "layer",
         f"pair-rect fixture needs ≤ {_SLOT * _SLOT} parts for "
         f"slot privacy; got {n_parts} — enlarge _SLOT for this sf")
     # single small file → 1 split; spread so the cover/correction UDFs
-    # parallelize (a real layer scan arrives pre-split)
-    p = p.repartition(spark.sparkContext.defaultParallelism)
+    # parallelize (a real layer scan arrives pre-split; r08: hash on
+    # the key — skips the round-robin pre-sort, guide §2.4)
+    p = p.repartition(spark.sparkContext.defaultParallelism,
+                      F.col("p_partkey"))
     k = F.pmod(F.col("p_partkey"), F.lit(_SLOT * _SLOT))
     sx, sy = F.pmod(k, F.lit(_SLOT)), F.floor(k / _SLOT)
     ox = (sx * 100 + 10).cast("double")
