@@ -64,8 +64,9 @@ def learn_bpe(words: DataFrame, iters: int = 3, word: str = "word",
         if not _SAFE_PAIR.fullmatch(pair):
             raise ValueError(
                 f"learn_bpe: pair {pair!r} has non-alphanumeric symbols; "
-                "the literal-replace rewrite only supports [0-9A-Za-z] "
-                "corpora (escape handling not implemented)")
+                "p1/p2/merged are interpolated into the aggregate() SQL "
+                "expression as unescaped string literals, so only "
+                "[0-9A-Za-z] corpora are supported")
         merged = pair.replace(" ", "")
         merges.append((pair, merged, total))
         p1, p2 = pair.split(" ", 1)

@@ -42,7 +42,9 @@ __all__ = ["decode_stats", "resize_images", "pixel_embed", "frame_sample",
            "band_class", "otsu_stats", "harris_stats", "ycbcr_stats",
            "waveform_stats", "audio_pitch", "run_length_stats",
            "image_moments", "hough_lines", "audio_fingerprint",
-           "lbp_stats", "ordered_dither"]
+           "lbp_stats", "ordered_dither", "template_match",
+           "audio_resample", "mediancut_split", "noise_estimate",
+           "letterbox_detect", "symmetry_score"]
 
 _STATS_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -1197,8 +1199,11 @@ def ordered_dither(images: DataFrame) -> DataFrame:
     image export, chosen over Floyd–Steinberg because it is
     POSITION-LOCAL (error diffusion is a serial scan; the threshold
     matrix is embarrassingly parallel, the right choice at 100 TB).
-    Channel-0 pixel turns ON ⟺ px ≥ 16·B4[r%4][c%4] + 9 (the exact
-    integer form of px/255 > (B+0.5)/16 on the 0..255 scale). Per
+    Channel-0 pixel turns ON ⟺ px ≥ 16·B4[r%4][c%4] + 9 — the
+    engine's fixed integer threshold convention (a slightly stricter
+    cut than px/255 > (B+0.5)/16, whose exact form would be
+    32·px > 510·B + 255; both engines use the SAME 16·B+9 rule, so
+    results agree bit-for-bit — ADVICE r07). Per
     image: total ON count and the ON count per 2×2 quadrant (the
     dithered density map a thumbnail service checks).
 
@@ -1306,9 +1311,12 @@ def audio_resample(clips: DataFrame) -> DataFrame:
                 out2[even] = 2 * s[3 * k[even] // 2]
                 a = (3 * k[~even] - 1) // 2
                 out2[~even] = s[a] + s[a + 1]
+                # n_out = 0 only for an empty clip (len(s) == 0, never
+                # produced by the synth, ADVICE r07): emit zeros
+                # instead of letting max() raise on an empty array
+                peak = int(np.abs(out2).max()) if n_out else 0
                 rows.append((r.clip_id, n_out, int(np.abs(out2).sum()),
-                             int((out2 * out2).sum()),
-                             int(np.abs(out2).max())))
+                             int((out2 * out2).sum()), peak))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in _RESAMPLE_SCHEMA.fields])
     return clips.mapInPandas(gen, _RESAMPLE_SCHEMA)

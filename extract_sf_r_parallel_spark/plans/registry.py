@@ -27,13 +27,19 @@ from ..operators.similarity import (
 from . import relational, spatial_queries, textops
 
 # state-store tasks per streaming micro-batch (r08, guide §1.2
-# config-last): 4 left 28 cores idle during addBatch while each task
-# walked a quarter of the keys — 8 measured the drain 13-17 s → ~10 s
-# on the sf0.1 fixture with identical sink rows; 32 regressed (per-
-# partition store overhead dominates a bounded fixture). Still scoped
-# to the drain only; a real deployment sizes state partitions to the
-# cluster up front (run_available_now docstring).
-_STREAM_PARTS = 8
+# config-last), split by the operator's bottleneck:
+# - applyInPandasWithState drains (_STREAM_PARTS_PY): the per-key
+#   PYTHON calls dominate addBatch, so parallelism pays — 4 → 8
+#   measured the sessionizer drain 13-17 s → ~10 s, identical sink
+#   rows; 32 regressed (store overhead).
+# - pure-JVM stateful drains (_STREAM_PARTS): per-partition state-
+#   store instances dominate (a stream-stream join runs stores on
+#   BOTH sides per partition) — 8 measured stream_join ~4.2-4.7 s vs
+#   ~3.3-3.5 s at 4 in alternating runs, so these stay at 4.
+# Both are drain-scoped; a real deployment sizes state partitions to
+# the cluster up front (run_available_now docstring).
+_STREAM_PARTS = 4
+_STREAM_PARTS_PY = 8
 from .spatial_queries import points_df, rects_df
 
 ORACLE: dict[str, str] = {}
@@ -1984,7 +1990,7 @@ def q_geofence_stream(spark, sf_dir):
     s = with_inside(stream.select(*cols), fences, buffer=500.0)
     out = geofence_stream(s, watermark="1 hour")
     ck = scratch_dir("geofence_ck_")
-    SE.run_available_now(out, "geofence_sink", ck, shuffle_partitions=_STREAM_PARTS)
+    SE.run_available_now(out, "geofence_sink", ck, shuffle_partitions=_STREAM_PARTS_PY)
     return (spark.table("geofence_sink")
             .filter(F.col("user_id") >= 0)
             .select("user_id", "ts", "event_id", "kind"))
@@ -2038,7 +2044,7 @@ def q_sessions_stream(spark, sf_dir):
         .option("maxFilesPerTrigger", 2).parquet(d)
     sess = sessionize_stream(stream, gap_minutes=600, watermark="1 hour")
     ck = scratch_dir("sess_stream_ck_")
-    SE.run_available_now(sess, "sessions_stream_sink", ck, shuffle_partitions=_STREAM_PARTS)
+    SE.run_available_now(sess, "sessions_stream_sink", ck, shuffle_partitions=_STREAM_PARTS_PY)
     return (
         spark.table("sessions_stream_sink")
         .filter(F.col("user_id") >= 0)
