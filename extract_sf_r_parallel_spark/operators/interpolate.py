@@ -46,10 +46,11 @@ def idw_interpolate(probes: DataFrame, obs: DataFrame, radius: float,
         F.col(probe_id),
         F.col(x).alias("_px"), F.col(y).alias("_py"))
     # r08: the disk cover is the bbox cover of the degenerate bbox
-    # [x, x]×[y, y] dilated by `radius` — pure JVM (guide §4.1), same
-    # cells as the old pandas _disk_cover_udf bit-for-bit
+    # [x, x]×[y, y] dilated by `radius` — pure JVM (guide §4.1) — with
+    # the square's corner cells pruned to the disk (disk_prune: a
+    # sound superset, −21 % candidate pairs vs the old pandas cover)
     p = explode_bbox_cells(p, radius, code, xmin="_px", ymin="_py",
-                           xmax="_px", ymax="_py")
+                           xmax="_px", ymax="_py", disk_prune=True)
     o = with_cell(obs, code, x=x, y=y)
     pairs = o.join(p, "cell")
     # explicit dx*dx (not pow(x, 2) — Math.pow is allowed 1 ulp error,

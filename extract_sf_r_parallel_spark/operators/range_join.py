@@ -258,7 +258,8 @@ def explode_bbox_cells(polys: DataFrame, radius: float, code: int,
                        xmin: str = "rxmin", ymin: str = "rymin",
                        xmax: str = "rxmax", ymax: str = "rymax",
                        out: str = "cell",
-                       keep_bbox: bool = False) -> DataFrame:
+                       keep_bbox: bool = False,
+                       disk_prune: bool = False) -> DataFrame:
     """Pure-JVM twin of :func:`explode_poly_cells` for features whose
     bbox is already in columns (axis-aligned rectangles: the bbox IS
     the geometry, so no ring parse is needed). Emits the exact same
@@ -291,9 +292,21 @@ def explode_bbox_cells(polys: DataFrame, radius: float, code: int,
     cx = F.lit(e) * (F.lit(I._SQRT3) * qd + F.lit(I._SQRT3 / 2.0) * rd)
     cy = F.lit(e) * (F.lit(1.5) * rd)
     pad = F.lit(e)
-    df = df.filter(
-        (cx >= x0 - pad) & (cx <= x1 + pad)
-        & (cy >= y0 - pad) & (cy <= y1 + pad))
+    keep = ((cx >= x0 - pad) & (cx <= x1 + pad)
+            & (cy >= y0 - pad) & (cy <= y1 + pad))
+    if disk_prune:
+        # DEGENERATE bboxes only (xmin == xmax, ymin == ymax — a point
+        # dilated by `radius`): the square cover's corner cells cannot
+        # hold a point within `radius` of the centre, so prune to the
+        # disk. Sound: a point within `radius` of the centre has its
+        # cell centre within circumradius e of itself, hence within
+        # radius + e of the query centre. Cuts candidate pairs ~21 %
+        # on the idw disk join (47.6 M → 37.7 M at sf0.1).
+        ddx = cx - F.col(xmin)
+        ddy = cy - F.col(ymin)
+        keep = keep & (ddx * ddx + ddy * ddy
+                       <= F.lit((float(radius) + e) ** 2))
+    df = df.filter(keep)
     df = df.withColumn(out, _pack_cell(code, F.col("_q"), F.col("_r"))) \
         .drop("_q", "_r", "_q0", "_q1", "_r0", "_r1")
     if keep_bbox:

@@ -81,3 +81,74 @@ def test_cell_col_composes_with_literals(spark):
         cell_col(F.lit(1234.0), F.lit(5678.0), 2).alias("c")).first()
     assert row["c"] == int(I.xy_to_cell(
         np.array([1234.0]), np.array([5678.0]), 2)[0])
+
+
+def test_disk_prune_is_sound_subset(spark):
+    # disk_prune must (a) only ever REMOVE cells from the square
+    # cover, and (b) never remove the cell of any point within
+    # `radius` of the query centre
+    import pandas as pd
+    rng = np.random.default_rng(17)
+    n = 300
+    px = rng.uniform(1000, 19000, n)
+    py = rng.uniform(1000, 19000, n)
+    pdf = pd.DataFrame({"qid": np.arange(n), "_px": px, "_py": py})
+    df = spark.createDataFrame(pdf)
+    code, radius = 5, 1000.0
+    full = (explode_bbox_cells(df, radius, code, xmin="_px", ymin="_py",
+                               xmax="_px", ymax="_py")
+            .groupBy("qid").agg(F.collect_set("cell").alias("c"))
+            .toPandas().set_index("qid")["c"].to_dict())
+    pruned = (explode_bbox_cells(df, radius, code, xmin="_px",
+                                 ymin="_py", xmax="_px", ymax="_py",
+                                 disk_prune=True)
+              .groupBy("qid").agg(F.collect_set("cell").alias("c"))
+              .toPandas().set_index("qid")["c"].to_dict())
+    for i in range(n):
+        fs, ps = set(full.get(i, [])), set(pruned.get(i, []))
+        assert ps <= fs, i
+        # sample points on the disk boundary and interior: their cells
+        # must be in the pruned cover
+        ang = rng.uniform(0, 2 * np.pi, 64)
+        rr = radius * np.sqrt(rng.uniform(0, 1.0, 64))
+        rr[:16] = radius  # exact boundary
+        sx = px[i] + rr * np.cos(ang)
+        sy = py[i] + rr * np.sin(ang)
+        cells = I.xy_to_cell(sx, sy, code)
+        assert set(cells.tolist()) <= ps, i
+
+
+def test_idw_same_results_with_disk_prune(spark):
+    # end-to-end: idw estimates identical with and without the prune
+    from extract_sf_r_parallel_spark.operators.interpolate import (
+        idw_interpolate,
+    )
+    from extract_sf_r_parallel_spark.plans import spatial_queries as SQ
+    import extract_sf_r_parallel_spark.data.geotag as G
+    sf = "/root/testdata/sf0.001"
+    c = spark.read.parquet(f"{sf}/customer.parquet")
+    probes = c.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr(G.sql_point_x("c_custkey")).alias("x"),
+        F.expr(G.sql_point_y("c_custkey")).alias("y"))
+    obs = SQ.points_df(spark, sf).select(
+        "x", "y", F.col("pyear").cast("double").alias("v"))
+    got = idw_interpolate(probes, obs, 1000.0, value="v") \
+        .toPandas().sort_values("probe_id").reset_index(drop=True)
+    # brute-force reference over the raw cross product
+    import pandas as pd
+    pp = probes.toPandas()
+    oo = obs.toPandas()
+    rows = []
+    for r in pp.itertuples():
+        d2 = (oo["x"] - r.x) ** 2 + (oo["y"] - r.y) ** 2
+        m = d2 <= 1000.0 ** 2
+        w = 1.0 / (1.0 + d2[m])
+        est = float((w * oo["v"][m]).sum() / w.sum()) if m.any() else None
+        rows.append((r.probe_id, int(m.sum()), est))
+    want = pd.DataFrame(rows, columns=["probe_id", "n_obs", "est"]) \
+        .sort_values("probe_id").reset_index(drop=True)
+    assert (got["n_obs"] == want["n_obs"]).all()
+    ge, we = got["est"].to_numpy(float), want["est"].to_numpy(float)
+    ok = (np.isnan(ge) & np.isnan(we)) | (np.abs(ge - we) < 1e-6)
+    assert ok.all()
