@@ -61,7 +61,8 @@ _PAIRS_SQL = f"""
 """
 
 
-def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def points_df(spark: SparkSession, sf_dir: str,
+              spread: bool = True) -> DataFrame:
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     # the testdata tables are single small parquet files → one input
     # split; a 100 TB scan has thousands. Spread the probe side across
@@ -72,9 +73,14 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is useless downstream, while hashpartitioning(pid) is exactly
     # what every per-pid groupBy / window / left-join wants, so
     # Catalyst elides their exchanges (knn3's 25 M-row rank shuffle
-    # disappears outright: 4 → 3 exchanges, measured 3.5 → 1.9 s)
-    o = o.repartition(spark.sparkContext.defaultParallelism * 2,
-                      F.col("o_orderkey"))
+    # disappears outright: 4 → 3 exchanges, measured 3.5 → 1.9 s).
+    # spread=False skips the exchange for consumers with NO per-point
+    # kernel or per-pid operator (tile_counts: scan → map-side partial
+    # agg → 256-group exchange is the 100 TB plan shape already; the
+    # repartition only added a full round-trip of the point table)
+    if spread:
+        o = o.repartition(spark.sparkContext.defaultParallelism * 2,
+                          F.col("o_orderkey"))
     return o.select(
         F.col("o_orderkey").alias("pid"),
         F.expr(G.sql_point_x("o_orderkey")).alias("x"),
@@ -126,7 +132,10 @@ def rect_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- J1/G8: fishnet tile assignment + per-tile counts (the reference's
 # points-in-cell join, C_…R:235, as pure column arithmetic)
 def q_tile_counts(spark, sf_dir):
-    pts = points_df(spark, sf_dir)
+    # spread=False (r08): this is a pure map-side-combinable agg — the
+    # scan partitioning is already the right input shape, and the
+    # repartition cost ~10× the query (1.10 s vs 0.12 s at sf0.1)
+    pts = points_df(spark, sf_dir, spread=False)
     return (
         pts.withColumn("tile_x", F.floor(F.col("x") / TILE).cast("int"))
         .withColumn("tile_y", F.floor(F.col("y") / TILE).cast("int"))
